@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Designed for a 1000-executor cluster reading 100 TB; tested on local[N].
+All knobs here are cluster-safe: AQE on (runtime re-plan + skew-join split),
+Arrow on (every Python crossing is vectorized), shuffle partitions sized for
+the harness but AQE-coalesced at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "aci-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("ACI_SPARK_MASTER") or "local[%s]" % (
+        os.environ.get("SPARK_GRAFT_CPUS", "*")
+    )
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("ACI_SPARK_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep fat binary html column out of broadcast estimation surprises
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("ACI_SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
