@@ -28,6 +28,7 @@ from ..functions.openie import (
     context_score,
     extract_triples_from_text,
     find_mentions,
+    line_of,
     normalize_alias,
 )
 from ..functions.textextract import extract_text
@@ -81,10 +82,6 @@ def link_surface(
         if len(cands) == 1:
             return cands[0]["ent_id"]
         # ambiguity tie-break: max context embedding similarity, then min ent_id
-        best = max(
-            cands,
-            key=lambda c: (context_score(context, c["canonical_name"]), ),
-        )
         scored = sorted(
             cands,
             key=lambda c: (-context_score(context, c["canonical_name"]), c["ent_id"]),
@@ -188,20 +185,6 @@ def run_oracle(
         if page["lang"] not in allowed_langs or not text:
             continue
         url = page["url"]
-        lines = text.split("\n")
-        # line lookup for mention context
-        offsets = []
-        off = 0
-        for ln in lines:
-            offsets.append((off, off + len(ln), ln))
-            off += len(ln) + 1
-
-        def line_of(pos: int) -> str:
-            for s, e, ln in offsets:
-                if s <= pos <= e:
-                    return ln
-            return ""
-
         for m in find_mentions(text, alias_re):
             res.mentions.append(
                 {"url": url, "surface": m.surface, "start": m.start, "end": m.end, "kind": m.kind}
@@ -211,7 +194,7 @@ def run_oracle(
                 {"url": url, "subj_surface": t.subj_surface, "pred": t.pred,
                  "obj_surface": t.obj_surface, "pos": t.pos}
             )
-            ctx = line_of(t.pos)
+            ctx = line_of(text, t.pos)
             sid = link_surface(t.subj_surface, ctx, exact_index, band_index)
             oid = link_surface(t.obj_surface, ctx, exact_index, band_index)
             if sid is None or oid is None:

@@ -130,6 +130,14 @@ def extract_triples_from_text(text: str, alias_re: re.Pattern | None) -> list[Ca
 # ---------------------------------------------------------------------------
 
 
+def line_of(text: str, pos: int) -> str:
+    """The line of `text` containing char offset `pos` — the mention context
+    string fed to the ambiguity scorer. Shared by oracle and Spark stage."""
+    s = text.rfind("\n", 0, pos) + 1
+    e = text.find("\n", pos)
+    return text[s:] if e == -1 else text[s:e]
+
+
 def context_score(sentence: str, canonical_name: str, dim: int = 64) -> float:
     """Cosine similarity between deterministic hash embeddings of the mention
     context and the candidate canonical name — the ambiguity tie-breaker

@@ -1,0 +1,145 @@
+"""End-to-end KG build job (the ``aci index`` analog, SURVEY.md §3.1).
+
+    pages ──extract──▶ extracted ──triples──▶ triples_raw ──link──▶ linked
+                                                                      │
+    gazetteer ──sameas+CC──▶ canon_map ──────────(broadcast)──────────┤
+                                                                      ▼
+                                       edges (bucketed by subj) + nodes
+
+Every stage is resumable: it materializes atomically and writes a
+checkpoint row; a killed run restarted with the same ``run_id`` skips
+committed stages (north_rule). Shuffle inventory of the whole job — the
+thing that matters at 100 TB:
+
+  * extract / triples / linking: ZERO shuffles (narrow mapInPandas chain;
+    gazetteer ships by broadcast);
+  * canon_map: shuffles only the (tiny) entity table;
+  * edges: one exchange for dedup + one repartition(bucket) for the write;
+  * nodes: one groupBy over two-column rows (map-side combined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, PipelineConfig
+from ..operators.components import canonical_map
+from ..operators.extraction import (
+    broadcast_aliases,
+    extract_stage,
+    mention_stage,
+    triple_stage,
+)
+from ..operators.linking import broadcast_gazetteer, linking_stage
+from ..sources.catalog import Warehouse, run_stage
+
+EDGE_KEY = ["subj_id", "pred", "obj_id", "url", "pos"]
+
+
+def build_graph(
+    spark: SparkSession,
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    warehouse_root: str,
+    run_id: str = "run-0",
+    cfg: PipelineConfig = DEFAULT,
+    with_mentions: bool = False,
+) -> dict:
+    """Run the full build; returns summary counts. Idempotent per run_id."""
+    wh = Warehouse(warehouse_root, run_id)
+
+    gaz_rows = [r.asDict() for r in gazetteer.select(
+        "alias", "ent_id", "canonical_name", "entity_type").collect()]
+    alias_bc = broadcast_aliases(spark, [r["alias"] for r in gaz_rows])
+    gaz_bc = broadcast_gazetteer(spark, gaz_rows)
+
+    extracted = run_stage(
+        wh, spark, "extract", "extracted",
+        lambda: extract_stage(pages),
+    )
+    in_scope = extracted.filter(
+        F.col("lang").isin(*cfg.allowed_langs) & (F.length("extracted_text") > 0)
+    )
+
+    if with_mentions:
+        run_stage(
+            wh, spark, "mentions", "mentions",
+            lambda: mention_stage(in_scope, alias_bc),
+        )
+
+    triples_raw = run_stage(
+        wh, spark, "triples", "triples_raw",
+        lambda: triple_stage(in_scope, alias_bc),
+    )
+
+    linked = run_stage(
+        wh, spark, "link", "linked",
+        lambda: linking_stage(triples_raw, gaz_bc),
+    )
+
+    entities = gazetteer.select("ent_id", "canonical_name", "entity_type").distinct()
+    canon = run_stage(
+        wh, spark, "canonicalize", "canon_map",
+        lambda: canonical_map(entities, jaccard_threshold=0.7),
+    )
+
+    def build_edges() -> DataFrame:
+        c_subj = canon.select(
+            F.col("ent_id").alias("subj_id"), F.col("canonical_id").alias("c_subj")
+        )
+        c_obj = canon.select(
+            F.col("ent_id").alias("obj_id"), F.col("canonical_id").alias("c_obj")
+        )
+        resolved = linked.filter(F.col("resolved"))
+        return (
+            resolved.join(F.broadcast(c_subj), "subj_id")
+            .join(F.broadcast(c_obj), "obj_id")
+            .select(
+                F.col("c_subj").alias("subj_id"),
+                "pred",
+                F.col("c_obj").alias("obj_id"),
+                "url",
+                "pos",
+                F.lit(False).alias("inferred"),
+                F.lit(1.0).alias("confidence"),
+            )
+            # UNIQUE(source,target,type) analog (sqlite.py:54) with provenance
+            .dropDuplicates(EDGE_KEY)
+        )
+
+    edges = run_stage(
+        wh, spark, "edges", "edges",
+        build_edges,
+        bucket_col="subj_id", n_buckets=cfg.edge_buckets, sort_within=["subj_id"],
+    )
+
+    def build_nodes() -> DataFrame:
+        gmeta = gazetteer.select("ent_id", "canonical_name", "entity_type").distinct()
+        endpoints = edges.select(F.col("subj_id").alias("node_id"), "url").unionByName(
+            edges.select(F.col("obj_id").alias("node_id"), "url")
+        )
+        return (
+            endpoints.groupBy("node_id")
+            .agg(F.count("*").alias("mention_count"), F.min("url").alias("first_url"))
+            .join(
+                F.broadcast(gmeta.withColumnRenamed("ent_id", "node_id")),
+                "node_id",
+                "left",
+            )
+            .select("node_id", "canonical_name", "entity_type", "first_url", "mention_count")
+        )
+
+    nodes = run_stage(wh, spark, "nodes", "nodes", build_nodes)
+
+    unresolved = linked.filter(~F.col("resolved"))
+    summary = {
+        "run_id": run_id,
+        "pages": pages.count(),
+        "extracted": extracted.count(),
+        "triples_raw": triples_raw.count(),
+        "edges": edges.count(),
+        "nodes": nodes.count(),
+        "unresolved": unresolved.count(),
+    }
+    return summary

@@ -1,0 +1,170 @@
+"""Warehouse: atomic table commits, subject-hash bucketing, checkpoints, lineage.
+
+Production target is an Iceberg catalog (atomic snapshot commits, row-level
+deletes, `bucket(N, subj_id)` partition transform, incremental scans). The
+sandbox has no Iceberg runtime jar, so this module provides the same
+contract over parquet directories:
+
+ * **atomic commit** — write to ``<table>.__tmp_<run>__`` then a single
+   ``os.rename`` onto the final directory (readers see old-or-new, never
+   partial; Iceberg-snapshot-commit analog of the reference's pending-batch
+   WAL ``metadata_store/store.py:292-342``);
+ * **bucketing** — an explicit ``bucket = pmod(xxhash64(subj_id), N)``
+   partition column + ``partitionBy`` so subject lookups prune directories
+   (the B-tree-index analog of ``sqlite.py:86-93``); with Iceberg this is
+   ``bucket(N, subj_id)`` and with writeTo().partitionedBy();
+ * **checkpoints** — one JSON line per committed stage keyed by
+   ``(run_id, stage)``; restart skips committed stages and reads their
+   outputs (north_rule resumability; startup-check analog
+   ``indexing_service.py:106-126``);
+ * **lineage** — per-partition row counts + per-stage wall time and
+   percentile stats (A5 analog, ``services/metrics_collector.py:95-123``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Warehouse:
+    def __init__(self, root: str, run_id: str = "run-0"):
+        self.root = root
+        self.run_id = run_id
+        os.makedirs(root, exist_ok=True)
+        self._ckpt_path = os.path.join(root, "_checkpoints.jsonl")
+
+    # -- tables -------------------------------------------------------------
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def commit(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str | None = None,
+        n_buckets: int = 32,
+        sort_within: list[str] | None = None,
+    ) -> str:
+        """Atomic overwrite-commit of ``df`` as ``table``.
+
+        With ``bucket_col``: adds ``bucket = pmod(xxhash64(col), N)``,
+        repartitions by it (one shuffle that co-locates each bucket) and
+        writes ``partitionBy(bucket)`` so per-subject reads prune; rows are
+        sorted within partitions for locality (Iceberg sort-order analog).
+        """
+        final = self.path(table)
+        tmp = final + f".__tmp_{self.run_id}__"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # leftover from a killed run — safe to discard
+        writer_df = df
+        if bucket_col is not None:
+            writer_df = df.withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+            ).repartition("bucket")
+            if sort_within:
+                writer_df = writer_df.sortWithinPartitions(*sort_within)
+            writer_df.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        else:
+            if sort_within:
+                writer_df = writer_df.sortWithinPartitions(*sort_within)
+            writer_df.write.mode("overwrite").parquet(tmp)
+        old = final + ".__old__"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        return final
+
+    # -- checkpoints ----------------------------------------------------------
+
+    def _load_checkpoints(self) -> dict[tuple[str, str], dict]:
+        out = {}
+        if os.path.isfile(self._ckpt_path):
+            with open(self._ckpt_path) as f:
+                for line in f:
+                    if line.strip():
+                        row = json.loads(line)
+                        out[(row["run_id"], row["stage"])] = row
+        return out
+
+    def stage_committed(self, stage: str) -> bool:
+        row = self._load_checkpoints().get((self.run_id, stage))
+        return bool(row and row.get("status") == "committed"
+                    and (not row.get("table") or self.exists(row["table"])))
+
+    def commit_checkpoint(self, stage: str, table: str | None, meta: dict | None = None):
+        row = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "table": table,
+            "status": "committed",
+            **(meta or {}),
+        }
+        with open(self._ckpt_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    # -- lineage / metrics -----------------------------------------------------
+
+    def record_lineage(self, spark: SparkSession, stage: str, table: str, wall_ms: float):
+        """Per-partition (parquet file) row counts for the committed table +
+        stage wall time → appended to the ``_lineage`` table."""
+        df = self.read(spark, table)
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("wall_ms", F.lit(float(wall_ms)))
+        )
+        mode = "append" if os.path.isdir(os.path.join(self.root, "_lineage")) else "overwrite"
+        per_part.coalesce(1).write.mode(mode).parquet(os.path.join(self.root, "_lineage"))
+
+    def lineage_summary(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.parquet(os.path.join(self.root, "_lineage"))
+        return df.groupBy("run_id", "stage").agg(
+            F.sum("rows").alias("rows"),
+            F.count("*").alias("partitions"),
+            F.max("wall_ms").alias("wall_ms"),
+            F.expr("percentile(rows, 0.5)").alias("p50_rows"),
+            F.expr("percentile(rows, 0.95)").alias("p95_rows"),
+        )
+
+
+def run_stage(
+    wh: Warehouse,
+    spark: SparkSession,
+    stage: str,
+    table: str,
+    build_df,
+    bucket_col: str | None = None,
+    n_buckets: int = 32,
+    sort_within: list[str] | None = None,
+) -> DataFrame:
+    """Execute one resumable stage: skip when already committed for this
+    run_id (killed-run restart reads the committed output); otherwise
+    materialize atomically, record lineage, then checkpoint."""
+    if wh.stage_committed(stage):
+        return wh.read(spark, table)
+    t0 = time.monotonic()
+    df = build_df()
+    wh.commit(df, table, bucket_col=bucket_col, n_buckets=n_buckets, sort_within=sort_within)
+    wall_ms = (time.monotonic() - t0) * 1000.0
+    wh.record_lineage(spark, stage, table, wall_ms)
+    wh.commit_checkpoint(stage, table, {"wall_ms": wall_ms})
+    return wh.read(spark, table)
