@@ -1,38 +1,719 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: run the full KG extraction pipeline (extract →
+mention → pattern-OpenIE triples → broadcast-LSH entity linking) over pages
+deterministically derived from ``documents`` at sf0.001 and return the edge
+DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+(SURVEY.md §2). The KG queries run the REAL pipeline UDFs over derived pages
+whose planted facts are closed-form doc_id arithmetic, so an independent
+DuckDB oracle reconstructs the expected output without running any of our
+code. Iterative/sketch operators (pagerank, minhash, simhash, LSH-ANN,
+fingerprints) have no SQL mirror → rows-only checks here, exact oracles in
+``tests/``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+
+def _kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived pages → extract → triples → linking (the pipeline spine)."""
+    from augmented_codebase_indexer_spark.operators.extraction import (
+        broadcast_aliases,
+        extract_stage,
+        triple_stage,
+    )
+    from augmented_codebase_indexer_spark.operators.linking import (
+        broadcast_gazetteer,
+        linking_stage,
+    )
+    from augmented_codebase_indexer_spark.sources.pages import (
+        derive_pages_from_documents,
+        entry_gazetteer_rows,
+    )
+
+    pages = derive_pages_from_documents(spark, sf_dir)
+    gaz_rows = entry_gazetteer_rows(50)
+    alias_bc = broadcast_aliases(spark, [r["alias"] for r in gaz_rows])
+    gaz_bc = broadcast_gazetteer(spark, gaz_rows)
+    extracted = extract_stage(pages).filter(
+        (F.col("lang") == "en") & (F.length("extracted_text") > 0)
+    )
+    return linking_stage(triple_stage(extracted, alias_bc), gaz_bc)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    linked = _kg_linked(spark, SF001)
+    return (
+        linked.filter(F.col("resolved"))
+        .select("subj_id", "pred", "obj_id", "url")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_kg_extract_text(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.extraction import extract_stage
+    from augmented_codebase_indexer_spark.sources.pages import derive_pages_from_documents
+
+    pages = derive_pages_from_documents(spark, sf_dir)
+    return extract_stage(pages).select("url", "extracted_text")
+
+
+def q_kg_triples(spark, sf_dir):
+    return (
+        _kg_linked(spark, sf_dir)
+        .filter(F.col("resolved"))
+        .select("subj_id", "pred", "obj_id", "url")
+        .distinct()
+    )
+
+
+def q_kg_mentions(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.extraction import (
+        broadcast_aliases,
+        extract_stage,
+        mention_stage,
+    )
+    from augmented_codebase_indexer_spark.sources.pages import (
+        derive_pages_from_documents,
+        entry_gazetteer_rows,
+    )
+
+    pages = derive_pages_from_documents(spark, sf_dir)
+    alias_bc = broadcast_aliases(spark, [r["alias"] for r in entry_gazetteer_rows(50)])
+    extracted = extract_stage(pages).filter(
+        (F.col("lang") == "en") & (F.length("extracted_text") > 0)
+    )
+    return (
+        mention_stage(extracted, alias_bc)
+        .groupBy("url")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+def q_kg_node_degree(spark, sf_dir):
+    linked = _kg_linked(spark, sf_dir).filter(F.col("resolved"))
+    endpoints = linked.select(F.col("subj_id").alias("node_id")).unionByName(
+        linked.select(F.col("obj_id").alias("node_id"))
+    )
+    return endpoints.groupBy("node_id").agg(F.count("*").alias("mention_count"))
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_topk_revenue(spark, sf_dir):
+    li, o, c, n = (_t(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .limit(5)
+    )
+    return rev
+
+
+def q_incremental_diff(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.incremental import diff_snapshots
+
+    o = _t(spark, sf_dir, "orders")
+    current = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").cast("string").alias("url"),
+        F.sha2(
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice")).cast("string"),
+            256,
+        ).alias("content_hash"),
+    )
+    indexed = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").cast("string").alias("url"),
+        F.sha2(F.col("o_totalprice").cast("string"), 256).alias("content_hash"),
+    )
+    return diff_snapshots(current, indexed).groupBy("change").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_interval_antijoin(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    errs = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"), F.col("value").alias("lo"),
+        (F.col("value") + 10).alias("hi"),
+    )
+    keep = e.filter(F.col("event_type") != "error").join(
+        errs,
+        (F.col("user_id") == F.col("u")) & (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")),
+        "left_anti",
+    )
+    return keep.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_window_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+def q_rrf_fuse(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.rrf import rank_by, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    a = rank_by(d.select("doc_id", F.col("n_chars").alias("s")), "doc_id", "s", "chars")
+    b = rank_by(
+        d.select("doc_id", ((F.col("doc_id") * 37) % 101).alias("s")),
+        "doc_id", "s", "mod",
+    )
+    return rrf_fuse([a, b], limit=20)
+
+
+def q_percentiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+def q_lang_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+def q_distinct_sources(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(F.countDistinct("source").alias("n_sources"))
+
+
+def q_topk_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.orderBy(F.desc("n_chars"), F.asc("doc_id")).select("doc_id", "n_chars").limit(10)
+
+
+def q_set_ops(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errors = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return clicks.exceptAll(errors).distinct()
+
+
+def q_group_collect(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources")
+    )
+
+
+def q_sha_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.dedup import exact_duplicate_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    groups = exact_duplicate_groups(d.unionByName(dup))
+    return groups.select(
+        "content_hash", "dup_count",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",").alias("ids"),
+    )
+
+
+def q_dedup_ngram(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.8, n=1)
+
+
+def q_dedup_minhash(spark, sf_dir):  # rows-only (sketch-based)
+    from augmented_codebase_indexer_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):  # rows-only (sketch-based)
+    from augmented_codebase_indexer_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.ann import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+def q_ann_topk(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.ann import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3)
+
+
+def q_ann_lsh(spark, sf_dir):  # rows-only (approximate by design)
+    from augmented_codebase_indexer_spark.operators.ann import lsh_bucket_topk
+
+    return lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3)
+
+
+def q_text_stats(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.textstats import with_text_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_text_stats(d).select(
+        "doc_id", "n_tokens_ws", "n_tokens_re", "n_chars_out", "quality", "lang_pred"
+    )
+
+
+def q_fingerprint(spark, sf_dir):  # rows-only (rolling-hash sketch)
+    from augmented_codebase_indexer_spark.operators.textstats import with_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_fingerprint(d).select(
+        "doc_id", F.array_join(F.transform("fingerprint", lambda x: x.cast("string")), ",").alias("fp")
+    )
+
+
+def q_event_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+
+
+def q_traverse(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.traversal import neighborhood
+
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        F.col("user_id").cast("string").alias("subj_id"),
+        ((F.col("user_id") * 3 + 7) % 50).cast("string").alias("obj_id"),
+    ).distinct()
+    return neighborhood(edges, ["1"], depth=3, direction="out")
+
+
+def q_topo_layers(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.traversal import topological_layers
+
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        F.col("user_id").cast("string").alias("src"),
+        (F.col("user_id") * 2 + 1 + F.col("event_id") % 2).cast("string").alias("dst"),
+    ).filter((F.col("user_id") * 2 + 1 + F.col("event_id") % 2) < 200).distinct()
+    nodes = edges.select(F.col("src").alias("node_id")).unionByName(
+        edges.select(F.col("dst").alias("node_id"))
+    ).distinct()
+    return topological_layers(edges, nodes)
+
+
+def q_mrr(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = d.withColumn("rank", F.row_number().over(w))
+    rel = ranked.filter(F.col("doc_id") % 3 == 0)
+    return rel.groupBy("lang").agg(
+        F.round(1.0 / F.min("rank"), 6).alias("rr")
+    )
+
+
+def q_score_normalize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return e.select(
+        "event_id",
+        F.round(F.col("value") / F.max("value").over(w), 6).alias("norm"),
+    )
+
+
+def q_pagerank(spark, sf_dir):  # rows-only (iterative; numpy oracle in tests/)
+    from augmented_codebase_indexer_spark.operators.pagerank import pagerank
+
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        F.col("user_id").cast("string").alias("subj_id"),
+        ((F.col("user_id") * 3 + 7) % 50).cast("string").alias("obj_id"),
+    ).distinct()
+    pr = pagerank(edges, max_iters=30)
+    return pr.select("node_id", F.round("pagerank", 6).alias("pagerank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_extract_text": q_kg_extract_text,
+        "kg_triples": q_kg_triples,
+        "kg_mentions": q_kg_mentions,
+        "kg_node_degree": q_kg_node_degree,
+        "q1_pricing_summary": q1_pricing_summary,
+        "join_topk_revenue": q_join_topk_revenue,
+        "incremental_diff": q_incremental_diff,
+        "interval_antijoin": q_interval_antijoin,
+        "window_dedup": q_window_dedup,
+        "rrf_fuse": q_rrf_fuse,
+        "percentiles": q_percentiles,
+        "lang_stats": q_lang_stats,
+        "distinct_sources": q_distinct_sources,
+        "topk_docs": q_topk_docs,
+        "set_ops": q_set_ops,
+        "group_collect": q_group_collect,
+        "sha_hash": q_sha_hash,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "text_stats": q_text_stats,
+        "fingerprint": q_fingerprint,
+        "event_window": q_event_window,
+        "traverse": q_traverse,
+        "topo_layers": q_topo_layers,
+        "mrr": q_mrr,
+        "score_normalize": q_score_normalize,
+        "pagerank": q_pagerank,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered: region nation customer supplier
+# part orders lineitem events documents embeddings)
+# ---------------------------------------------------------------------------
+
+_DERIVED = """
+WITH derived AS (
+  SELECT
+    'https://docs.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+    doc_id, lang, text,
+    'Entity' || CAST(doc_id % 50 AS VARCHAR) AS subj,
+    'Entity' || CAST((doc_id * 7 + 13) % 50 AS VARCHAR) AS obj,
+    CASE doc_id % 6
+      WHEN 0 THEN 'acquired' WHEN 1 THEN 'founded_by' WHEN 2 THEN 'located_in'
+      WHEN 3 THEN 'partnered_with' WHEN 4 THEN 'subsidiary_of' WHEN 5 THEN 'works_for'
+    END AS pred,
+    CASE doc_id % 6
+      WHEN 0 THEN 'acquired' WHEN 1 THEN 'was founded by' WHEN 2 THEN 'is located in'
+      WHEN 3 THEN 'partnered with' WHEN 4 THEN 'is a subsidiary of' WHEN 5 THEN 'works for'
+    END AS connector
+  FROM documents
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["kg_extract_text"] = _DERIVED + """
+    SELECT url, text || chr(10) || subj || ' ' || connector || ' ' || obj || '.'
+           AS extracted_text
+    FROM derived
     """
-    return {}
+
+    sql["kg_triples"] = _DERIVED + """
+    SELECT substr(sha256(subj || '|org'), 1, 16) AS subj_id,
+           pred,
+           substr(sha256(obj || '|org'), 1, 16) AS obj_id,
+           url
+    FROM derived WHERE lang = 'en'
+    """
+
+    sql["kg_mentions"] = _DERIVED + """
+    SELECT url, 2::INT AS n_mentions FROM derived WHERE lang = 'en'
+    """
+
+    sql["kg_node_degree"] = _DERIVED + """
+    SELECT node_id, COUNT(*) AS mention_count FROM (
+      SELECT substr(sha256(subj || '|org'), 1, 16) AS node_id FROM derived WHERE lang='en'
+      UNION ALL
+      SELECT substr(sha256(obj || '|org'), 1, 16) FROM derived WHERE lang='en'
+    ) GROUP BY node_id
+    """
+
+    sql["q1_pricing_summary"] = """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["join_topk_revenue"] = """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY revenue DESC, n_name ASC LIMIT 5
+    """
+
+    sql["incremental_diff"] = """
+    WITH cur AS (
+      SELECT CAST(o_orderkey AS VARCHAR) url,
+             sha256(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                              ELSE o_totalprice END AS VARCHAR)) h
+      FROM orders WHERE o_orderkey % 3 != 0),
+    idx AS (
+      SELECT CAST(o_orderkey AS VARCHAR) url, sha256(CAST(o_totalprice AS VARCHAR)) h
+      FROM orders WHERE o_orderkey % 5 != 0)
+    SELECT change, count(*) AS n FROM (
+      SELECT CASE WHEN idx.url IS NULL THEN 'new'
+                  WHEN cur.url IS NULL THEN 'deleted'
+                  WHEN cur.h != idx.h THEN 'modified'
+                  ELSE 'unchanged' END AS change
+      FROM cur FULL OUTER JOIN idx ON cur.url = idx.url
+    ) GROUP BY change
+    """
+
+    sql["interval_antijoin"] = """
+    SELECT e.event_type, count(*) AS n FROM events e
+    WHERE e.event_type != 'error' AND NOT EXISTS (
+      SELECT 1 FROM events x WHERE x.event_type = 'error'
+        AND x.user_id = e.user_id AND e.value >= x.value AND e.value <= x.value + 10)
+    GROUP BY e.event_type
+    """
+
+    sql["window_dedup"] = """
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY value DESC, event_id ASC) rn
+      FROM events) WHERE rn = 1
+    """
+
+    sql["rrf_fuse"] = """
+    WITH a AS (SELECT doc_id item_id,
+                      row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) rank
+               FROM documents),
+         b AS (SELECT doc_id item_id,
+                      row_number() OVER (ORDER BY (doc_id * 37) % 101 DESC, doc_id ASC) rank
+               FROM documents),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT item_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+    FROM u GROUP BY item_id ORDER BY rrf_score DESC, item_id ASC LIMIT 20
+    """
+
+    sql["percentiles"] = """
+    SELECT event_type, round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95
+    FROM events GROUP BY event_type
+    """
+
+    sql["lang_stats"] = """
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """
+
+    sql["distinct_sources"] = """
+    SELECT lang, count(DISTINCT source) AS n_sources FROM documents GROUP BY lang
+    """
+
+    sql["topk_docs"] = """
+    SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """
+
+    sql["set_ops"] = """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """
+
+    sql["group_collect"] = """
+    SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM documents GROUP BY lang
+    """
+
+    sql["sha_hash"] = """
+    SELECT doc_id, sha256(text) AS content_hash FROM documents
+    """
+
+    sql["dedup_exact"] = """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100)
+    SELECT sha256(text) AS content_hash, count(*) AS dup_count,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+    FROM all_docs GROUP BY sha256(text) HAVING count(*) > 1
+    """
+
+    sql["dedup_ngram"] = """
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id, g.gram FROM documents,
+             unnest(string_split(text, ' ')) AS g(gram)),
+    sizes AS (SELECT id, count(*) sz FROM tok GROUP BY id),
+    inter AS (
+      SELECT a.id ida, b.id idb, count(*) n FROM tok a
+      JOIN tok b ON a.gram = b.gram AND a.id < b.id GROUP BY a.id, b.id)
+    SELECT ida, idb,
+           round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
+    WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.8
+    """
+
+    sql["dedup_embedding"] = """
+    SELECT a.vec_id AS ida, b.vec_id AS idb,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
+    """
+
+    sql["ann_topk"] = """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id query_id, c.vec_id neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id IN (0,1,2,3,4))
+    WHERE rank <= 3
+    """
+
+    sql["text_stats"] = """
+    SELECT doc_id,
+      len(string_split(text, ' '))::INT AS n_tokens_ws,
+      len(regexp_extract_all(text, '[a-z0-9]+'))::INT AS n_tokens_re,
+      length(text)::INT AS n_chars_out,
+      round((least(length(text) / 400.0, 1.0) * 0.5
+             + least(len(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
+                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) * 0.3)
+            * (1.0 - least(len(regexp_extract_all(text, '[^\\w\\s]'))
+                           / greatest(length(text), 1) * 10.0, 1.0) * 0.5), 6) AS quality,
+      CASE WHEN greatest(
+             len(regexp_extract_all(text, '\\b(the|and|of|with|for)\\b')),
+             len(regexp_extract_all(text, '\\b(der|die|und|das|mit)\\b')),
+             len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')),
+             len(regexp_extract_all(text, '\\b(el|los|las|y|con)\\b'))) = 0 THEN 'unknown'
+           WHEN len(regexp_extract_all(text, '\\b(the|and|of|with|for)\\b')) = greatest(
+             len(regexp_extract_all(text, '\\b(the|and|of|with|for)\\b')),
+             len(regexp_extract_all(text, '\\b(der|die|und|das|mit)\\b')),
+             len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')),
+             len(regexp_extract_all(text, '\\b(el|los|las|y|con)\\b'))) THEN 'en'
+           WHEN len(regexp_extract_all(text, '\\b(der|die|und|das|mit)\\b')) = greatest(
+             len(regexp_extract_all(text, '\\b(the|and|of|with|for)\\b')),
+             len(regexp_extract_all(text, '\\b(der|die|und|das|mit)\\b')),
+             len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')),
+             len(regexp_extract_all(text, '\\b(el|los|las|y|con)\\b'))) THEN 'de'
+           WHEN len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')) = greatest(
+             len(regexp_extract_all(text, '\\b(the|and|of|with|for)\\b')),
+             len(regexp_extract_all(text, '\\b(der|die|und|das|mit)\\b')),
+             len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')),
+             len(regexp_extract_all(text, '\\b(el|los|las|y|con)\\b'))) THEN 'fr'
+           ELSE 'es' END AS lang_pred
+    FROM documents
+    """
+
+    sql["event_window"] = """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """
+
+    sql["traverse"] = """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) src,
+             CAST((user_id * 3 + 7) % 50 AS VARCHAR) dst FROM events),
+    r AS (
+      SELECT '1' AS node_id, 0 AS hops
+      UNION ALL
+      SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node_id WHERE r.hops < 3)
+    SELECT node_id, MIN(hops)::INT AS hops FROM r GROUP BY node_id
+    """
+
+    sql["topo_layers"] = """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) src,
+             CAST(user_id * 2 + 1 + event_id % 2 AS VARCHAR) dst
+      FROM events WHERE user_id * 2 + 1 + event_id % 2 < 200),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    roots AS (SELECT node FROM nodes WHERE node NOT IN (SELECT dst FROM e)),
+    walk AS (
+      SELECT node, 0 AS layer FROM roots
+      UNION ALL
+      SELECT e.dst, walk.layer + 1 FROM walk JOIN e ON e.src = walk.node
+      WHERE walk.layer < 64)
+    SELECT node AS node_id, MAX(layer)::INT AS layer FROM walk GROUP BY node
+    """
+
+    sql["mrr"] = """
+    SELECT lang, round(1.0 / MIN(rank), 6) AS rr FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) rank
+      FROM documents) WHERE doc_id % 3 = 0 GROUP BY lang
+    """
+
+    sql["score_normalize"] = """
+    SELECT event_id,
+           round(value / max(value) OVER (PARTITION BY event_type), 6) AS norm
+    FROM events
+    """
+
+    return sql

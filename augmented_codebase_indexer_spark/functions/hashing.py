@@ -126,9 +126,12 @@ def jaccard_shingles(a: str, b: str, k: int = 3) -> float:
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (weights = term frequency)."""
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for tok in text.lower().split():
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
-        bits = (h >> np.arange(64)) & 1
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+        )
+        bits = (np.right_shift(h, shifts) & np.uint64(1)).astype(np.int64)
         acc += np.where(bits == 1, 1, -1)
     out = 0
     for i in range(64):

@@ -1,0 +1,101 @@
+"""Incremental update (J1 — the checkpoint/resume core).
+
+The reference's hash-diff (``indexing_service.py:961-975``):
+    new      = current − indexed            (left anti)
+    deleted  = indexed − current            (right anti)
+    modified = both, content hash differs   (inner + predicate)
+
+expressed as ONE full-outer join on url. ``incremental_update`` then
+recomputes triples only for touched pages and rewrites the edge table:
+unchanged urls' edges are reused as-is (the 100 TB win — extraction and
+linking never re-run for unchanged pages; with Iceberg this is a MERGE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, PipelineConfig
+from ..operators.extraction import broadcast_aliases, extract_stage, triple_stage
+from ..operators.linking import broadcast_gazetteer, linking_stage
+from ..sources.catalog import Warehouse
+
+
+def diff_snapshots(
+    current: DataFrame, indexed: DataFrame, key: str = "url", hash_col: str = "content_hash"
+) -> DataFrame:
+    """→ (url, change) with change ∈ {'new','deleted','modified','unchanged'}."""
+    c = current.select(F.col(key), F.col(hash_col).alias("h_cur"))
+    i = indexed.select(F.col(key), F.col(hash_col).alias("h_old"))
+    return c.join(i, key, "full_outer").select(
+        key,
+        F.when(F.col("h_old").isNull(), F.lit("new"))
+        .when(F.col("h_cur").isNull(), F.lit("deleted"))
+        .when(F.col("h_cur") != F.col("h_old"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+
+
+def page_hashes(pages: DataFrame) -> DataFrame:
+    return pages.select("url", F.sha2(F.col("html"), 256).alias("content_hash"))
+
+
+def incremental_update(
+    spark: SparkSession,
+    wh: Warehouse,
+    pages_new: DataFrame,
+    gazetteer: DataFrame,
+    cfg: PipelineConfig = DEFAULT,
+) -> dict:
+    """Bring a built warehouse up to date with a new page snapshot.
+
+    Requires prior tables: `page_index` (url, content_hash), `edges`,
+    `canon_map`. Only triples from touched urls are recomputed; the
+    incremental invariant (Property-15 analog,
+    ``tests/property/test_indexing_service_properties.py:85-104``) is that
+    the result equals a full rebuild of the new snapshot."""
+    indexed = wh.read(spark, "page_index")
+    cur_hashes = page_hashes(pages_new)
+    diff = diff_snapshots(cur_hashes, indexed).cache()
+
+    touched = diff.filter(F.col("change").isin("new", "modified")).select("url")
+    removed = diff.filter(F.col("change").isin("deleted", "modified")).select("url")
+
+    gaz_rows = [r.asDict() for r in gazetteer.select(
+        "alias", "ent_id", "canonical_name", "entity_type").collect()]
+    alias_bc = broadcast_aliases(spark, [r["alias"] for r in gaz_rows])
+    gaz_bc = broadcast_gazetteer(spark, gaz_rows)
+
+    to_process = pages_new.join(F.broadcast(touched), "url")
+    extracted = extract_stage(to_process).filter(
+        F.col("lang").isin(*cfg.allowed_langs) & (F.length("extracted_text") > 0)
+    )
+    linked = linking_stage(triple_stage(extracted, alias_bc), gaz_bc)
+
+    canon = wh.read(spark, "canon_map")
+    c_subj = canon.select(F.col("ent_id").alias("subj_id"), F.col("canonical_id").alias("c_subj"))
+    c_obj = canon.select(F.col("ent_id").alias("obj_id"), F.col("canonical_id").alias("c_obj"))
+    new_edges = (
+        linked.filter(F.col("resolved"))
+        .join(F.broadcast(c_subj), "subj_id")
+        .join(F.broadcast(c_obj), "obj_id")
+        .select(
+            F.col("c_subj").alias("subj_id"), "pred", F.col("c_obj").alias("obj_id"),
+            "url", "pos", F.lit(False).alias("inferred"), F.lit(1.0).alias("confidence"),
+        )
+        .dropDuplicates(["subj_id", "pred", "obj_id", "url", "pos"])
+    )
+
+    old_edges = wh.read(spark, "edges").drop("bucket")
+    kept = old_edges.join(F.broadcast(removed), "url", "left_anti")
+    merged = kept.unionByName(new_edges)
+
+    wh.commit(merged, "edges", bucket_col="subj_id", n_buckets=cfg.edge_buckets,
+              sort_within=["subj_id"])
+    wh.commit(cur_hashes, "page_index")
+    counts = {r["change"]: r["n"] for r in
+              diff.groupBy("change").agg(F.count("*").alias("n")).collect()}
+    diff.unpersist()
+    return counts

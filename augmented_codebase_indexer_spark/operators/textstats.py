@@ -1,0 +1,86 @@
+"""Text analysis operators for training-data curation, all JVM-side built-ins
+(SQL-mirrorable — no UDF, so the DuckDB oracle can replicate them exactly):
+
+* token counting (whitespace + word-regex variants; C2 analog —
+  the reference's CharacterTokenizer fallback ``core/tokenizer.py:141-152``
+  legitimizes heuristic counting)
+* quality scoring (length / punctuation / stopword ratios)
+* language ID (stopword-marker n-gram heuristic with deterministic argmax)
+* document fingerprint (rolling hash — UDF tier, pytest-verified)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from ..functions.hashing import rolling_fingerprint
+
+# language marker words → regex alternations (kept tiny + deterministic;
+# real systems plug fasttext here, same operator shape)
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|with|for)\b",
+    "de": r"\b(der|die|und|das|mit)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "es": r"\b(el|los|las|y|con)\b",
+}
+STOPWORD_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+WORD_RE = r"[a-z0-9]+"
+
+
+def token_count_cols(text: Column) -> dict[str, Column]:
+    return {
+        "n_tokens_ws": F.size(F.split(text, " ")),
+        "n_tokens_re": F.regexp_count(text, F.lit(WORD_RE)),
+        "n_chars_out": F.length(text),
+    }
+
+
+def quality_score_col(text: Column) -> Column:
+    """[0,1] quality heuristic: longer docs with balanced token length and
+    some stopwords score higher; punctuation-heavy junk scores lower."""
+    n_chars = F.length(text)
+    n_tokens = F.size(F.split(text, " "))
+    stop = F.regexp_count(text, F.lit(STOPWORD_RE))
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    len_score = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    stop_score = F.least(stop / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0))
+    punct_penalty = F.least(punct / F.greatest(n_chars, F.lit(1)) * 10.0, F.lit(1.0))
+    return F.round(
+        (len_score * 0.5 + stop_score * 0.3) * (F.lit(1.0) - punct_penalty * 0.5), 6
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Argmax of marker-word hits, deterministic tie-break by marker order,
+    'unknown' when nothing matches. Pure expressions → Catalyst codegen."""
+    counts = {lang: F.regexp_count(text, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+    best_count = F.greatest(*counts.values())
+    out = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier entries win ties
+        out = F.when(counts[lang] == best_count, F.lit(lang)).otherwise(out)
+    return F.when(best_count > 0, out).otherwise(F.lit("unknown"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    out = df
+    for name, col in token_count_cols(t).items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("quality", quality_score_col(t))
+        .withColumn("lang_pred", lang_id_col(t))
+    )
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def fingerprint_udf(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [[int(x) for x in rolling_fingerprint(t)] if t is not None else [] for t in s]
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))

@@ -58,6 +58,12 @@ def build_graph(
         wh, spark, "extract", "extracted",
         lambda: extract_stage(pages),
     )
+
+    # url → content-hash index backing the incremental diff (J1; the
+    # reference's indexed_files table, metadata_store/schema.py:10-53)
+    from ..operators.incremental import page_hashes
+
+    run_stage(wh, spark, "page_index", "page_index", lambda: page_hashes(pages))
     in_scope = extracted.filter(
         F.col("lang").isin(*cfg.allowed_langs) & (F.length("extracted_text") > 0)
     )
