@@ -49,11 +49,18 @@ def ngram_jaccard_pairs(
     n: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token n-gram set Jaccard ≥ threshold, as pure DataFrame algebra.
 
     tokens → distinct n-grams per doc → self equi-join on gram →
-    per-pair intersection count → Jaccard. No Python anywhere."""
+    per-pair intersection count → Jaccard. No Python anywhere.
+
+    ``max_df`` drops grams occurring in more than max_df documents before
+    the join (standard max-df pruning): ubiquitous grams carry no dedup
+    signal but produce O(df²) join pairs — at web scale this cap is what
+    keeps the self-join from going quadratic on boilerplate vocabulary.
+    Jaccard is then over the FILTERED gram sets (both |∩| and sizes)."""
     toks = F.split(F.col(text_col), " ")
     if n == 1:
         grams = F.array_distinct(toks)
@@ -66,6 +73,9 @@ def ngram_jaccard_pairs(
             )
         )
     g = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    if max_df is not None:
+        dfreq = g.groupBy("gram").agg(F.count("*").alias("__df"))
+        g = g.join(dfreq.filter(F.col("__df") <= max_df).select("gram"), "gram")
     sizes = g.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         g.alias("a")

@@ -1,0 +1,137 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is REAL (schemas, partition discipline, Arrow batch
+shapes, UDF signatures); the codec calls are STUBBED because the sandbox has
+no image/audio libraries — each stub either raises ``NotImplementedError``
+(strict mode) or produces a deterministic fake derived from the bytes
+(hermetic-test mode, the ``LocalEmbeddingClient`` philosophy,
+``infrastructure/fakes.py:295-360``).
+
+Schema convention for a multimodal asset table:
+    asset_id string, url string, mime string, content binary,
+    meta struct<width:int, height:int, duration_ms:int, sample_rate:int>
+
+Scale notes: binary payloads dominate the row size → keep them OUT of every
+shuffle (select early, join late); feature extraction is mapInPandas with
+small Arrow batches (``spark.sql.execution.arrow.maxRecordsPerBatch`` low
+for fat rows); outputs are fixed-dim float arrays that downstream ANN
+(operators/ann.py) consumes directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id string, url string, mime string, content binary, "
+    "meta struct<width:int, height:int, duration_ms:int, sample_rate:int>"
+)
+
+FEATURE_DIM = 64
+
+
+def decode_image(content: bytes) -> "object":
+    """STUB: real implementation decodes via PIL/turbojpeg. Not available in
+    this environment."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for an image/audio encoder: SHA-256 stream →
+    unit-norm float vector. Same bytes → same features, everywhere."""
+    h = hashlib.sha256(content or b"").digest()
+    reps = (dim * 4 + len(h) - 1) // len(h)
+    buf = (h * reps)[: dim * 4]
+    v = np.frombuffer(buf, dtype="<u4")[:dim].astype(np.float64)
+    v = v / 2147483647.5 - 1.0
+    n = float(np.sqrt((v * v).sum()))
+    return [float(x) for x in (v / n if n else v)]
+
+
+FEATURES_SCHEMA = "asset_id string, mime string, features array<float>"
+
+
+def feature_extract_stage(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """binary content → fixed-dim feature vector (mapInPandas, Arrow-batched).
+    strict=True exercises the real-codec path (raises in this sandbox)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                for c in pdf["content"]:
+                    decode_image(bytes(c) if c is not None else b"")
+            feats = [
+                _fake_features(bytes(c) if c is not None else b"") for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "mime": pdf["mime"], "features": feats}
+            )
+
+    return assets.select("asset_id", "mime", "content").mapInPandas(fn, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "asset_id string, content binary, meta struct<width:int, height:int>"
+
+
+def resize_stage(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB shape for image resize: passes bytes through and rewrites meta
+    (real impl decodes/resizes/encodes inside the same mapInPandas)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": pdf["content"],
+                    "meta": [{"width": width, "height": height}] * len(pdf),
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def frame_sample_stage(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """STUB shape for video frame sampling (1 row → N frame rows, UDTF-shaped
+    like the parse stage). Frame count derives deterministically from
+    meta.duration_ms; frame bytes are content-hash fakes."""
+    frames = assets.select(
+        "asset_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest((F.col("meta.duration_ms") / every_ms).cast("int") - 1, F.lit(0)),
+            )
+        ).alias("frame_idx"),
+        "content",
+    )
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.sha2(F.concat(F.col("content"), F.col("frame_idx").cast("string").cast("binary")), 256)
+        .alias("frame_key"),
+    )
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table for tests (binary payload = seeded)."""
+    rows = []
+    for i in range(n):
+        content = hashlib.sha256(f"asset-{i}".encode()).digest() * (4 + i % 5)
+        mime = ("image/jpeg", "audio/wav", "video/mp4")[i % 3]
+        rows.append(
+            (
+                f"asset-{i:04d}",
+                f"https://assets.example/{i}",
+                mime,
+                bytearray(content),
+                {"width": 640, "height": 480, "duration_ms": 1000 * (1 + i % 7),
+                 "sample_rate": 16000},
+            )
+        )
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)

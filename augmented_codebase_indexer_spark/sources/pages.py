@@ -60,13 +60,35 @@ def _relation_sentence_sql_parts():
     return subj, obj, sentence
 
 
-def derive_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def derive_pages_from_documents(
+    spark: SparkSession, sf_dir: str, replicas: int = 1
+) -> DataFrame:
     """documents(doc_id, text, lang, source, n_chars) → pages(input_hint).
 
     html = boilerplate nav + <p>text</p> + <p>relation sentence</p> + footer;
     built entirely with JVM-side expressions (concat/encode) — deriving half
-    a million pages adds no Python cost to the bench."""
+    a million pages adds no Python cost to the bench.
+
+    ``replicas`` > 1 scales the corpus deterministically for throughput
+    benchmarks: each replica r re-derives every document with
+    doc_id' = doc_id + r·10^6 (distinct urls and facts, same text)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicas > 1:
+        # replicate WITHOUT shuffling the fat side: the documents table is
+        # tiny (it's a seed), so broadcast it and stream the replica range —
+        # partitioning comes from spark.range (≈ one per core), and the html
+        # column is built partition-locally. A repartition here would shuffle
+        # every derived html payload (measured 13 s vs 0 at 320k pages).
+        # 3 partitions per core: a single straggler task no longer defines
+        # the stage wall time (classic local-balance rule; on a real cluster
+        # this is the 2-3x-tasks-per-slot guidance)
+        n_parts = min(replicas, spark.sparkContext.defaultParallelism * 3)
+        reps = spark.range(0, replicas, 1, n_parts).withColumnRenamed("id", "rep")
+        docs = (
+            reps.crossJoin(F.broadcast(docs))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+            .drop("rep")
+        )
     _, _, sentence = _relation_sentence_sql_parts()
     html_str = F.concat(
         F.lit('<html><head><meta charset="utf-8"></head><body>'

@@ -1,0 +1,102 @@
+"""Continuous ingest — the WatchService analog (SURVEY.md §2.9).
+
+Reference mechanics → Structured Streaming:
+  * watchdog file events + 2000 ms debounce (``core/debouncer.py:17-31``)
+      → file-source ``readStream`` + ``trigger(processingTime='2 seconds')``
+  * event coalescing per path (create+modify collapse, ``file_watcher.py``)
+      → ``dropDuplicatesWithinWatermark`` on url (last-event-wins)
+  * pending-batch WAL + startup cleanup (``indexing_service.py:106-163``)
+      → Structured Streaming checkpointing (exactly-once per micro-batch)
+  * one-update-at-a-time (``watch_service.py:104-108``)
+      → built-in: one micro-batch in flight
+
+Each micro-batch runs the SAME stage functions as the batch pipeline
+(extract → triples → link) and upserts edges per url: delete-by-url then
+append (the reference's delete-by-file S6/S9 + re-add; MERGE INTO with
+Iceberg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, PipelineConfig
+from ..operators.extraction import extract_stage, triple_stage
+from ..operators.linking import linking_stage
+from ..sources.catalog import Warehouse
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+        # debounce/coalesce analog: latest event per url within the watermark
+        .withWatermark("warc_ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["url"])
+    )
+
+
+def micro_batch_upsert(wh: Warehouse, alias_bc, gaz_bc, canon: DataFrame,
+                       cfg: PipelineConfig = DEFAULT):
+    """foreachBatch body: process one micro-batch of page rows and upsert."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        extracted = extract_stage(batch_df).filter(
+            F.col("lang").isin(*cfg.allowed_langs) & (F.length("extracted_text") > 0)
+        )
+        linked = linking_stage(triple_stage(extracted, alias_bc), gaz_bc)
+        c_subj = canon.select(F.col("ent_id").alias("subj_id"),
+                              F.col("canonical_id").alias("c_subj"))
+        c_obj = canon.select(F.col("ent_id").alias("obj_id"),
+                             F.col("canonical_id").alias("c_obj"))
+        new_edges = (
+            linked.filter(F.col("resolved"))
+            .join(F.broadcast(c_subj), "subj_id")
+            .join(F.broadcast(c_obj), "obj_id")
+            .select(F.col("c_subj").alias("subj_id"), "pred",
+                    F.col("c_obj").alias("obj_id"), "url", "pos",
+                    F.lit(False).alias("inferred"), F.lit(1.0).alias("confidence"))
+            .dropDuplicates(["subj_id", "pred", "obj_id", "url", "pos"])
+        )
+        touched = batch_df.select("url").distinct()
+        if wh.exists("edges"):
+            old = wh.read(spark, "edges").drop("bucket")
+            merged = old.join(F.broadcast(touched), "url", "left_anti").unionByName(new_edges)
+        else:
+            merged = new_edges
+        wh.commit(merged, "edges", bucket_col="subj_id", n_buckets=cfg.edge_buckets,
+                  sort_within=["subj_id"])
+
+    return process
+
+
+def run_watch(
+    spark: SparkSession,
+    input_dir: str,
+    wh: Warehouse,
+    alias_bc,
+    gaz_bc,
+    canon: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    cfg: PipelineConfig = DEFAULT,
+):
+    """Start the watch stream. ``available_now=True`` drains pending input
+    and stops (test/backfill mode); otherwise a 2 s processing-time trigger
+    (the debounce-window analog)."""
+    stream = stream_pages(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(micro_batch_upsert(wh, alias_bc, gaz_bc, canon, cfg))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="2 seconds")
+    return writer.start()

@@ -1,0 +1,188 @@
+"""Operator-level correctness vs independent pure-Python/numpy oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from augmented_codebase_indexer_spark.functions.hashing import (
+    hamming64,
+    jaccard_shingles,
+    simhash64,
+)
+from augmented_codebase_indexer_spark.operators.ann import brute_force_topk
+from augmented_codebase_indexer_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from augmented_codebase_indexer_spark.operators.pagerank import pagerank
+from augmented_codebase_indexer_spark.operators.rrf import rank_by, rrf_fuse
+from augmented_codebase_indexer_spark.operators.traversal import (
+    neighborhood,
+    topological_layers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    return e.select(
+        F.col("user_id").cast("string").alias("subj_id"),
+        ((F.col("user_id") * 3 + 7) % 50).cast("string").alias("obj_id"),
+    ).distinct().cache()
+
+
+def _edge_list(edges_df):
+    return [(r["subj_id"], r["obj_id"]) for r in edges_df.collect()]
+
+
+def test_pagerank_matches_numpy(spark, edges_df):
+    el = _edge_list(edges_df)
+    nodes = sorted({x for e in el for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, d in el:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    damping = 0.85
+    for _ in range(30):
+        contrib = np.zeros(n)
+        for s, d in el:
+            contrib[idx[d]] += r[idx[s]] / out_deg[idx[s]]
+        dangling = r[out_deg == 0].sum()
+        r_new = (1 - damping) / n + damping * (contrib + dangling / n)
+        if np.abs(r_new - r).sum() < 1e-6:
+            r = r_new
+            break
+        r = r_new
+    got = {row["node_id"]: row["pagerank"] for row in pagerank(edges_df, max_iters=30).collect()}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-6, node
+
+
+def test_neighborhood_matches_bfs(spark, edges_df):
+    el = _edge_list(edges_df)
+    adj = {}
+    for s, d in el:
+        adj.setdefault(s, set()).add(d)
+    want = {"1": 0}
+    frontier = {"1"}
+    for depth in range(1, 4):
+        frontier = {d for s in frontier for d in adj.get(s, ())} - set(want)
+        for x in frontier:
+            want[x] = depth
+    got = {r["node_id"]: r["hops"] for r in neighborhood(edges_df, ["1"], depth=3).collect()}
+    assert got == want
+
+
+def test_topo_layers_matches_kahn(spark):
+    rows = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"), ("x", "y"), ("y", "x")]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    nodes = spark.createDataFrame([(n,) for n in "abcdexy"], ["node_id"])
+    got = {r["node_id"]: r["layer"] for r in topological_layers(edges, nodes).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3, "x": -1, "y": -1}
+
+
+def test_rrf_matches_formula(spark, docs):
+    a = rank_by(docs.select("doc_id", F.col("n_chars").alias("s")), "doc_id", "s", "a")
+    b = rank_by(
+        docs.select("doc_id", ((F.col("doc_id") * 37) % 101).alias("s")), "doc_id", "s", "b"
+    )
+    got = {r["item_id"]: r["rrf_score"] for r in rrf_fuse([a, b]).collect()}
+    rows = [(r["doc_id"], r["n_chars"]) for r in docs.collect()]
+    ra = {d: i + 1 for i, (d, _) in enumerate(sorted(rows, key=lambda x: (-x[1], x[0])))}
+    rb = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(((d, (d * 37) % 101) for d, _ in rows), key=lambda x: (-x[1], x[0]))
+        )
+    }
+    for d in ra:
+        want = round(1.0 / (60 + ra[d]) + 1.0 / (60 + rb[d]), 6)
+        assert abs(got[d] - want) < 1e-9
+
+
+def test_exact_dedup(spark, docs):
+    d = docs.select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 10).select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    groups = exact_duplicate_groups(d.unionByName(dup)).collect()
+    assert len(groups) == 10
+    assert all(g["dup_count"] == 2 for g in groups)
+
+
+def test_minhash_pairs_subset_of_true_jaccard(spark, docs):
+    """LSH candidates that pass the verify step must genuinely exceed the
+    threshold (precision = 1 by construction); recall vs exhaustive check."""
+    pairs = minhash_near_duplicates(docs, threshold=0.5, max_bucket_size=None).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for p in pairs:
+        assert jaccard_shingles(texts[p["ida"]], texts[p["idb"]]) >= 0.5
+    # exhaustive ground truth at this scale
+    ids = sorted(texts)
+    jac = {
+        (a, b): jaccard_shingles(texts[a], texts[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    truth = {p for p, j in jac.items() if j >= 0.5}
+    got = {(p["ida"], p["idb"]) for p in pairs}
+    assert got <= truth
+    # banded LSH (8 bands × 4 rows) collision prob at J=0.75 is ≈0.95;
+    # only assert recall where the sketch is supposed to be reliable
+    high = {p for p, j in jac.items() if j >= 0.75}
+    if high:
+        assert len(got & high) / len(high) >= 0.8
+
+
+def test_simhash_pairs_verified(spark, docs):
+    pairs = simhash_near_duplicates(docs, max_hamming=12).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for p in pairs:
+        assert hamming64(simhash64(texts[p["ida"]]), simhash64(texts[p["idb"]])) == p["hamming"]
+        assert p["hamming"] <= 12
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    got = {(r["ida"], r["idb"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    texts = {r["doc_id"]: set(r["text"].split(" ")) for r in docs.collect()}
+    ids = sorted(texts)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = len(texts[a] & texts[b]) / len(texts[a] | texts[b])
+            if j >= 0.8:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+
+
+def test_ann_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = brute_force_topk(emb, [0, 1, 2], k=3).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for q in (0, 1, 2):
+        qv = vecs[q]
+        sims = sorted(
+            (
+                (-round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 6), i)
+                for i, v in vecs.items()
+                if i != q
+            )
+        )[:3]
+        want = [(i, -s) for s, i in sims]
+        rows = sorted(
+            [(r["neighbor_id"], r["cosine"]) for r in got if r["query_id"] == q],
+            key=lambda x: -x[1],
+        )
+        assert [w[0] for w in want] == [r[0] for r in rows]
+        for (wi, ws), (ri, rs) in zip(want, rows):
+            assert abs(ws - rs) < 1e-5

@@ -1,0 +1,74 @@
+"""Parity features: evaluation joins, graph export/import, canonicalization
+vs the oracle's union-find, warehouse lineage."""
+
+from pyspark.sql import functions as F
+
+from augmented_codebase_indexer_spark.corpus.oracle import sameas_components
+from augmented_codebase_indexer_spark.operators.components import canonical_map
+from augmented_codebase_indexer_spark.operators.evaluation import (
+    mrr,
+    recall_at_k,
+    triple_pr,
+)
+from augmented_codebase_indexer_spark.sources.graph_io import export_graph, import_graph
+
+
+def test_canonical_map_matches_oracle_unionfind(spark, corpus, corpus_dir):
+    gaz = spark.read.parquet(f"{corpus_dir}/gazetteer.parquet")
+    got = {
+        r["ent_id"]: r["canonical_id"]
+        for r in canonical_map(
+            gaz.select("ent_id", "canonical_name", "entity_type").distinct()
+        ).collect()
+    }
+    want = sameas_components(corpus.gazetteer)
+    assert got == want
+    assert any(k != v for k, v in got.items())  # twins actually merged
+
+
+def test_triple_pr_gate(spark):
+    pred = spark.createDataFrame(
+        [("a", "p", "b", "u1"), ("a", "p", "c", "u2"), ("x", "q", "y", "u3")],
+        ["subj_id", "pred", "obj_id", "url"],
+    )
+    gold = spark.createDataFrame(
+        [("a", "p", "b", "u1"), ("a", "p", "c", "u2"), ("z", "q", "y", "u4")],
+        ["subj_id", "pred", "obj_id", "url"],
+    )
+    res = triple_pr(pred, gold)
+    assert res["true_positives"] == 2
+    assert abs(res["precision"] - 2 / 3) < 1e-9
+    assert abs(res["recall"] - 2 / 3) < 1e-9
+
+
+def test_recall_and_mrr(spark):
+    ranked = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3), ("q2", "d", 1), ("q2", "e", 2)],
+        ["query_id", "item_id", "rank"],
+    )
+    rel = spark.createDataFrame(
+        [("q1", "b"), ("q1", "z"), ("q2", "e")], ["query_id", "item_id"]
+    )
+    r = {x["query_id"]: x["recall_at_k"] for x in recall_at_k(ranked, rel, k=2).collect()}
+    assert r == {"q1": 0.5, "q2": 1.0}
+    m = {x["query_id"]: x["rr"] for x in mrr(ranked, rel).collect()}
+    assert m == {"q1": 0.5, "q2": 0.5}
+
+
+def test_graph_export_import_roundtrip(spark, tmp_path):
+    nodes = spark.createDataFrame(
+        [("n1", "Acme", "org", "u1", 3)],
+        ["node_id", "canonical_name", "entity_type", "first_url", "mention_count"],
+    )
+    edges = spark.createDataFrame(
+        [("n1", "acquired", "n2", "u1", 5, False, 1.0)],
+        ["subj_id", "pred", "obj_id", "url", "pos", "inferred", "confidence"],
+    )
+    out = str(tmp_path / "export")
+    export_graph(nodes, edges, out)
+    n2, e2 = import_graph(spark, out)
+    assert n2.count() == 1 and e2.count() == 1
+    assert {r["subj_id"] for r in e2.collect()} == {"n1"}
+    # merge mode dedupes on the edge key (UNIQUE constraint analog)
+    n3, e3 = import_graph(spark, out, existing_nodes=nodes, existing_edges=edges, mode="merge")
+    assert n3.count() == 1 and e3.count() == 1

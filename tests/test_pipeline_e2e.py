@@ -85,6 +85,40 @@ def test_resume_is_idempotent(spark, corpus_dir, built, tmp_path_factory):
     assert before == after
 
 
+def test_fused_equals_staged(spark, corpus_dir):
+    """The single-pass fused operator (throughput path) produces exactly the
+    staged chain's output."""
+    from pyspark.sql import functions as F
+
+    from augmented_codebase_indexer_spark.operators.extraction import (
+        broadcast_aliases,
+        extract_stage,
+        triple_stage,
+    )
+    from augmented_codebase_indexer_spark.operators.linking import (
+        broadcast_gazetteer,
+        fused_kg_stage,
+        linking_stage,
+    )
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    gaz = spark.read.parquet(f"{corpus_dir}/gazetteer.parquet")
+    gaz_rows = [r.asDict() for r in gaz.select(
+        "alias", "ent_id", "canonical_name", "entity_type").collect()]
+    alias_bc = broadcast_aliases(spark, [r["alias"] for r in gaz_rows])
+    gaz_bc = broadcast_gazetteer(spark, gaz_rows)
+
+    extracted = extract_stage(pages).filter(
+        (F.col("lang") == "en") & (F.length("extracted_text") > 0)
+    )
+    staged = linking_stage(triple_stage(extracted, alias_bc), gaz_bc)
+    fused = fused_kg_stage(pages, alias_bc, gaz_bc)
+
+    key = lambda df: {tuple(r) for r in df.select(
+        "url", "pos", "pred", "subj_id", "obj_id", "resolved").collect()}
+    assert key(staged) == key(fused)
+
+
 def test_determinism_across_parallelism(spark, built, corpus_dir, tmp_path_factory):
     """Same input, different partitioning → identical triple set."""
     wh2 = str(tmp_path_factory.mktemp("wh2"))
