@@ -249,7 +249,10 @@ def q_topk_docs(spark, sf_dir):
 def q_set_ops(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
-    errors = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    errors = (
+        e.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .select("user_id").distinct()
+    )
     return clicks.exceptAll(errors).distinct()
 
 
@@ -391,6 +394,22 @@ def q_score_normalize(spark, sf_dir):
     )
 
 
+def q_pattern_search(spark, sf_dir):
+    from augmented_codebase_indexer_spark.plans.search import pattern_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return pattern_candidates(d, "spark window join").select(
+        "item_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_hybrid_search(spark, sf_dir):  # rows-only (hash-embedding scorer)
+    from augmented_codebase_indexer_spark.plans.search import hybrid_search
+
+    d = _t(spark, sf_dir, "documents")
+    return hybrid_search(d, "spark window join", k=10)
+
+
 def q_pagerank(spark, sf_dir):  # rows-only (iterative; numpy oracle in tests/)
     from augmented_codebase_indexer_spark.operators.pagerank import pagerank
 
@@ -436,6 +455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_layers": q_topo_layers,
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
+        "pattern_search": q_pattern_search,
+        "hybrid_search": q_hybrid_search,
         "pagerank": q_pagerank,
     }
 
@@ -582,7 +603,7 @@ def oracle_sql() -> dict[str, str]:
     sql["set_ops"] = """
     SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
     EXCEPT
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 150
     """
 
     sql["group_collect"] = """
@@ -708,6 +729,15 @@ def oracle_sql() -> dict[str, str]:
       SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) rank
       FROM documents) WHERE doc_id % 3 = 0 GROUP BY lang
+    """
+
+    sql["pattern_search"] = """
+    SELECT doc_id AS item_id,
+           round((CAST(contains(text, 'spark') AS INT)
+                + CAST(contains(text, 'window') AS INT)
+                + CAST(contains(text, 'join') AS INT)) / 3.0, 6) AS score
+    FROM documents
+    WHERE contains(text, 'spark') OR contains(text, 'window') OR contains(text, 'join')
     """
 
     sql["score_normalize"] = """
