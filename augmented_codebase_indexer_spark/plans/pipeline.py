@@ -37,6 +37,21 @@ from ..sources.catalog import Warehouse, run_stage
 EDGE_KEY = ["subj_id", "pred", "obj_id", "url", "pos"]
 
 
+def nodes_from_edges(edges: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Node table = endpoint aggregation over edges + gazetteer metadata
+    (mention_count per canonical id, first provenance url)."""
+    gmeta = gazetteer.select("ent_id", "canonical_name", "entity_type").distinct()
+    endpoints = edges.select(F.col("subj_id").alias("node_id"), "url").unionByName(
+        edges.select(F.col("obj_id").alias("node_id"), "url")
+    )
+    return (
+        endpoints.groupBy("node_id")
+        .agg(F.count("*").alias("mention_count"), F.min("url").alias("first_url"))
+        .join(F.broadcast(gmeta.withColumnRenamed("ent_id", "node_id")), "node_id", "left")
+        .select("node_id", "canonical_name", "entity_type", "first_url", "mention_count")
+    )
+
+
 def build_graph(
     spark: SparkSession,
     pages: DataFrame,
@@ -45,9 +60,49 @@ def build_graph(
     run_id: str = "run-0",
     cfg: PipelineConfig = DEFAULT,
     with_mentions: bool = False,
+    dedup_content: bool = False,
 ) -> dict:
-    """Run the full build; returns summary counts. Idempotent per run_id."""
+    """Run the full build; returns summary counts. Idempotent per run_id.
+
+    ``dedup_content=True`` processes each distinct html exactly once and
+    fans triples back out to every url carrying that content: on web-scale
+    corpora (~30% duplicate pages) this trades two cheap shuffles of
+    (hash, url) pairs for skipping the Python extraction of every duplicate.
+    Provenance semantics are unchanged — identical content yields identical
+    (pred, pos) triples per url, which is exactly what per-url processing
+    produces (asserted in tests against the oracle)."""
     wh = Warehouse(warehouse_root, run_id)
+
+    if dedup_content:
+        hashed = pages.withColumn("__h", F.sha2(F.col("html"), 256))
+        url_map = hashed.select("__h", "url", "lang")
+        distinct_pages = (
+            hashed.select("__h", "warc_ts", "html", "text", "lang")
+            .dropDuplicates(["__h"])
+            .withColumnRenamed("__h", "url")  # stages key on 'url'; here it's the hash
+        )
+        inner = build_graph(
+            spark, distinct_pages, gazetteer,
+            warehouse_root=f"{warehouse_root}/__distinct__",
+            run_id=run_id, cfg=cfg, with_mentions=with_mentions,
+        )
+        # fan each distinct-content edge back out to all urls with that content
+        dedges = wh_read_edges = Warehouse(
+            f"{warehouse_root}/__distinct__", run_id
+        ).read(spark, "edges").drop("bucket").withColumnRenamed("url", "__h")
+        fanned = dedges.join(
+            url_map.filter(F.col("lang").isin(*cfg.allowed_langs)).drop("lang"), "__h"
+        ).drop("__h").dropDuplicates(EDGE_KEY)
+        wh.commit(fanned, "edges", bucket_col="subj_id",
+                  n_buckets=cfg.edge_buckets, sort_within=["subj_id"])
+        wh.commit_checkpoint("edges", "edges", {"deduped": True})
+        edges_out = wh.read(spark, "edges")
+        wh.commit(nodes_from_edges(edges_out, gazetteer), "nodes")
+        wh.commit_checkpoint("nodes", "nodes", {"deduped": True})
+        inner["edges"] = edges_out.count()
+        inner["nodes"] = wh.read(spark, "nodes").count()
+        inner["pages"] = pages.count()
+        return inner
 
     gaz_rows = [r.asDict() for r in gazetteer.select(
         "alias", "ent_id", "canonical_name", "entity_type").collect()]
@@ -120,23 +175,9 @@ def build_graph(
         bucket_col="subj_id", n_buckets=cfg.edge_buckets, sort_within=["subj_id"],
     )
 
-    def build_nodes() -> DataFrame:
-        gmeta = gazetteer.select("ent_id", "canonical_name", "entity_type").distinct()
-        endpoints = edges.select(F.col("subj_id").alias("node_id"), "url").unionByName(
-            edges.select(F.col("obj_id").alias("node_id"), "url")
-        )
-        return (
-            endpoints.groupBy("node_id")
-            .agg(F.count("*").alias("mention_count"), F.min("url").alias("first_url"))
-            .join(
-                F.broadcast(gmeta.withColumnRenamed("ent_id", "node_id")),
-                "node_id",
-                "left",
-            )
-            .select("node_id", "canonical_name", "entity_type", "first_url", "mention_count")
-        )
-
-    nodes = run_stage(wh, spark, "nodes", "nodes", build_nodes)
+    nodes = run_stage(
+        wh, spark, "nodes", "nodes", lambda: nodes_from_edges(edges, gazetteer)
+    )
 
     unresolved = linked.filter(~F.col("resolved"))
     summary = {
