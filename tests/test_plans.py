@@ -1,0 +1,112 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 promises must
+actually appear in `.explain` output — pushed filters reach the parquet
+scan, small dims broadcast, projections prune columns, and the narrow
+pipeline chain contains no exchange."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    plan = _optimized(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_returnflag").distinct()
+    plan = _optimized(q)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).strip() == "l_returnflag:string"
+
+
+def test_small_dim_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    q = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name").count()
+    )
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_pipeline_chain_has_no_exchange(spark, corpus_dir):
+    """extract → triples → link is a single narrow stage: the only exchange
+    allowed in the executed plan is none at all (gazetteer moves by spark
+    broadcast variable, not a join)."""
+    from augmented_codebase_indexer_spark.operators.extraction import (
+        broadcast_aliases, extract_stage, triple_stage,
+    )
+    from augmented_codebase_indexer_spark.operators.linking import (
+        broadcast_gazetteer, linking_stage,
+    )
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    gaz_rows = [r.asDict() for r in spark.read.parquet(f"{corpus_dir}/gazetteer.parquet")
+                .select("alias", "ent_id", "canonical_name", "entity_type").collect()]
+    alias_bc = broadcast_aliases(spark, [r["alias"] for r in gaz_rows])
+    gaz_bc = broadcast_gazetteer(spark, gaz_rows)
+    chain = linking_stage(
+        triple_stage(
+            extract_stage(pages).filter(
+                (F.col("lang") == "en") & (F.length("extracted_text") > 0)
+            ),
+            alias_bc,
+        ),
+        gaz_bc,
+    )
+    plan = _plan(chain)
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 3
+
+
+def test_fat_column_pruned_after_extraction(spark, corpus_dir):
+    """html (the fat binary column) must not survive past the extract stage
+    in the plan — downstream stages read only url + extracted_text."""
+    from augmented_codebase_indexer_spark.operators.extraction import (
+        broadcast_aliases, extract_stage, triple_stage,
+    )
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    alias_bc = broadcast_aliases(spark, ["Acme"])
+    t = triple_stage(extract_stage(pages), alias_bc)
+    plan = _plan(t)
+    # the second MapInPandas' argument list must not mention html
+    second = plan.split("MapInPandas")[1]
+    assert "html" not in second
+
+
+def test_bucket_partition_pruning(spark, corpus, corpus_dir, tmp_path_factory):
+    """Reading edges with a bucket predicate prunes partition directories
+    (PartitionFilters in the scan)."""
+    from augmented_codebase_indexer_spark.plans.pipeline import build_graph
+
+    wh = str(tmp_path_factory.mktemp("wh_prune"))
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    gaz = spark.read.parquet(f"{corpus_dir}/gazetteer.parquet")
+    build_graph(spark, pages, gaz, wh, run_id="prune")
+    edges = spark.read.parquet(f"{wh}/edges")
+    q = edges.filter((F.col("bucket") == 3) & (F.col("subj_id") == "x"))
+    plan = _optimized(q)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:120]
+    assert "bucket" in seg
