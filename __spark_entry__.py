@@ -394,6 +394,30 @@ def q_score_normalize(spark, sf_dir):
     )
 
 
+def q_cube_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs", "total_chars",
+        )
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big_orders = o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    return (
+        c.join(big_orders, c.c_custkey == big_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 def q_pattern_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import pattern_candidates
 
@@ -455,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_layers": q_topo_layers,
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
+        "cube_stats": q_cube_stats,
+        "semi_join": q_semi_join,
         "pattern_search": q_pattern_search,
         "hybrid_search": q_hybrid_search,
         "pagerank": q_pagerank,
@@ -729,6 +755,18 @@ def oracle_sql() -> dict[str, str]:
       SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) rank
       FROM documents) WHERE doc_id % 3 = 0 GROUP BY lang
+    """
+
+    sql["cube_stats"] = """
+    SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+           count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """
+
+    sql["semi_join"] = """
+    SELECT c_mktsegment, count(*) AS n_customers FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY c_mktsegment
     """
 
     sql["pattern_search"] = """
