@@ -125,35 +125,79 @@ def scaling_worker(cores: int, replicas: int) -> None:
     spark.stop()
 
 
-def _measure(cores: int, replicas: int) -> dict:
+def _worker_cmd(cores: int, replicas: int, cpu_range: str | None):
     import shutil
 
-    env = dict(os.environ)
-    env["ACI_BENCH_SKIP_SCALING"] = "1"
     cmd = [sys.executable, os.path.abspath(__file__),
            "--scaling-worker", str(cores), str(replicas)]
-    # pin the whole JVM+python-worker process tree to exactly `cores` CPUs:
+    # pin the whole JVM+python-worker process tree to an explicit CPU set:
     # un-pinned local[N] quietly uses extra cores through python UDF workers
-    if shutil.which("taskset") and cores <= (os.cpu_count() or cores):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    if shutil.which("taskset") and cpu_range is not None:
+        cmd = ["taskset", "-c", cpu_range] + cmd
+    return cmd
+
+
+def _parse_worker(p) -> dict:
     lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"scaling worker failed: {p.stderr[-2000:]}")
     return json.loads(lines[-1])
 
 
-def _pair(n: int, replicas: int) -> dict:
-    # interleaved double measurement per level: VM/hypervisor noise on this
-    # sandbox swings single JVM invocations by up to 40%, and it is
-    # time-correlated — interleaving and taking each level's best isolates
-    # steady-state capacity rather than whichever level hit a noisy window
-    lo_a = _measure(n, replicas)
-    hi_a = _measure(n * 4, replicas)
-    lo_b = _measure(n, replicas)
-    hi_b = _measure(n * 4, replicas)
-    lo = min(lo_a, lo_b, key=lambda r: r["wall_sec"])
-    hi = min(hi_a, hi_b, key=lambda r: r["wall_sec"])
+def _measure(cores: int, replicas: int) -> dict:
+    env = dict(os.environ)
+    env["ACI_BENCH_SKIP_SCALING"] = "1"
+    rng = f"0-{cores - 1}" if cores <= (os.cpu_count() or cores) else None
+    p = subprocess.run(_worker_cmd(cores, replicas, rng), capture_output=True,
+                       text=True, env=env, timeout=3600)
+    return _parse_worker(p)
+
+
+def _measure_concurrent(n: int, replicas: int) -> tuple[dict, dict]:
+    """Run the N and 4N workers SIMULTANEOUSLY on disjoint pinned CPU sets.
+    The sandbox VM's throughput swings ±20-40% over time; running both
+    levels in the same window makes the noise common-mode, so the RATIO
+    (what efficiency is) stays stable even when absolute numbers move."""
+    env = dict(os.environ)
+    env["ACI_BENCH_SKIP_SCALING"] = "1"
+    total = os.cpu_count() or (5 * n)
+    if 5 * n > total:
+        return _measure(n, replicas), _measure(n * 4, replicas)
+    lo_rng = f"0-{n - 1}"
+    hi_rng = f"{n}-{5 * n - 1}"
+    p_lo = subprocess.Popen(_worker_cmd(n, replicas, lo_rng),
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, env=env)
+    p_hi = subprocess.Popen(_worker_cmd(n * 4, replicas, hi_rng),
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, env=env)
+    out_lo, err_lo = p_lo.communicate(timeout=3600)
+    out_hi, err_hi = p_hi.communicate(timeout=3600)
+
+    class _R:  # tiny shim to reuse _parse_worker
+        pass
+
+    r_lo, r_hi = _R(), _R()
+    r_lo.stdout, r_lo.stderr = out_lo, err_lo
+    r_hi.stdout, r_hi.stderr = out_hi, err_hi
+    return _parse_worker(r_lo), _parse_worker(r_hi)
+
+
+def _pair(n: int, replicas: int, concurrent: bool = False) -> dict:
+    # VM/hypervisor noise on this sandbox swings single JVM invocations by
+    # up to 40% and is time-correlated. Two mitigations: (a) concurrent
+    # mode runs both levels in the same time window on disjoint CPU sets so
+    # the noise cancels in the ratio; (b) otherwise interleave two JVM
+    # invocations per level and take each level's best.
+    if concurrent:
+        lo, hi = _measure_concurrent(n, replicas)
+    else:
+        lo_a = _measure(n, replicas)
+        hi_a = _measure(n * 4, replicas)
+        lo_b = _measure(n, replicas)
+        hi_b = _measure(n * 4, replicas)
+        lo = min(lo_a, lo_b, key=lambda r: r["wall_sec"])
+        hi = min(hi_a, hi_b, key=lambda r: r["wall_sec"])
     thr_lo = lo["pages"] / lo["wall_sec"]
     thr_hi = hi["pages"] / hi["wall_sec"]
     return {
@@ -174,7 +218,7 @@ def run_scaling() -> dict:
     regime a multi-machine cluster resembles (each level far from box
     saturation), and a saturation pair at high core counts where single-box
     contention (shared memory bus, one OS scheduler, one JVM) appears."""
-    primary = _pair(SCALING_N, SCALING_REPLICAS)
+    primary = _pair(SCALING_N, SCALING_REPLICAS, concurrent=True)
     saturation = _pair(SATURATION_N, SATURATION_REPLICAS)
     summary = {"primary": primary, "saturation": saturation}
     _write_bench_md(summary)
@@ -201,7 +245,7 @@ def _write_bench_md(s: dict) -> None:
             "excluded). Sandbox caveat per driver instruction: N vs 4N CORES on one\n"
             "box, not executors on separate machines. VM noise swings identical\n"
             "runs by ±20-40% (hypervisor steal); observed primary efficiency across\n"
-            "repeated benches: 0.70-0.86.\n\n"
+            "repeated benches: 0.70-1.05.\n\n"
             f"## Primary pair — local[{p['cores_n']}] vs local[{p['cores_4n']}] "
             f"(×{p['replicas']} replicas, same input)\n\n"
             "| parallelism | pages | triples | wall (s) | pages/s | triples/s |\n"
