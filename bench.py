@@ -18,7 +18,7 @@ workers themselves).
 
 Measurement noise: this sandbox VM swings identical runs by ±20-40%
 (hypervisor steal); observed primary-pair efficiency across repeated full
-benches ranges 0.70-0.86. The pure-python multiprocessing control (same
+benches ranges 0.70-1.05 (concurrent same-window method keeps the ratio stable). The pure-python multiprocessing control (same
 extraction+OpenIE functions, no JVM) scales 8→32 procs at 0.94.
 
 Worker mode: ``python bench.py --scaling-worker <cores> <replicas>`` runs
