@@ -307,6 +307,14 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):  # rows-only (LSH-bucketed scale path)
+    from augmented_codebase_indexer_spark.operators.ann import (
+        embedding_near_duplicates_lsh,
+    )
+
+    return embedding_near_duplicates_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
 def q_ann_topk(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.ann import brute_force_topk
 
@@ -470,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,

@@ -127,12 +127,58 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup tier). Exact
-    O(n²) within — at scale, gate through ``signature_col`` buckets first."""
+    O(n²) within — at scale use ``embedding_near_duplicates_lsh``."""
     a = embeddings.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("ida") < F.col("idb"))
         .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("ida", "idb", "cosine")
+    )
+
+
+def embedding_near_duplicates_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 12,
+    bands: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path for tier-5 dedup: random-hyperplane signature split into
+    ``bands`` bands of bits/bands bits; candidate pairs share ≥1 band
+    (near-identical vectors share most sign bits); exact cosine verify.
+    The candidate join shuffles only (band_key, id, vec) and each band
+    bucket is tiny — the O(n²) never materializes. Precision = 1 (exact
+    verify); recall < 1 by design, rising with `bands`."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits)
+    rows_per_band = bits // bands
+    sig = embeddings.withColumn("sig", signature_col(F.col(vec_col), planes))
+    banded = sig.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.explode(F.array(*[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.shiftrightunsigned(F.col("sig"), b * rows_per_band)
+                % (2 ** rows_per_band),
+            )
+            for b in range(bands)
+        ])).alias("band_key"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"),
+                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+        .dropDuplicates(["ida", "idb"])
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("ida", "idb", "cosine")
     )

@@ -186,3 +186,17 @@ def test_ann_topk_matches_numpy(spark):
         assert [w[0] for w in want] == [r[0] for r in rows]
         for (wi, ws), (ri, rs) in zip(want, rows):
             assert abs(ws - rs) < 1e-5
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    from augmented_codebase_indexer_spark.operators.ann import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {(r["ida"], r["idb"]) for r in embedding_near_duplicates(emb, 0.5).collect()}
+    approx = {(r["ida"], r["idb"]) for r in embedding_near_duplicates_lsh(emb, 0.5).collect()}
+    assert approx <= exact  # precision 1 (exact verify)
+    if exact:
+        assert len(approx) / len(exact) > 0  # nonzero recall when dups exist
