@@ -539,7 +539,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["kg_mentions"] = _DERIVED + """
-    SELECT url, 2::INT AS n_mentions FROM derived WHERE lang = 'en'
+    SELECT url, CAST(2 AS BIGINT) AS n_mentions FROM derived WHERE lang = 'en'
     """
 
     sql["kg_node_degree"] = _DERIVED + """
@@ -622,7 +622,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["lang_stats"] = """
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(avg(n_chars), 2) AS avg_chars
     FROM documents GROUP BY lang
     """
@@ -682,7 +682,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["ann_topk"] = """
-    SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
       SELECT q.vec_id query_id, c.vec_id neighbor_id,
              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) cosine,
              row_number() OVER (PARTITION BY q.vec_id
@@ -768,7 +768,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["cube_stats"] = """
     SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
-           count(*) AS n_docs, sum(n_chars) AS total_chars
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY CUBE (lang, source)
     """
 
