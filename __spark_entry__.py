@@ -402,6 +402,28 @@ def q_score_normalize(spark, sf_dir):
     )
 
 
+def q_outer_join_histogram(spark, sf_dir):
+    """Q13-style: distribution of customers by order count, zeros included
+    (left outer join + two-level aggregation)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+def q_having_filter(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .filter(F.col("n") >= 20)
+    )
+
+
 def q_cube_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -488,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_layers": q_topo_layers,
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
+        "outer_join_histogram": q_outer_join_histogram,
+        "having_filter": q_having_filter,
         "cube_stats": q_cube_stats,
         "semi_join": q_semi_join,
         "pattern_search": q_pattern_search,
@@ -764,6 +788,19 @@ def oracle_sql() -> dict[str, str]:
       SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) rank
       FROM documents) WHERE doc_id % 3 = 0 GROUP BY lang
+    """
+
+    sql["outer_join_histogram"] = """
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY n_orders
+    """
+
+    sql["having_filter"] = """
+    SELECT user_id, event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY user_id, event_type HAVING count(*) >= 20
     """
 
     sql["cube_stats"] = """
