@@ -9,9 +9,18 @@ DataFrame.
 (SURVEY.md §2). The KG queries run the REAL pipeline UDFs over derived pages
 whose planted facts are closed-form doc_id arithmetic, so an independent
 DuckDB oracle reconstructs the expected output without running any of our
-code. Iterative/sketch operators (pagerank, minhash, simhash, LSH-ANN,
-fingerprints) have no SQL mirror → rows-only checks here, exact oracles in
-``tests/``.
+code.
+
+Sketch operators (minhash, simhash, fingerprint, sign-LSH) are defined in
+engine-portable SQL (``functions/sqlhash.py``) — DuckDB evaluates the SAME
+integer/md5 arithmetic bit-identically, so they get exact oracles too
+(round-1 ran them as Python UDFs with rows-only checks; VERDICT r1 #2).
+The two genuinely non-SQL queries read frozen fixtures produced by
+independent pure-Python/numpy implementations (``scripts/make_fixtures.py``,
+keyed to sf0.01, the driver's correctness scale): ``pagerank`` (numpy over
+the same closed-form outlink graph) and ``hybrid_search``'s vector branch
+(SHA-256 hash embeddings). Every other stage of those two queries is live
+SQL.
 """
 
 from __future__ import annotations
@@ -285,17 +294,22 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.dedup import ngram_jaccard_pairs
 
+    # the GATED form carries the scale guard (max_df pruning) — the uncapped
+    # variant is quadratic on boilerplate vocabulary (VERDICT r1 #4) and
+    # remains a pytest-only exactness case
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.8, n=1)
+    return ngram_jaccard_pairs(d, threshold=0.8, n=1, max_df=50)
 
 
-def q_dedup_minhash(spark, sf_dir):  # rows-only (sketch-based)
+def q_dedup_minhash(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.dedup import minhash_near_duplicates
 
-    return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_bucket_size=200
+    )
 
 
-def q_dedup_simhash(spark, sf_dir):  # rows-only (sketch-based)
+def q_dedup_simhash(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=10)
@@ -307,7 +321,9 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
-def q_dedup_embedding_lsh(spark, sf_dir):  # rows-only (LSH-bucketed scale path)
+def q_dedup_embedding_lsh(spark, sf_dir):
+    # LSH-bucketed scale path: deterministic sign-bit signatures + exact
+    # verify → the DuckDB oracle replays the same buckets exactly
     from augmented_codebase_indexer_spark.operators.ann import (
         embedding_near_duplicates_lsh,
     )
@@ -321,7 +337,8 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3)
 
 
-def q_ann_lsh(spark, sf_dir):  # rows-only (approximate by design)
+def q_ann_lsh(spark, sf_dir):
+    # approximate by design but deterministic → exact SQL mirror
     from augmented_codebase_indexer_spark.operators.ann import lsh_bucket_topk
 
     return lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3)
@@ -336,7 +353,9 @@ def q_text_stats(spark, sf_dir):
     )
 
 
-def q_fingerprint(spark, sf_dir):  # rows-only (rolling-hash sketch)
+def q_fingerprint(spark, sf_dir):
+    # rolling-hash sketch, JVM expressions — DuckDB evaluates the same
+    # polynomial bit-identically (functions/sqlhash.py)
     from augmented_codebase_indexer_spark.operators.textstats import with_fingerprint
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -457,23 +476,52 @@ def q_pattern_search(spark, sf_dir):
     )
 
 
-def q_hybrid_search(spark, sf_dir):  # rows-only (hash-embedding scorer)
+def q_hybrid_search(spark, sf_dir):
+    # oracle: SQL mirror of both branches; the hash-embedded corpus side is
+    # a frozen pure-Python fixture (scripts/make_fixtures.py, sf0.01)
     from augmented_codebase_indexer_spark.plans.search import hybrid_search
 
     d = _t(spark, sf_dir, "documents")
     return hybrid_search(d, "spark window join", k=10)
 
 
-def q_pagerank(spark, sf_dir):  # rows-only (iterative; numpy oracle in tests/)
+def q_pagerank(spark, sf_dir):
+    # PageRank over the REAL extracted link graph (C8 outlinks), not a
+    # synthetic modular-arithmetic graph; oracle = frozen numpy fixture over
+    # the same closed-form edge set (scripts/make_fixtures.py, sf0.01)
+    from augmented_codebase_indexer_spark.functions.textextract import outlink_edges
     from augmented_codebase_indexer_spark.operators.pagerank import pagerank
+    from augmented_codebase_indexer_spark.sources.pages import derive_pages_from_documents
 
-    e = _t(spark, sf_dir, "events")
-    edges = e.select(
-        F.col("user_id").cast("string").alias("subj_id"),
-        ((F.col("user_id") * 3 + 7) % 50).cast("string").alias("obj_id"),
-    ).distinct()
-    pr = pagerank(edges, max_iters=30)
+    pages = derive_pages_from_documents(spark, sf_dir)
+    edges = outlink_edges(pages)
+    pr = pagerank(edges, max_iters=30, src_col="src_url", dst_col="href")
     return pr.select("node_id", F.round("pagerank", 6).alias("pagerank"))
+
+
+def q_chunking(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), size=40, overlap=10)
+
+
+def q_summaries(spark, sf_dir):
+    from augmented_codebase_indexer_spark.operators.summary import summarize_documents
+
+    return summarize_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_outlinks(spark, sf_dir):
+    from augmented_codebase_indexer_spark.functions.textextract import outlink_edges
+    from augmented_codebase_indexer_spark.sources.pages import derive_pages_from_documents
+
+    return outlink_edges(derive_pages_from_documents(spark, sf_dir))
+
+
+def q_rerank_search(spark, sf_dir):
+    from augmented_codebase_indexer_spark.plans.search import rerank_search
+
+    return rerank_search(_t(spark, sf_dir, "documents"), "spark window join", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -517,6 +565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_search": q_pattern_search,
         "hybrid_search": q_hybrid_search,
         "pagerank": q_pagerank,
+        "chunking": q_chunking,
+        "summaries": q_summaries,
+        "outlinks": q_outlinks,
+        "rerank_search": q_rerank_search,
     }
 
 
@@ -543,6 +595,180 @@ WITH derived AS (
   FROM documents
 )
 """
+
+
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+
+
+def _minhash_oracle_sql(threshold: float, max_bucket_size: int) -> str:
+    """DuckDB mirror of operators/dedup.minhash_near_duplicates: the same
+    H60 shingle hashes, affine permutations, band keys, bucket cap, and
+    matching-minima estimator (constants shared via functions/sqlhash.py)."""
+    from augmented_codebase_indexer_spark.functions import sqlhash as SH
+
+    grams = SH.word_shingles_expr("text", "duckdb")
+    h = SH.h60_expr("gram", "duckdb")
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {SH.P31}) AS m{i}"
+        for i, (a, b) in enumerate(zip(SH.PERM_A, SH.PERM_B))
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT id, concat_ws(':', '{b}', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) AS band_key FROM sigs"
+        for b in range(SH.MINHASH_BANDS)
+    )
+    matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(SH.NUM_PERM))
+    return f"""
+    WITH grams AS (SELECT doc_id AS id, unnest({grams}) AS gram FROM documents),
+    hs AS (SELECT id, {h} % {SH.P31} AS h FROM grams),
+    sigs AS (SELECT id, {mins} FROM hs GROUP BY id),
+    bkeys AS ({bands}),
+    keep AS (SELECT band_key FROM bkeys GROUP BY band_key
+             HAVING count(*) <= {max_bucket_size}),
+    capped AS (SELECT bkeys.* FROM bkeys JOIN keep USING (band_key)),
+    cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb
+             FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.id < b.id),
+    est AS (SELECT ida, idb, round(({matches}) / 16.0, 6) AS est_jaccard
+            FROM cand JOIN sigs sa ON sa.id = ida JOIN sigs sb ON sb.id = idb)
+    SELECT ida, idb, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """DuckDB mirror of operators/dedup.simhash_near_duplicates (60-bit
+    SimHash re-summed from unnested (token, bit) votes)."""
+    from augmented_codebase_indexer_spark.functions import sqlhash as SH
+
+    h = SH.h60_expr("tok", "duckdb")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tok
+      FROM documents),
+    hs AS (SELECT id, {h} AS h FROM toks),
+    bits AS (SELECT id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             FROM hs, unnest(range({SH.SIMHASH_BITS})) AS r(i) GROUP BY id, i),
+    fps AS (SELECT id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << i ELSE 0 END) AS sim
+            FROM bits GROUP BY id),
+    chunks AS (SELECT id, sim, (c || ':' || ((sim >> (15 * c)) & 32767)) AS chunk
+               FROM fps, unnest(range({SH.SIMHASH_CHUNKS})) AS r(c)),
+    cand AS (SELECT DISTINCT a.id AS ida, a.sim AS sima, b.id AS idb, b.sim AS simb
+             FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.id < b.id)
+    SELECT ida, idb, CAST(bit_count(xor(sima, simb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sima, simb)) <= {max_hamming}
+    """
+
+
+def _embedding_lsh_oracle_sql(threshold: float, bits: int = 16) -> str:
+    """DuckDB mirror of operators/ann.embedding_near_duplicates_lsh —
+    identical sign signature, auto band count, exact cosine verify."""
+    from augmented_codebase_indexer_spark.functions.sqlhash import sign_signature_expr
+    from augmented_codebase_indexer_spark.operators.ann import auto_bands
+
+    bands = auto_bands(threshold, bits=bits, rows_per_band=2)
+    sig = sign_signature_expr("embedding", bits, "duckdb")
+    return f"""
+    WITH sigs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+                         {sig} AS sig FROM embeddings),
+    bkeys AS (SELECT id, (b || ':' || ((sig >> (2 * b)) & 3)) AS band_key
+              FROM sigs, unnest(range({bands})) AS r(b)),
+    cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb
+             FROM bkeys a JOIN bkeys b ON a.band_key = b.band_key AND a.id < b.id),
+    scored AS (SELECT ida, idb,
+                      round(list_cosine_similarity(sa.vec, sb.vec), 6) AS cosine
+               FROM cand JOIN sigs sa ON sa.id = ida JOIN sigs sb ON sb.id = idb)
+    SELECT ida, idb, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+def _ann_lsh_oracle_sql(query_ids: tuple, k: int, bits: int = 16, bands: int = 4) -> str:
+    """DuckDB mirror of operators/ann.lsh_bucket_topk (banded-OR candidate
+    set, exact cosine re-rank, deterministic top-k)."""
+    from augmented_codebase_indexer_spark.functions.sqlhash import sign_signature_expr
+
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    sig = sign_signature_expr("embedding", bits, "duckdb")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+    WITH sigs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                         {sig} AS sig FROM embeddings),
+    bkeys AS (SELECT vec_id, (b || ':' || ((sig >> ({rows} * b)) & {mask})) AS band_key
+              FROM sigs, unnest(range({bands})) AS r(b)),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM bkeys q JOIN bkeys c ON q.band_key = c.band_key
+             WHERE q.vec_id IN ({ids}) AND q.vec_id != c.vec_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(list_cosine_similarity(sq.vec, sc.vec), 6) AS cosine
+               FROM cand JOIN sigs sq ON sq.vec_id = query_id
+                         JOIN sigs sc ON sc.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+def _hybrid_search_oracle_sql(query: str, k: int = 10) -> str:
+    """DuckDB mirror of plans/search.hybrid_search: the pattern branch and
+    all fusion stages are live SQL; the corpus hash embeddings come from the
+    frozen pure-Python fixture (the only non-SQL-expressible piece)."""
+    from augmented_codebase_indexer_spark.functions.hashing import hash_embedding
+
+    toks = [t for t in query.lower().split() if t]
+    hits = " + ".join(f"CAST(contains(text, '{t}') AS INT)" for t in toks)
+    any_hit = " OR ".join(f"contains(text, '{t}')" for t in toks)
+    qvec = "[" + ", ".join(repr(x) for x in hash_embedding(query, 64)) + "]"
+    fixture = os.path.join(_FIXTURES, "hash_embeddings_sf0_01.parquet")
+    return f"""
+    WITH pat AS (
+      SELECT doc_id AS item_id, ({hits}) / {float(len(toks))} AS score,
+             'pattern' AS backend
+      FROM documents WHERE {any_hit}),
+    corpus AS (SELECT doc_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM read_parquet('{fixture}')),
+    vscored AS (SELECT doc_id AS item_id,
+                       round(list_cosine_similarity(emb, {qvec}), 6) AS score,
+                       'vector' AS backend FROM corpus),
+    vec AS (SELECT * FROM vscored ORDER BY score DESC, item_id ASC LIMIT {k * 5}),
+    pmax AS (SELECT max(score) AS mp FROM pat),
+    vmax AS (SELECT max(score) AS mv FROM vec),
+    patn AS (SELECT item_id, round(score / mp * mv, 6) AS score, backend
+             FROM pat, pmax, vmax),
+    u AS (SELECT * FROM patn UNION ALL SELECT * FROM vec),
+    best AS (SELECT item_id, score, backend FROM (
+      SELECT *, row_number() OVER (PARTITION BY item_id
+                                   ORDER BY score DESC, backend ASC) AS rn FROM u)
+      WHERE rn = 1)
+    SELECT item_id, score, backend FROM best
+    ORDER BY score DESC, item_id ASC LIMIT {k}
+    """
+
+
+def _rerank_oracle_sql(query: str, k: int = 10) -> str:
+    """DuckDB mirror of plans/search.rerank_search: pattern over-fetch ×5 →
+    quality rescore (the text_stats quality formula) → deterministic cut."""
+    toks = [t for t in query.lower().split() if t]
+    hits = " + ".join(f"CAST(contains(text, '{t}') AS INT)" for t in toks)
+    any_hit = " OR ".join(f"contains(text, '{t}')" for t in toks)
+    quality = r"""
+      round((least(length(text) / 400.0, 1.0) * 0.5
+             + least(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) * 0.3)
+            * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))
+                           / greatest(length(text), 1) * 10.0, 1.0) * 0.5), 6)
+    """
+    return f"""
+    WITH cands AS (
+      SELECT doc_id AS item_id, ({hits}) / {float(len(toks))} AS score
+      FROM documents WHERE {any_hit}
+      ORDER BY score DESC, item_id ASC LIMIT {k * 5}),
+    qual AS (SELECT doc_id AS item_id, {quality} AS quality FROM documents)
+    SELECT item_id,
+           round(score * 0.8 + quality * 0.2, 6) AS rerank_score,
+           score AS retrieval_score
+    FROM cands JOIN qual USING (item_id)
+    ORDER BY rerank_score DESC, item_id ASC LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -685,9 +911,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_ngram"] = """
-    WITH tok AS (
+    WITH tok0 AS (
       SELECT DISTINCT doc_id AS id, g.gram FROM documents,
              unnest(string_split(text, ' ')) AS g(gram)),
+    keep AS (SELECT gram FROM tok0 GROUP BY gram HAVING count(*) <= 50),
+    tok AS (SELECT tok0.* FROM tok0 JOIN keep USING (gram)),
     sizes AS (SELECT id, count(*) sz FROM tok GROUP BY id),
     inter AS (
       SELECT a.id ida, b.id idb, count(*) n FROM tok a
@@ -697,6 +925,11 @@ def oracle_sql() -> dict[str, str]:
     FROM inter JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
     WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.8
     """
+
+    sql["dedup_minhash"] = _minhash_oracle_sql(threshold=0.5, max_bucket_size=200)
+    sql["dedup_simhash"] = _simhash_oracle_sql(max_hamming=10)
+    sql["dedup_embedding_lsh"] = _embedding_lsh_oracle_sql(threshold=0.5)
+    sql["ann_lsh"] = _ann_lsh_oracle_sql(query_ids=(0, 1, 2, 3, 4), k=3)
 
     sql["dedup_embedding"] = """
     SELECT a.vec_id AS ida, b.vec_id AS idb,
@@ -828,6 +1061,35 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_id,
            round(value / max(value) OVER (PARTITION BY event_type), 6) AS norm
     FROM events
+    """
+
+    from augmented_codebase_indexer_spark.functions.sqlhash import fingerprint_expr
+    from augmented_codebase_indexer_spark.operators.chunking import chunk_oracle_sql
+    from augmented_codebase_indexer_spark.operators.summary import summary_oracle_sql
+
+    sql["fingerprint"] = f"""
+    SELECT doc_id,
+           array_to_string(list_transform({fingerprint_expr('text', 'duckdb')},
+                                          x -> CAST(x AS VARCHAR)), ',') AS fp
+    FROM documents
+    """
+
+    # frozen numpy fixture over the same closed-form outlink graph
+    # (scripts/make_fixtures.py; sf0.01, the driver's correctness scale)
+    sql["pagerank"] = f"""
+    SELECT node_id, pagerank
+    FROM read_parquet('{os.path.join(_FIXTURES, "pagerank_sf0_01.parquet")}')
+    """
+
+    sql["hybrid_search"] = _hybrid_search_oracle_sql("spark window join", k=10)
+    sql["rerank_search"] = _rerank_oracle_sql("spark window join", k=10)
+    sql["chunking"] = chunk_oracle_sql(size=40, overlap=10)
+    sql["summaries"] = summary_oracle_sql()
+
+    sql["outlinks"] = _DERIVED + """
+    SELECT url AS src_url,
+           unnest(['/', '/about', '/entity/' || obj]) AS href
+    FROM derived
     """
 
     return sql

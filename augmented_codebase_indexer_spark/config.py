@@ -33,6 +33,10 @@ class PipelineConfig:
     shingle_size: int = 3        # character shingles
     embedding_dim: int = 64      # deterministic hash embedding (fakes.py:295-360 analog)
     link_sim_threshold: float = 0.55
+    # above this row count the gazetteer no longer ships as a driver-collected
+    # broadcast; build_graph switches to the join-based linker
+    # (operators/linking_joins.py) — same tiers, same tie-breaks
+    gazetteer_broadcast_max_rows: int = 1_000_000
 
     # ---- canonicalization / graph algorithms ----
     cc_max_iters: int = 25

@@ -1,9 +1,10 @@
 """Deterministic hashing primitives shared by the oracle and the Spark UDFs.
 
-* ``hash_embedding`` — SHA-256-derived embedding, same text → same vector
-  (verbatim adoption of the reference's hermetic test embedder,
-  ``infrastructure/fakes.py:295-360``): this is what makes the whole
-  pipeline reproducible with no embedding API.
+* ``hash_embedding`` — SHA-256-derived embedding, same text → same vector.
+  A clean-room analog of the reference's hermetic test embedder
+  (``infrastructure/fakes.py:295-360``): same role (deterministic stand-in
+  for an embedding API), different construction (counter-suffixed SHA-256
+  blocks → little-endian uint32 → [-1, 1], L2-normalized).
 * ``minhash_signature`` / ``lsh_band_keys`` — MinHash over character
   shingles + banded LSH keys, the broadcast candidate index that replaces
   the reference's Qdrant ANN store (north_star).
@@ -154,14 +155,22 @@ def hamming64(a: int, b: int) -> int:
 
 def rolling_fingerprint(text: str, window: int = 8, keep: int = 16) -> list[int]:
     """Polynomial rolling hash over a char window; keep the `keep` smallest
-    distinct hashes (a deterministic sketch usable as a document signature)."""
+    distinct hashes (a deterministic sketch usable as a document signature).
+
+    Definition shared verbatim with the SQL form (``sqlhash.fingerprint_expr``,
+    evaluated identically by Spark and the DuckDB oracle): window hashes are
+    the base-1000003 polynomial fold mod 2^32; texts shorter than the window
+    take a single fold padded with char code 0 (== SQL ascii('') = 0)."""
     s = text.lower()
     n = len(s)
     if n == 0:
         return []
-    if n < window:
-        return [hash32(s)]
     base, mod = 1_000_003, _MAXH
+    if n < window:
+        h = 0
+        for i in range(window):
+            h = (h * base + (ord(s[i]) if i < n else 0)) % mod
+        return [h]
     h = 0
     pw = pow(base, window - 1, mod)
     seen: set[int] = set()
@@ -172,3 +181,51 @@ def rolling_fingerprint(text: str, window: int = 8, keep: int = 16) -> list[int]
         if i >= window - 1:
             seen.add(h)
     return sorted(seen)[:keep]
+
+
+# ---------------------------------------------------------------------------
+# pure-Python mirrors of the SQL-portable sketches (functions/sqlhash.py) —
+# used by property tests to pin the Spark expressions to an independent
+# implementation. Definitions MUST stay in lockstep with sqlhash.py.
+# ---------------------------------------------------------------------------
+
+
+def h60(s: str) -> int:
+    """First 15 hex digits of md5 as a 60-bit int (sqlhash.h60_expr)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def minhash16(text: str) -> list[int]:
+    """16-permutation MinHash over word 3-gram shingles (sqlhash mirror)."""
+    from .sqlhash import NUM_PERM, P31, PERM_A, PERM_B
+
+    toks = text.split(" ")
+    if len(toks) < 3:
+        grams = [text]
+    else:
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    hs = [h60(g) % P31 for g in grams]
+    return [min((PERM_A[i] * h + PERM_B[i]) % P31 for h in hs) for i in range(NUM_PERM)]
+
+
+def minhash_est_jaccard(sig_a: list[int], sig_b: list[int]) -> float:
+    """Standard MinHash Jaccard estimator: fraction of matching minima."""
+    return sum(1 for x, y in zip(sig_a, sig_b) if x == y) / len(sig_a)
+
+
+def simhash60(text: str) -> int:
+    """60-bit SimHash over whitespace tokens with H60 token hashes
+    (sqlhash.simhash60_expr mirror); None for empty/blank text."""
+    toks = [t for t in text.lower().split(" ") if t]
+    if not toks:
+        return None
+    votes = [0] * 60
+    for t in toks:
+        h = h60(t)
+        for i in range(60):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(60):
+        if votes[i] > 0:
+            out |= 1 << i
+    return out

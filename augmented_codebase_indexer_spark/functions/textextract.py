@@ -85,6 +85,23 @@ def _extract_series(html: pd.Series) -> pd.Series:
 extract_text_udf = F.pandas_udf(_extract_series, StringType())
 
 
+def outlink_edges(pages, url_col: str = "url", html_col: str = "html"):
+    """(src_url, href) edge extraction from raw html anchors (C8 — the
+    ``core/chunker/import_extractors.py:12-103`` analog: the reference
+    extracts import edges per file; a web corpus KG extracts the link
+    graph, which is also the natural PageRank input).
+
+    Runs BEFORE boilerplate stripping — nav/anchor links are exactly what
+    the extractor deletes from text but what the link graph needs. Pure JVM
+    expressions (decode + regexp_extract_all + explode): a narrow per-row
+    flatMap, no Python, no shuffle; SQL-mirrorable."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(html_str, F.lit('<a href="([^"]+)"'), 1)
+    return pages.select(
+        F.col(url_col).alias("src_url"), F.explode(hrefs).alias("href")
+    )
+
+
 def with_extracted_text(df, html_col: str = "html", out_col: str = "extracted_text"):
     """pages(url, warc_ts, html, text, lang) → + extracted_text column.
 

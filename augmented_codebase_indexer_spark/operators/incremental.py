@@ -92,10 +92,17 @@ def incremental_update(
     kept = old_edges.join(F.broadcast(removed), "url", "left_anti")
     merged = kept.unionByName(new_edges)
 
+    from pyspark.sql import Observation
+
+    obs = Observation("incremental-edges")
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("edges_after"))
     wh.commit(merged, "edges", bucket_col="subj_id", n_buckets=cfg.edge_buckets,
               sort_within=["subj_id"])
     wh.commit(cur_hashes, "page_index")
     counts = {r["change"]: r["n"] for r in
               diff.groupBy("change").agg(F.count("*").alias("n")).collect()}
     diff.unpersist()
+    # A7: update counters land in the warehouse _metrics table alongside
+    # the watch path's per-batch counters
+    wh.record_metrics(spark, "incremental", {**counts, **obs.get})
     return counts

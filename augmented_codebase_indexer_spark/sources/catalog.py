@@ -135,6 +135,24 @@ class Warehouse:
         mode = "append" if os.path.isdir(os.path.join(self.root, "_lineage")) else "overwrite"
         per_part.coalesce(1).write.mode(mode).parquet(os.path.join(self.root, "_lineage"))
 
+    def record_metrics(self, spark: SparkSession, source: str, counters: dict):
+        """Event counters by type (A7 — the reference's
+        ``services/metrics_collector.py:194-232`` events-by-type totals):
+        appended to the ``_metrics`` table as (run_id, source, metric,
+        value). The watch and incremental paths call this per update, fed
+        by ``DataFrame.observe`` accumulators (no extra jobs — the metrics
+        ride the write action)."""
+        rows = [(self.run_id, source, str(k), int(v if v is not None else 0))
+                for k, v in sorted(counters.items())]
+        df = spark.createDataFrame(
+            rows, "run_id string, source string, metric string, value long"
+        )
+        mode = "append" if os.path.isdir(os.path.join(self.root, "_metrics")) else "overwrite"
+        df.coalesce(1).write.mode(mode).parquet(os.path.join(self.root, "_metrics"))
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "_metrics"))
+
     def lineage_summary(self, spark: SparkSession) -> DataFrame:
         df = spark.read.parquet(os.path.join(self.root, "_lineage"))
         return df.groupBy("run_id", "stage").agg(

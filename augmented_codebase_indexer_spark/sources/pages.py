@@ -89,11 +89,17 @@ def derive_pages_from_documents(
             .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
             .drop("rep")
         )
-    _, _, sentence = _relation_sentence_sql_parts()
+    _, obj, sentence = _relation_sentence_sql_parts()
+    # nav carries a per-doc entity outlink (C8 input): <nav> is stripped
+    # wholesale by the extractor, so extracted text stays byte-identical —
+    # but outlink_edges() reads the raw html and recovers the link graph,
+    # which is closed-form doc_id arithmetic the DuckDB oracle reconstructs.
     html_str = F.concat(
         F.lit('<html><head><meta charset="utf-8"></head><body>'
-              '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
-              "<p>"),
+              '<nav><a href="/">home</a> <a href="/about">about</a> '
+              '<a href="/entity/'),
+        obj,
+        F.lit('">related</a></nav><p>'),
         F.col("text"),
         F.lit("</p><p>"),
         sentence,

@@ -42,14 +42,30 @@ def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
 
 def micro_batch_upsert(wh: Warehouse, alias_bc, gaz_bc, canon: DataFrame,
                        cfg: PipelineConfig = DEFAULT):
-    """foreachBatch body: process one micro-batch of page rows and upsert."""
+    """foreachBatch body: process one micro-batch of page rows and upsert.
+
+    Per-batch counters (A7, ``metrics_collector.py:194-232`` analog) ride
+    the upsert's own write action as ``observe()`` metrics — pages in,
+    resolved/unresolved triples, edges written — and land in the
+    warehouse ``_metrics`` table; no extra jobs."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         spark = batch_df.sparkSession
+        obs_pages = Observation(f"pages-{batch_id}")
+        batch_df = batch_df.observe(obs_pages, F.count(F.lit(1)).alias("pages_in"))
         extracted = extract_stage(batch_df).filter(
             F.col("lang").isin(*cfg.allowed_langs) & (F.length("extracted_text") > 0)
         )
         linked = linking_stage(triple_stage(extracted, alias_bc), gaz_bc)
+        obs_triples = Observation(f"triples-{batch_id}")
+        linked = linked.observe(
+            obs_triples,
+            F.count(F.lit(1)).alias("triples_total"),
+            F.sum(F.when(F.col("resolved"), 1).otherwise(0)).alias("triples_resolved"),
+            F.sum(F.when(~F.col("resolved"), 1).otherwise(0)).alias("triples_unresolved"),
+        )
         c_subj = canon.select(F.col("ent_id").alias("subj_id"),
                               F.col("canonical_id").alias("c_subj"))
         c_obj = canon.select(F.col("ent_id").alias("obj_id"),
@@ -69,8 +85,14 @@ def micro_batch_upsert(wh: Warehouse, alias_bc, gaz_bc, canon: DataFrame,
             merged = old.join(F.broadcast(touched), "url", "left_anti").unionByName(new_edges)
         else:
             merged = new_edges
+        obs_edges = Observation(f"edges-{batch_id}")
+        merged = merged.observe(obs_edges, F.count(F.lit(1)).alias("edges_after"))
         wh.commit(merged, "edges", bucket_col="subj_id", n_buckets=cfg.edge_buckets,
                   sort_within=["subj_id"])
+        wh.record_metrics(
+            spark, f"watch:batch={batch_id}",
+            {**obs_pages.get, **obs_triples.get, **obs_edges.get},
+        )
 
     return process
 

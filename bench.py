@@ -17,12 +17,17 @@ Set ACI_BENCH_SKIP_SCALING=1 to skip the subprocess runs (used by the
 workers themselves).
 
 Measurement noise: this sandbox VM swings identical runs by ±20-40%
-(hypervisor steal); observed primary-pair efficiency across repeated full
-benches ranges 0.70-1.05 (concurrent same-window method keeps the ratio stable). The pure-python multiprocessing control (same
-extraction+OpenIE functions, no JVM) scales 8→32 procs at 0.94.
+(hypervisor steal). Mitigations, in order of leverage: (1) the workload is
+sized so the FASTER level's wall is multiple seconds — round 1 ran the 4N
+level in 0.62 s, and fixed per-job overhead alone pushed measured
+efficiency from ~0.9 down to 0.728; (2) both levels of a pair run
+concurrently on disjoint pinned CPU sets so noise cancels in the ratio;
+(3) windows repeat until quiet and the MEDIAN window is reported. The
+pure-python multiprocessing control (same extraction+OpenIE functions, no
+JVM) scales 8→32 procs at 0.94.
 
 Worker mode: ``python bench.py --scaling-worker <cores> <replicas>`` runs
-warm-up + best-of-3 and prints its own JSON line.
+warm-up + best-of-2 and prints its own JSON line.
 """
 
 from __future__ import annotations
@@ -38,14 +43,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("ACI_BENCH_REPLICAS", "8"))
-# primary N vs 4N pair + workload (replicas of the documents table); the
-# workload must be big enough that compute dominates fixed overhead
+# primary N vs 4N pair + workload (replicas of the documents table).
+# Round-1 lesson: at 256 replicas the 4N level finished in 0.62 s — fixed
+# per-job overhead (stage scheduling, task launch, the final count's single
+# reducer) was ~40% of its wall and masked the real per-core efficiency.
+# The workload must keep the FASTER level's wall ≥ several seconds.
 SCALING_N = int(os.environ.get("ACI_BENCH_SCALING_N", "2"))
-SCALING_REPLICAS = int(os.environ.get("ACI_BENCH_SCALING_REPLICAS", "256"))
+SCALING_REPLICAS = int(os.environ.get("ACI_BENCH_SCALING_REPLICAS", "2048"))
+# repeat-until-quiet: run up to MAX_WINDOWS concurrent windows, stop once the
+# spread of the last QUIET_K efficiencies < QUIET_SPREAD; report the median.
+MAX_WINDOWS = int(os.environ.get("ACI_BENCH_MAX_WINDOWS", "5"))
+QUIET_K = 3
+QUIET_SPREAD = float(os.environ.get("ACI_BENCH_QUIET_SPREAD", "0.08"))
 # saturation study: a second pair at high core counts, where single-box
 # contention (shared memory bus, one OS) becomes visible
 SATURATION_N = int(os.environ.get("ACI_BENCH_SATURATION_N", "8"))
-SATURATION_REPLICAS = int(os.environ.get("ACI_BENCH_SATURATION_REPLICAS", "1024"))
+SATURATION_REPLICAS = int(os.environ.get("ACI_BENCH_SATURATION_REPLICAS", "2048"))
 
 
 def _spark(cores: int):
@@ -86,7 +99,9 @@ def flagship_job(spark, sf_dir: str, replicas: int, fused: bool = True) -> dict:
     # in-JVM html synthesis would charge input generation to the pipeline
     import hashlib as _h
 
-    tag = _h.md5(f"{sf_dir}|{replicas}".encode()).hexdigest()[:10]
+    # v2: cache key versioned with the page-derivation template — a stale
+    # cache from an older html layout must never feed the bench
+    tag = _h.md5(f"{sf_dir}|{replicas}|v2".encode()).hexdigest()[:10]
     cache = f"/tmp/aci_bench_pages_{tag}"
     if not os.path.isdir(cache):
         # fixed 96-file layout: input-split count must not depend on which
@@ -122,6 +137,15 @@ def scaling_worker(cores: int, replicas: int) -> None:
     res["all_walls"] = [r["wall_sec"] for r in runs]
     res["cores"] = cores
     print(json.dumps(res))
+    spark.stop()
+
+
+def prepare_cache(replicas: int) -> None:
+    """Materialize the shared input parquet for a replica count (untimed).
+    Run BEFORE the concurrent workers: two workers racing to overwrite the
+    same cache path would corrupt it."""
+    spark = _spark(8)
+    flagship_job(spark, SF_DIR, replicas=replicas)
     spark.stop()
 
 
@@ -211,6 +235,36 @@ def _pair(n: int, replicas: int, concurrent: bool = False) -> dict:
     }
 
 
+def _median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2.0
+
+
+def _pair_quiet(n: int, replicas: int) -> dict:
+    """Repeat-until-quiet: run concurrent N/4N windows until the last
+    QUIET_K efficiencies agree within QUIET_SPREAD (or MAX_WINDOWS), then
+    report the MEDIAN-efficiency window. Each window runs both levels in
+    the same time slice on disjoint pinned CPU sets, so hypervisor noise is
+    common-mode in the ratio; repeating windows guards against a noise
+    burst landing inside one window."""
+    windows = []
+    for w in range(MAX_WINDOWS):
+        p = _pair(n, replicas, concurrent=True)
+        windows.append(p)
+        effs = [x["efficiency"] for x in windows]
+        if len(effs) >= QUIET_K and (
+            max(effs[-QUIET_K:]) - min(effs[-QUIET_K:]) < QUIET_SPREAD
+        ):
+            break
+    effs = [x["efficiency"] for x in windows]
+    med = _median(effs)
+    best = min(windows, key=lambda x: abs(x["efficiency"] - med))
+    best = dict(best)
+    best["efficiency"] = round(med, 3)
+    best["window_efficiencies"] = effs
+    return best
+
+
 def run_scaling() -> dict:
     """Evidence for the north_rule's two-cluster-size criterion, inside one
     sandbox: the same job, same input, at N and 4N cores, process tree
@@ -218,7 +272,10 @@ def run_scaling() -> dict:
     regime a multi-machine cluster resembles (each level far from box
     saturation), and a saturation pair at high core counts where single-box
     contention (shared memory bus, one OS scheduler, one JVM) appears."""
-    primary = _pair(SCALING_N, SCALING_REPLICAS, concurrent=True)
+    # build the shared input caches once, before any timed worker
+    for r in {SCALING_REPLICAS, SATURATION_REPLICAS}:
+        prepare_cache(r)
+    primary = _pair_quiet(SCALING_N, SCALING_REPLICAS)
     saturation = _pair(SATURATION_N, SATURATION_REPLICAS)
     summary = {"primary": primary, "saturation": saturation}
     _write_bench_md(summary)
@@ -234,6 +291,7 @@ def _row(tag, runs_key, p):
 
 def _write_bench_md(s: dict) -> None:
     p, q = s["primary"], s["saturation"]
+    wins = p.get("window_efficiencies", [p["efficiency"]])
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write(
             "# BENCH — throughput & scaling\n\n"
@@ -241,19 +299,30 @@ def _write_bench_md(s: dict) -> None:
             f"entity linking over pages derived from `{SF_DIR}/documents.parquet`.\n"
             "Each measurement: fresh JVM subprocess pinned with `taskset` to exactly\n"
             "N CPUs (python UDF workers included), same-shape warm-up run, then\n"
-            "best-of-3 (steady-state throughput; python-worker fork/import and JIT\n"
+            "BEST-OF-2 (steady-state throughput; python-worker fork/import and JIT\n"
             "excluded). Sandbox caveat per driver instruction: N vs 4N CORES on one\n"
             "box, not executors on separate machines. VM noise swings identical\n"
-            "runs by ±20-40% (hypervisor steal); observed primary efficiency across\n"
-            "repeated benches: 0.70-1.05.\n\n"
+            "runs by ±20-40% (hypervisor steal); both levels of a pair therefore run\n"
+            "CONCURRENTLY in the same time window on disjoint pinned CPU sets (noise\n"
+            "is common-mode in the ratio), and windows repeat until the last "
+            f"{QUIET_K}\nefficiencies agree within {QUIET_SPREAD} (max {MAX_WINDOWS} windows); "
+            "the reported\nefficiency is the MEDIAN across windows: "
+            f"{[round(x, 3) for x in wins]} → {p['efficiency']}.\n\n"
+            "Round-1 postmortem (measured 0.728, below the ≥0.8 gate): at 256\n"
+            "replicas the 4N level finished in 0.62 s, so ~0.2-0.3 s of fixed\n"
+            "per-job overhead (stage scheduling, task launch, final single-reducer\n"
+            "count) was charged against 4N four times as heavily as against N.\n"
+            f"The workload is now ×{p['replicas']} replicas so the faster level runs\n"
+            "multiple seconds and fixed overhead is <5% of either wall.\n\n"
             f"## Primary pair — local[{p['cores_n']}] vs local[{p['cores_4n']}] "
             f"(×{p['replicas']} replicas, same input)\n\n"
             "| parallelism | pages | triples | wall (s) | pages/s | triples/s |\n"
             "|---|---|---|---|---|---|\n"
             + _row(f"local[{p['cores_n']}]", f"local[{p['cores_n']}]", p)
             + _row(f"local[{p['cores_4n']}]", f"local[{p['cores_4n']}]", p)
-            + f"\n**Scaling efficiency: {min(p['efficiency'], 1.0)}** "
-            f"(measured {p['efficiency']}; target ≥ 0.8, BASELINE.json north_rule)\n\n"
+            + f"\n**Scaling efficiency (median of {len(wins)} windows): "
+            f"{p['efficiency']}** (target ≥ 0.8, BASELINE.json north_rule; the\n"
+            "table shows the median window's absolute numbers)\n\n"
             f"## Saturation pair — local[{q['cores_n']}] vs local[{q['cores_4n']}] "
             f"(×{q['replicas']} replicas, same input)\n\n"
             "| parallelism | pages | triples | wall (s) | pages/s | triples/s |\n"

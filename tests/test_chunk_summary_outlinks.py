@@ -1,0 +1,170 @@
+"""Round-2 operators: chunking (W3), summaries (C6), outlinks (C8), rerank."""
+
+from pyspark.sql import functions as F
+
+from augmented_codebase_indexer_spark.operators.chunking import chunk_documents
+from augmented_codebase_indexer_spark.operators.summary import (
+    artifact_table,
+    summarize_documents,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_chunks(text, size, overlap):
+    toks = text.split(" ")
+    stride = size - overlap
+    n = len(toks)
+    total = 1 if n <= size else (n - size + stride - 1) // stride + 1
+    return [" ".join(toks[i * stride : i * stride + size]) for i in range(total)]
+
+
+def test_chunking_matches_python_and_covers_text(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    out = chunk_documents(docs, size=40, overlap=10).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["part_index"])
+        want = _py_chunks(texts[did], 40, 10)
+        assert [r["chunk_text"] for r in rows] == want
+        assert all(r["total_parts"] == len(want) for r in rows)
+        assert [r["part_index"] for r in rows] == list(range(len(want)))
+        # bounds respected; every token of the doc appears in some chunk
+        assert all(r["n_tokens"] <= 40 for r in rows)
+        stitched = rows[0]["chunk_text"]
+        for prev, cur in zip(rows, rows[1:]):
+            # 10-token overlap: each chunk repeats the previous chunk's tail
+            assert cur["chunk_text"].split(" ")[:10] == prev["chunk_text"].split(" ")[30:40]
+            stitched += " " + " ".join(cur["chunk_text"].split(" ")[10:])
+        assert stitched == texts[did]
+        # deterministic ids, unique per (doc, span)
+        ids = [r["chunk_id"] for r in rows]
+        assert len(set(ids)) == len(ids)
+
+
+def test_chunking_short_doc_single_part(spark):
+    df = spark.createDataFrame([(1, "only four tokens here")], "doc_id long, text string")
+    rows = chunk_documents(df, size=40, overlap=10).collect()
+    assert len(rows) == 1
+    assert rows[0]["total_parts"] == 1 and rows[0]["part_index"] == 0
+    assert rows[0]["chunk_text"] == "only four tokens here"
+    assert rows[0]["n_tokens"] == 4
+
+
+def test_summaries_shapes(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    out = summarize_documents(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = {}
+    for r in out:
+        rows[(r["doc_id"], r["artifact_type"])] = r["content"]
+    for did, t in texts.items():
+        head = rows[(did, "headline")]
+        assert head == t.split(". ")[0] + "."
+        abstract = rows[(did, "abstract")]
+        assert len(abstract) <= 240
+        assert t.startswith(abstract.split(" ")[0])
+        stats = rows[(did, "stats")]
+        assert stats == f"{len(t.split(' '))} words, {len(t.split('. '))} sentences"
+
+
+def test_artifact_table_multigranularity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    art = artifact_table(docs, size=40, overlap=10)
+    kinds = {r["artifact_type"] for r in art.select("artifact_type").distinct().collect()}
+    assert kinds == {"headline", "abstract", "stats", "chunk"}
+    # F7-style type filter works over the union
+    n_chunks = art.filter(F.col("artifact_type") == "chunk").count()
+    assert n_chunks >= 20
+
+
+def test_outlinks_match_planted_hrefs(spark):
+    from augmented_codebase_indexer_spark.functions.textextract import outlink_edges
+    from augmented_codebase_indexer_spark.sources.pages import derive_pages_from_documents
+
+    pages = derive_pages_from_documents(spark, SF)
+    edges = outlink_edges(pages).collect()
+    by_src = {}
+    for r in edges:
+        by_src.setdefault(r["src_url"], set()).add(r["href"])
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(by_src) == len(docs)
+    for d in docs:
+        url = f"https://docs.example/{d['source']}/{d['doc_id']}"
+        obj = (d["doc_id"] * 7 + 13) % 50
+        assert by_src[url] == {"/", "/about", f"/entity/Entity{obj}"}
+
+
+def test_outlinks_do_not_change_extraction(spark):
+    """The planted nav outlink must not leak into extracted text (the
+    byte-identity invariant): <nav> is stripped wholesale."""
+    from augmented_codebase_indexer_spark.operators.extraction import extract_stage
+    from augmented_codebase_indexer_spark.sources.pages import derive_pages_from_documents
+
+    pages = derive_pages_from_documents(spark, SF)
+    got = extract_stage(pages).select("extracted_text").limit(50).collect()
+    for r in got:
+        assert "related" not in r["extracted_text"]
+        assert "/entity/" not in r["extracted_text"]
+
+
+def test_rerank_matches_manual(spark):
+    from augmented_codebase_indexer_spark.operators.textstats import quality_score_col
+    from augmented_codebase_indexer_spark.plans.search import (
+        pattern_candidates,
+        rerank_search,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = rerank_search(docs, "spark window join", k=10).collect()
+    assert 0 < len(got) <= 10
+    # manual recomputation: over-fetch 50 by pattern score, rescore, cut 10
+    cands = {
+        r["item_id"]: r["score"]
+        for r in pattern_candidates(docs, "spark window join")
+        .orderBy(F.desc("score"), F.asc("item_id")).limit(50).collect()
+    }
+    qual = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", quality_score_col(F.col("text")).alias("q")).collect()
+    }
+    want = sorted(
+        ((round(s * 0.8 + qual[i] * 0.2, 6), i) for i, s in cands.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    assert [(r["item_id"], r["rerank_score"]) for r in got] == [(i, s) for s, i in want]
+    # reranking actually reordered relative to raw retrieval on this corpus
+    raw_order = [i for _, i in sorted(((-s, i) for i, s in cands.items()))][:10]
+    assert [r["item_id"] for r in got] != raw_order or len(cands) <= 10
+
+
+def test_build_graph_join_linker_path(spark, corpus, corpus_dir, tmp_path_factory):
+    """Gazetteer-size branch: forcing the threshold below the gazetteer size
+    must route build_graph through the join linker and produce the SAME
+    edges as the broadcast path (VERDICT r1 #7)."""
+    from dataclasses import replace
+
+    from augmented_codebase_indexer_spark.config import DEFAULT
+    from augmented_codebase_indexer_spark.plans.pipeline import build_graph
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    gaz = spark.read.parquet(f"{corpus_dir}/gazetteer.parquet")
+    wh_b = str(tmp_path_factory.mktemp("wh_bcast"))
+    wh_j = str(tmp_path_factory.mktemp("wh_join"))
+    build_graph(spark, pages, gaz, wh_b, run_id="b")
+    cfg = replace(DEFAULT, gazetteer_broadcast_max_rows=1)  # force join path
+    build_graph(spark, pages, gaz, wh_j, run_id="j", cfg=cfg)
+
+    def edge_set(p):
+        return {
+            (r["subj_id"], r["pred"], r["obj_id"], r["url"], r["pos"])
+            for r in spark.read.parquet(f"{p}/edges").select(
+                "subj_id", "pred", "obj_id", "url", "pos").collect()
+        }
+
+    a, b = edge_set(wh_b), edge_set(wh_j)
+    assert a == b and len(a) > 0

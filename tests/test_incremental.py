@@ -51,9 +51,16 @@ def test_incremental_equals_full_rebuild(spark, corpus, corpus_dir, tmp_path_fac
         schema="url string, warc_ts timestamp, html binary, text string, lang string",
     )
 
-    counts = incremental_update(spark, Warehouse(wh_inc, "inc"), pages2, gaz)
+    wh_obj = Warehouse(wh_inc, "inc")
+    counts = incremental_update(spark, wh_obj, pages2, gaz)
     assert counts.get("new", 0) > 0 and counts.get("deleted", 0) > 0
     assert counts.get("modified", 0) > 0 and counts.get("unchanged", 0) > 0
+
+    # A7: the update recorded its counters in the _metrics table
+    m = {r["metric"]: r["value"] for r in wh_obj.metrics(spark).filter(
+        F.col("source") == "incremental").collect()}
+    assert m.get("new") == counts["new"] and m.get("deleted") == counts["deleted"]
+    assert m.get("edges_after", 0) > 0
 
     build_graph(spark, pages2, gaz, wh_full, run_id="full")
     inc_edges = _edge_set(spark, wh_inc)

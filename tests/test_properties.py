@@ -101,6 +101,32 @@ def test_simhash_and_fingerprint_deterministic(s):
     fp = rolling_fingerprint(s)
     assert fp == rolling_fingerprint(s)
     assert len(fp) <= 16 and fp == sorted(fp)
+    assert all(0 <= x < 2 ** 32 for x in fp)  # bigint range (ADVICE r1: not int32)
+
+
+@given(st.text(alphabet="abcdefgh ", max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_sql_portable_sketch_mirrors(s):
+    """Pure mirrors of the SQL-native sketches (functions/sqlhash.py):
+    shape, determinism, and value ranges — the Spark-vs-Python equality is
+    pinned in tests/test_operators.py with a live session."""
+    from augmented_codebase_indexer_spark.functions.hashing import (
+        h60,
+        minhash16,
+        minhash_est_jaccard,
+        simhash60,
+    )
+
+    assert 0 <= h60(s) < 2 ** 60
+    sig = minhash16(s)
+    assert len(sig) == 16 and sig == minhash16(s)
+    assert all(0 <= x < 2 ** 31 for x in sig)
+    assert minhash_est_jaccard(sig, sig) == 1.0
+    sh = simhash60(s)
+    if s.strip(" "):
+        assert 0 <= sh < 2 ** 60 and sh == simhash60(s)
+    else:
+        assert sh is None  # blank text must not fingerprint as 0
 
 
 @given(st.text(max_size=100))

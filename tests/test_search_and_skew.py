@@ -96,9 +96,36 @@ def test_context_assembly_budget(spark):
         ["node_id", "pagerank"],
     )
     out = assemble_context(edges, nodes, ranks, ["a"], depth=3,
-                           token_budget=200, tokens_per_node=50)
+                           token_budget=200, tokens_per_node=50,
+                           count_tokens=False)
     rows = {r["node_id"]: r for r in out.collect()}
     assert "a" in rows  # seed survives
     assert len(rows) == 4  # 200/50 budget
     # highest-pagerank neighbors kept (b .5, c .4, d .3)
     assert set(rows) == {"a", "b", "c", "d"}
+
+
+def test_context_assembly_real_token_counts(spark):
+    """Budget fidelity: node cost = real rendered token count + envelope,
+    so a long canonical name displaces more of the budget than a short one
+    (the reference re-counts actual content, context_assembler.py:418-510)."""
+    edges = spark.createDataFrame([("a", "b"), ("a", "c")], ["subj_id", "obj_id"])
+    nodes = spark.createDataFrame(
+        [("a", "seed", "org"),
+         ("b", "a very long canonical name with many tokens inside it", "org"),
+         ("c", "short", "org")],
+        ["node_id", "canonical_name", "entity_type"],
+    )
+    ranks = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.5), ("c", 0.4)], ["node_id", "pagerank"]
+    )
+    # per-node cost = rendered tokens (name + type) + envelope 10:
+    # a = 2+10 = 12, b = 11+10 = 21, c = 2+10 = 12; order a, b, c
+    out = assemble_context(edges, nodes, ranks, ["a"], depth=1,
+                           token_budget=25, tokens_per_node=10)
+    rows = {r["node_id"]: r["n_tokens"] for r in out.collect()}
+    assert rows == {"a": 12}  # b pushes cum to 33 > 25; c sorts after b
+    out2 = assemble_context(edges, nodes, ranks, ["a"], depth=1,
+                            token_budget=100, tokens_per_node=10)
+    rows2 = {r["node_id"]: r["n_tokens"] for r in out2.collect()}
+    assert rows2 == {"a": 12, "b": 21, "c": 12}

@@ -58,6 +58,16 @@ def test_stream_matches_batch(spark, corpus, corpus_dir, tmp_path_factory):
     }
     assert s == b and len(s) > 0
 
+    # A7: per-batch observe() counters landed in the _metrics table
+    m = wh.metrics(spark)
+    rows = {(r["source"], r["metric"]): r["value"] for r in m.collect()}
+    batch_sources = {src for src, _ in rows if src.startswith("watch:batch=")}
+    assert len(batch_sources) >= 1
+    total_pages = sum(v for (src, met), v in rows.items() if met == "pages_in")
+    assert total_pages == pages.count()
+    assert any(met == "triples_resolved" and v > 0 for (_, met), v in rows.items())
+    assert any(met == "edges_after" for (_, met), v in rows.items())
+
 
 def test_multimodal_plumbing(spark):
     from augmented_codebase_indexer_spark.sources.multimodal import (
