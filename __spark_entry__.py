@@ -524,6 +524,15 @@ def q_rerank_search(spark, sf_dir):
     return rerank_search(_t(spark, sf_dir, "documents"), "spark window join", k=10)
 
 
+def q_artifact_search(spark, sf_dir):
+    # F7 artifact_type filter over the C6 multi-granularity table
+    from augmented_codebase_indexer_spark.operators.summary import artifact_table
+    from augmented_codebase_indexer_spark.plans.search import artifact_search
+
+    art = artifact_table(_t(spark, sf_dir, "documents"), size=40, overlap=10)
+    return artifact_search(art, "spark window join", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -569,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summaries": q_summaries,
         "outlinks": q_outlinks,
         "rerank_search": q_rerank_search,
+        "artifact_search": q_artifact_search,
     }
 
 
@@ -1085,6 +1095,29 @@ def oracle_sql() -> dict[str, str]:
     sql["rerank_search"] = _rerank_oracle_sql("spark window join", k=10)
     sql["chunking"] = chunk_oracle_sql(size=40, overlap=10)
     sql["summaries"] = summary_oracle_sql()
+
+    # artifact table = doc summaries ∪ chunk artifacts; pattern coverage per
+    # artifact, keep-max per doc (tie-break artifact_type asc), top-k
+    _art_toks = ["spark", "window", "join"]
+    _hits = " + ".join(f"CAST(contains(content, '{t}') AS INT)" for t in _art_toks)
+    sql["artifact_search"] = f"""
+    WITH summaries AS ({summary_oracle_sql()}),
+    chunks AS (
+      SELECT doc_id, 'chunk' AS artifact_type, chunk_text AS content,
+             n_tokens
+      FROM ({chunk_oracle_sql(size=40, overlap=10)})),
+    art AS (SELECT * FROM summaries UNION ALL SELECT * FROM chunks),
+    scored AS (
+      SELECT doc_id AS item_id, artifact_type,
+             ({_hits}) / 3.0 AS score
+      FROM art WHERE ({_hits}) / 3.0 > 0),
+    best AS (SELECT item_id, artifact_type, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY item_id
+                                   ORDER BY score DESC, artifact_type ASC) AS rn
+      FROM scored) WHERE rn = 1)
+    SELECT item_id, artifact_type, score FROM best
+    ORDER BY score DESC, item_id ASC LIMIT 10
+    """
 
     sql["outlinks"] = _DERIVED + """
     SELECT url AS src_url,

