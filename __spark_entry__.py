@@ -524,6 +524,26 @@ def q_rerank_search(spark, sf_dir):
     return rerank_search(_t(spark, sf_dir, "documents"), "spark window join", k=10)
 
 
+def q_sessionize(spark, sf_dir):
+    # gap-based sessionization (two shared-partition windows, one shuffle)
+    from augmented_codebase_indexer_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+def q_asof_join(spark, sf_dir):
+    # as-of join via union + carry-forward window (one shuffle; the DuckDB
+    # oracle uses its NATIVE ASOF JOIN — an independent implementation)
+    from augmented_codebase_indexer_spark.operators.sessions import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = e.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    evs = e.filter(F.col("event_type") != "signup")
+    return asof_join(evs, dim, key_col="user_id").select(
+        "event_id", F.round("asof_value", 6).alias("asof_value")
+    )
+
+
 def q_artifact_search(spark, sf_dir):
     # F7 artifact_type filter over the C6 multi-granularity table
     from augmented_codebase_indexer_spark.operators.summary import artifact_table
@@ -579,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": q_outlinks,
         "rerank_search": q_rerank_search,
         "artifact_search": q_artifact_search,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1123,6 +1145,43 @@ def oracle_sql() -> dict[str, str]:
     SELECT url AS src_url,
            unnest(['/', '/about', '/entity/' || obj]) AS href
     FROM derived
+    """
+
+    # gap sessions: epoch floored to whole seconds on BOTH engines (Spark
+    # cast(ts as long) truncates; DuckDB CAST(double AS BIGINT) rounds, so
+    # the mirror floors explicitly)
+    sql["sessionize"] = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN prev_ts IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           max(CAST(floor(epoch(ts)) AS BIGINT))
+             - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, session_seq
+    """
+
+    # DuckDB's native ASOF JOIN — an independent as-of implementation (our
+    # Spark operator is union + carry-forward window)
+    sql["asof_join"] = """
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type != 'signup'),
+         d AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')
+    SELECT e.event_id, round(d.value, 6) AS asof_value
+    FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ts >= d.ts
     """
 
     return sql
