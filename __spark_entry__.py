@@ -62,8 +62,12 @@ def _kg_linked(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaz_rows = entry_gazetteer_rows(50)
     alias_bc = broadcast_aliases(spark, [r["alias"] for r in gaz_rows])
     gaz_bc = broadcast_gazetteer(spark, gaz_rows)
-    extracted = extract_stage(pages).filter(
-        (F.col("lang") == "en") & (F.length("extracted_text") > 0)
+    # lang filter BEFORE extraction: Catalyst can't push a predicate through
+    # the (opaque) mapInPandas stage, so apply it at the scan — non-allowed
+    # languages never pay the Python extraction cost (output-equivalent:
+    # the old post-extract filter dropped the same rows later)
+    extracted = extract_stage(pages.filter(F.col("lang") == "en")).filter(
+        F.length("extracted_text") > 0
     )
     return linking_stage(triple_stage(extracted, alias_bc), gaz_bc)
 
@@ -117,8 +121,8 @@ def q_kg_mentions(spark, sf_dir):
 
     pages = derive_pages_from_documents(spark, sf_dir)
     alias_bc = broadcast_aliases(spark, [r["alias"] for r in entry_gazetteer_rows(50)])
-    extracted = extract_stage(pages).filter(
-        (F.col("lang") == "en") & (F.length("extracted_text") > 0)
+    extracted = extract_stage(pages.filter(F.col("lang") == "en")).filter(
+        F.length("extracted_text") > 0
     )
     return (
         mention_stage(extracted, alias_bc)
