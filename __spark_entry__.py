@@ -499,7 +499,11 @@ def q_pagerank(spark, sf_dir):
 
     pages = derive_pages_from_documents(spark, sf_dir)
     edges = outlink_edges(pages)
-    pr = pagerank(edges, max_iters=30, src_col="src_url", dst_col="href")
+    # local_threshold=0 pins the DISTRIBUTED tier: the driver gate must
+    # exercise the iterative DataFrame loop, not the local solver the
+    # fixture itself was generated with
+    pr = pagerank(edges, max_iters=30, src_col="src_url", dst_col="href",
+                  local_threshold=0)
     return pr.select("node_id", F.round("pagerank", 6).alias("pagerank"))
 
 

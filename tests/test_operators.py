@@ -71,10 +71,17 @@ def test_pagerank_matches_numpy(spark, edges_df):
         i += block
         if np.abs(r - prev).sum() < 1e-6:
             break
-    got = {row["node_id"]: row["pagerank"] for row in pagerank(edges_df, max_iters=30).collect()}
+    # local_threshold=0: gate the DISTRIBUTED loop against the inline oracle
+    got = {row["node_id"]: row["pagerank"]
+           for row in pagerank(edges_df, max_iters=30, local_threshold=0).collect()}
     assert set(got) == set(nodes)
     for node in nodes:
         assert abs(got[node] - r[idx[node]]) < 1e-6, node
+    # tier equivalence: the local solver (default tier at this size) agrees
+    local = {row["node_id"]: row["pagerank"]
+             for row in pagerank(edges_df, max_iters=30).collect()}
+    for node in nodes:
+        assert abs(local[node] - got[node]) < 1e-9, node
 
 
 def test_neighborhood_matches_bfs(spark, edges_df):
