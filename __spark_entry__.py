@@ -532,6 +532,14 @@ def q_rerank_search(spark, sf_dir):
     return rerank_search(_t(spark, sf_dir, "documents"), "spark window join", k=10)
 
 
+def q_curation(spark, sf_dir):
+    # end-to-end training-data curation: quality + lang filters → exact-dup
+    # winners → token chunks (the nightly 100TB composition, fully mirrored)
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline
+
+    return curation_pipeline(_t(spark, sf_dir, "documents"))
+
+
 def q_sessionize(spark, sf_dir):
     # gap-based sessionization (two shared-partition windows, one shuffle)
     from augmented_codebase_indexer_spark.operators.sessions import session_stats
@@ -609,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "artifact_search": q_artifact_search,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "curation": q_curation,
     }
 
 
@@ -1182,6 +1191,10 @@ def oracle_sql() -> dict[str, str]:
            round(sum(value), 4) AS total_value
     FROM sess GROUP BY user_id, session_seq
     """
+
+    from augmented_codebase_indexer_spark.plans.curation import curation_oracle_sql
+
+    sql["curation"] = curation_oracle_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -1,0 +1,106 @@
+"""Training-data curation pipeline — the end-to-end "what a 100 TB corpus
+pipeline actually runs nightly" composition of the training-data operators:
+
+    documents
+      → quality score + language ID          (operators/textstats, JVM exprs)
+      → keep lang == allowed, quality ≥ floor
+      → exact-dedup winners                   (min doc_id per content hash)
+      → token-window chunks with overlap      (operators/chunking)
+      → curated chunk rows (doc_id, chunk_id, part_index, n_tokens, quality)
+
+Plan shape at scale: stats + filters are narrow JVM expressions fused into
+the scan stage; the dedup winner needs ONE shuffle on the content hash
+(uniform key — no skew); chunking is a narrow flatMap. Filters run BEFORE
+the dedup shuffle so junk never pays shuffle IO. Every stage is
+SQL-mirrorable — the driver's DuckDB oracle replays the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.chunking import chunk_documents, chunk_oracle_sql
+from ..operators.textstats import lang_id_col, quality_score_col
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    allowed_langs: tuple = ("en",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ surviving (doc_id, text, quality): language + quality floor +
+    exact-dup winner (min doc_id per sha256(text) — deterministic)."""
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        quality_score_col(F.col(text_col)).alias("quality"),
+        lang_id_col(F.col(text_col)).alias("lang_pred"),
+    ).filter(
+        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*allowed_langs)
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.asc("doc_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text", "quality")
+    )
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    allowed_langs: tuple = ("en",),
+    size: int = 40,
+    overlap: int = 10,
+) -> DataFrame:
+    """→ curated chunk rows (doc_id, chunk_id, part_index, total_parts,
+    n_tokens, quality) ready for the embedding stage."""
+    kept = curate_documents(docs, min_quality, allowed_langs)
+    chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
+    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
+        "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def curation_oracle_sql(
+    min_quality: float = 0.3,
+    size: int = 40,
+    overlap: int = 10,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``curation_pipeline`` (en-only)."""
+    quality = r"""
+      round((least(length(text) / 400.0, 1.0) * 0.5
+             + least(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) * 0.3)
+            * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))
+                           / greatest(length(text), 1) * 10.0, 1.0) * 0.5), 6)
+    """
+    lang_en = r"""
+      len(regexp_extract_all(text, '\b(the|and|of|with|for)\b')) > 0
+      AND len(regexp_extract_all(text, '\b(the|and|of|with|for)\b')) = greatest(
+        len(regexp_extract_all(text, '\b(the|and|of|with|for)\b')),
+        len(regexp_extract_all(text, '\b(der|die|und|das|mit)\b')),
+        len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')),
+        len(regexp_extract_all(text, '\b(el|los|las|y|con)\b')))
+    """
+    chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, {quality} AS quality
+      FROM {table}
+      WHERE {quality} >= {min_quality} AND ({lang_en})),
+    kept AS (
+      SELECT doc_id, text, quality FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    chunks AS ({chunks})
+    SELECT c.doc_id, c.chunk_id, c.part_index, c.total_parts, c.n_tokens,
+           round(k.quality, 6) AS quality
+    FROM chunks c JOIN kept k USING (doc_id)
+    """

@@ -187,6 +187,39 @@ def test_artifact_search_type_filter(spark):
     art.unpersist()
 
 
+def test_curation_pipeline_properties(spark):
+    from augmented_codebase_indexer_spark.operators.textstats import with_text_stats
+    from augmented_codebase_indexer_spark.plans.curation import (
+        curate_documents,
+        curation_pipeline,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant exact duplicates + a junk doc
+    dup = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text",
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    junk = spark.createDataFrame(
+        [(9999, "!!! ??? ***", "en", "web", 11)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    all_docs = docs.unionByName(dup).unionByName(junk.select(*docs.columns))
+    kept = curate_documents(all_docs, min_quality=0.3).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    assert 9999 not in kept_ids                      # junk filtered by quality
+    assert not (kept_ids & set(range(5000, 5010)))   # dup losers dropped
+    # every kept doc passes the filters it claims
+    stats = {r["doc_id"]: (r["quality"], r["lang_pred"]) for r in
+             with_text_stats(all_docs.select("doc_id", "text")).collect()}
+    for r in kept:
+        q, lp = stats[r["doc_id"]]
+        assert q >= 0.3 and lp == "en"
+    # chunk output joins back to kept docs only
+    chunks = curation_pipeline(all_docs, min_quality=0.3).collect()
+    assert {r["doc_id"] for r in chunks} == kept_ids
+
+
 def test_build_graph_join_linker_path(spark, corpus, corpus_dir, tmp_path_factory):
     """Gazetteer-size branch: forcing the threshold below the gazetteer size
     must route build_graph through the join linker and produce the SAME
