@@ -91,6 +91,90 @@ class Warehouse:
             shutil.rmtree(old)
         return final
 
+    # -- table maintenance ------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_file_mb: int = 256,
+        min_files_per_partition: int = 2,
+    ) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analog).
+
+        Streaming upserts and incremental updates accumulate many small
+        parquet files per bucket; at 100 TB small files dominate scan task
+        setup and NameNode/manifest pressure. Compaction reads the table
+        and atomically re-commits it with files sized toward
+        ``target_file_mb`` (row counts and bucket layout preserved — the
+        commit path is the same atomic rename, so readers never see a
+        partial rewrite). No-op when no partition exceeds
+        ``min_files_per_partition`` files. Returns before/after counts."""
+        final = self.path(table)
+        before = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(final)
+            for f in fs if f.endswith(".parquet")
+        ]
+        by_dir: dict[str, int] = {}
+        for p in before:
+            by_dir[os.path.dirname(p)] = by_dir.get(os.path.dirname(p), 0) + 1
+        if not any(v > min_files_per_partition for v in by_dir.values()):
+            return {"table": table, "files_before": len(before),
+                    "files_after": len(before), "compacted": False}
+        df = self.read(spark, table)
+        total_bytes = sum(os.path.getsize(p) for p in before)
+        bucketed = "bucket" in df.columns
+        if bucketed:
+            # preserve bucket layout: one output file per bucket directory
+            # unless a bucket is larger than the target
+            writer = df.repartition("bucket")
+            tmp = final + f".__tmp_{self.run_id}__"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            writer.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        else:
+            n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+            tmp = final + f".__tmp_{self.run_id}__"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        old = final + ".__old__"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old)
+        after = [
+            f for dp, _, fs in os.walk(final) for f in fs if f.endswith(".parquet")
+        ]
+        return {"table": table, "files_before": len(before),
+                "files_after": len(after), "compacted": True}
+
+    def expire_checkpoints(self, keep_run_ids: set[str]) -> int:
+        """Retention for the checkpoint log (Iceberg ``expire_snapshots``
+        analog): drop checkpoint rows of runs not in ``keep_run_ids``;
+        returns how many were removed. Table data is unaffected — this
+        bounds the WAL replay cost, which otherwise grows per run forever."""
+        if not os.path.isfile(self._ckpt_path):
+            return 0
+        kept, dropped = [], 0
+        with open(self._ckpt_path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                if row.get("run_id") in keep_run_ids:
+                    kept.append(line)
+                else:
+                    dropped += 1
+        if dropped:
+            tmp = self._ckpt_path + ".__tmp__"
+            with open(tmp, "w") as f:
+                f.writelines(kept)
+            os.rename(tmp, self._ckpt_path)
+        return dropped
+
     # -- checkpoints ----------------------------------------------------------
 
     def _load_checkpoints(self) -> dict[tuple[str, str], dict]:
