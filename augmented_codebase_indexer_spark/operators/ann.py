@@ -124,6 +124,105 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, probe the query's ``n_probe`` nearest lists, exact
+    cosine re-rank inside. The second scale path next to sign-LSH
+    (``lsh_bucket_topk``): IVF adapts to the data distribution where LSH
+    is data-oblivious.
+
+    Training is deterministic DataFrame algebra — seed centroids are the
+    ``n_centroids`` corpus vectors with the smallest xxhash64(id) (a seeded
+    sample with no RNG state), refined by ``lloyd_iters`` Lloyd steps
+    (assign via broadcast centroid crossJoin + window argmin; update via
+    groupBy mean — the classic two-step as joins/aggregations). Centroids
+    stay driver-side lists (tiny: n_centroids × dim), the corpus never
+    leaves the cluster, and assignment is one narrow pass per iteration.
+    Recall < 1 by design; gated in pytest against the brute tier."""
+    corpus = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    # seeded deterministic init: smallest-hash corpus vectors
+    seeds = (
+        corpus.withColumn("__h", F.xxhash64(F.col("id")))
+        .orderBy("__h").limit(n_centroids).select("vec").collect()
+    )
+    centroids = [list(r["vec"]) for r in seeds]
+
+    def _centroid_df():
+        sess = embeddings.sparkSession
+        return F.broadcast(
+            sess.createDataFrame(
+                [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+                "cid int, cvec array<double>",
+            )
+        )
+
+    def _assign(df):
+        scored = df.crossJoin(_centroid_df()).withColumn(
+            "sim", cosine_col(F.col("vec"), F.col("cvec"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "vec", "cid")
+        )
+
+    for _ in range(lloyd_iters):
+        assigned = _assign(corpus)
+        # mean per cluster: aggregate element-wise sums (posexplode → sum →
+        # re-assemble) — algebraic, map-side combined
+        sums = (
+            assigned.select("cid", F.posexplode(F.col("vec")).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))).alias("ms"))
+            .select("cid", F.expr("transform(ms, e -> e.m)").alias("mean"))
+            .collect()
+        )
+        new_centroids = dict((r["cid"], list(r["mean"])) for r in sums)
+        centroids = [new_centroids.get(ci, centroids[ci]) for ci in range(len(centroids))]
+
+    assigned = _assign(corpus)
+    q = assigned.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    # probe lists: each query's n_probe nearest centroids
+    qprobe = q.crossJoin(_centroid_df()).withColumn(
+        "sim", cosine_col(F.col("qvec"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned.select(F.col("id").alias("neighbor_id"),
+                              F.col("vec").alias("cvec2"), "cid"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", F.round(cosine_col(F.col("qvec"), F.col("cvec2")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

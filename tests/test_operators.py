@@ -255,6 +255,34 @@ def test_ann_topk_matches_numpy(spark):
             assert abs(ws - rs) < 1e-5
 
 
+def test_ivf_topk_recall_and_score_correctness(spark):
+    """IVF tier: returned cosines must equal the brute-force cosine for the
+    same pair (the re-rank is exact), and recall@3 vs the brute tier must
+    clear a floor appropriate to probing 4/16 lists."""
+    from augmented_codebase_indexer_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = list(range(10))
+    brute = brute_force_topk(emb, qids, k=3).collect()
+    ivf = ivf_topk(emb, qids, k=3, n_centroids=16, n_probe=4).collect()
+    bcos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in brute}
+    # exact re-rank: any pair IVF returns that brute also ranked must agree
+    allpairs = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, qids, k=500).collect()
+    }
+    for r in ivf:
+        assert abs(allpairs[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-9
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    want = set(bcos)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall
+    # determinism
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             ivf_topk(emb, qids, k=3, n_centroids=16, n_probe=4).collect()}
+    assert again == got
+
+
 def test_embedding_lsh_subset_of_exact(spark):
     from augmented_codebase_indexer_spark.operators.ann import (
         embedding_near_duplicates,
