@@ -388,6 +388,7 @@ def main() -> None:
     for name in (
         "q1_pricing_summary", "join_topk_revenue",
         "ann_topk", "text_stats", "event_window", "window_dedup",
+        "chunking", "summaries", "sessionize", "asof_join", "curation",
     ):
         t = time.monotonic()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
