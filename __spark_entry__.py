@@ -532,6 +532,41 @@ def q_rerank_search(spark, sf_dir):
     return rerank_search(_t(spark, sf_dir, "documents"), "spark window join", k=10)
 
 
+def q_moving_avg(spark, sf_dir):
+    # RANGE-frame window: each event's trailing-1h per-user average — the
+    # time-series smoothing shape (range frame, not rows frame)
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+def q_pivot_counts(spark, sf_dir):
+    # pivot: per-user event-type count matrix (groupBy().pivot() — Catalyst
+    # rewrites to a single aggregation with conditional counts)
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
 def q_curation(spark, sf_dir):
     # end-to-end training-data curation: quality + lang filters → exact-dup
     # winners → token chunks (the nightly 100TB composition, fully mirrored)
@@ -618,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "curation": q_curation,
+        "moving_avg": q_moving_avg,
+        "pivot_counts": q_pivot_counts,
     }
 
 
@@ -1190,6 +1227,26 @@ def oracle_sql() -> dict[str, str]:
              - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_sec,
            round(sum(value), 4) AS total_value
     FROM sess GROUP BY user_id, session_seq
+    """
+
+    sql["moving_avg"] = """
+    SELECT event_id,
+           round(avg(value) OVER w, 6) AS avg_1h,
+           count(*) OVER w AS n_1h
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """
+
+    sql["pivot_counts"] = """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup') AS n_signup,
+           count(*) FILTER (event_type = 'error') AS n_error
+    FROM events GROUP BY user_id
     """
 
     from augmented_codebase_indexer_spark.plans.curation import curation_oracle_sql
