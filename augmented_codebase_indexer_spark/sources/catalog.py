@@ -91,6 +91,88 @@ class Warehouse:
             shutil.rmtree(old)
         return final
 
+    def upsert_buckets(
+        self,
+        spark: SparkSession,
+        table: str,
+        new_rows: DataFrame,
+        delete_keys: DataFrame,
+        delete_col: str,
+        bucket_col: str,
+        n_buckets: int = 32,
+        sort_within: list[str] | None = None,
+    ) -> dict:
+        """Partial upsert: delete-by-key then insert, rewriting ONLY the
+        bucket partitions that contain affected rows (Iceberg MERGE INTO /
+        copy-on-write analog at partition granularity).
+
+        A micro-batch touching 0.1% of urls previously rewrote the entire
+        edge table (fine in tests, quadratic-in-time at 100 TB). Here:
+
+          1. affected buckets = buckets holding rows whose ``delete_col``
+             is in ``delete_keys`` (bucket-pruned scan) ∪ buckets of the
+             new rows (computed from ``bucket_col``);
+          2. read ONLY those partitions, anti-join the delete keys, union
+             the new rows;
+          3. atomically swap just those bucket directories — untouched
+             buckets are never read or written.
+
+        Returns {"buckets_rewritten": k, "n_buckets": N}."""
+        final = self.path(table)
+        if not os.path.isdir(final):
+            self.commit(new_rows, table, bucket_col=bucket_col,
+                        n_buckets=n_buckets, sort_within=sort_within)
+            return {"buckets_rewritten": n_buckets, "n_buckets": n_buckets}
+
+        old = self.read(spark, table)
+        keys = delete_keys.select(F.col(delete_col)).distinct()
+        del_buckets = {
+            r["bucket"]
+            for r in old.join(F.broadcast(keys), delete_col)
+            .select("bucket").distinct().collect()
+        }
+        new_b = new_rows.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+        )
+        ins_buckets = {r["bucket"] for r in new_b.select("bucket").distinct().collect()}
+        affected = sorted(del_buckets | ins_buckets)
+        if not affected:
+            return {"buckets_rewritten": 0, "n_buckets": n_buckets}
+
+        touched_old = old.filter(F.col("bucket").isin(affected))  # partition-pruned
+        merged = (
+            touched_old.join(F.broadcast(keys), delete_col, "left_anti")
+            .unionByName(new_b.filter(F.col("bucket").isin(affected)))
+        )
+        merged = merged.repartition("bucket")
+        if sort_within:
+            merged = merged.sortWithinPartitions(*sort_within)
+        tmp = final + f".__tmp_upsert_{self.run_id}__"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+
+        # swap only the affected bucket directories (atomic per bucket; a
+        # killed swap leaves each bucket old-or-new, never partial — with
+        # Iceberg this whole step is one snapshot commit)
+        for b in affected:
+            src = os.path.join(tmp, f"bucket={b}")
+            dst = os.path.join(final, f"bucket={b}")
+            bak = dst + ".__old__"
+            if os.path.isdir(bak):
+                shutil.rmtree(bak)
+            if os.path.isdir(dst):
+                os.rename(dst, bak)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)  # bucket emptied by deletes
+            if os.path.isdir(bak):
+                shutil.rmtree(bak)
+        shutil.rmtree(tmp)
+        # drop stale _SUCCESS markers confusion: leave table-level marker
+        return {"buckets_rewritten": len(affected), "n_buckets": n_buckets}
+
     # -- table maintenance ------------------------------------------------------
 
     def compact(

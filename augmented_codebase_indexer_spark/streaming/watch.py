@@ -80,18 +80,19 @@ def micro_batch_upsert(wh: Warehouse, alias_bc, gaz_bc, canon: DataFrame,
             .dropDuplicates(["subj_id", "pred", "obj_id", "url", "pos"])
         )
         touched = batch_df.select("url").distinct()
-        if wh.exists("edges"):
-            old = wh.read(spark, "edges").drop("bucket")
-            merged = old.join(F.broadcast(touched), "url", "left_anti").unionByName(new_edges)
-        else:
-            merged = new_edges
         obs_edges = Observation(f"edges-{batch_id}")
-        merged = merged.observe(obs_edges, F.count(F.lit(1)).alias("edges_after"))
-        wh.commit(merged, "edges", bucket_col="subj_id", n_buckets=cfg.edge_buckets,
-                  sort_within=["subj_id"])
+        new_edges = new_edges.observe(obs_edges, F.count(F.lit(1)).alias("edges_new"))
+        # partial upsert: delete-by-url + insert rewrites ONLY the affected
+        # bucket partitions (Iceberg MERGE INTO analog) — a micro-batch no
+        # longer rewrites the whole edge table per trigger
+        stats = wh.upsert_buckets(
+            spark, "edges", new_edges, touched, delete_col="url",
+            bucket_col="subj_id", n_buckets=cfg.edge_buckets,
+            sort_within=["subj_id"],
+        )
         wh.record_metrics(
             spark, f"watch:batch={batch_id}",
-            {**obs_pages.get, **obs_triples.get, **obs_edges.get},
+            {**obs_pages.get, **obs_triples.get, **obs_edges.get, **stats},
         )
 
     return process

@@ -52,6 +52,52 @@ def test_compaction_unbucketed_table(spark, tmp_path_factory):
     assert wh.read(spark, "t").count() == n
 
 
+def test_upsert_buckets_equals_full_rewrite(spark, tmp_path_factory):
+    """Bucket-level MERGE (delete-by-key + insert, affected buckets only)
+    must equal the full-table delete+union rewrite, and must not touch
+    unaffected bucket directories."""
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_upsert")), "u0")
+    base = spark.range(0, 2000).select(
+        F.concat(F.lit("u"), (F.col("id") % 97).cast("string")).alias("url"),
+        F.col("id").alias("subj_id"),
+        (F.col("id") % 5).alias("v"),
+    )
+    wh.commit(base, "edges", bucket_col="subj_id", n_buckets=8)
+    # record per-bucket file mtimes before
+    import os as _os
+    pre = {}
+    for b in range(8):
+        d = _os.path.join(wh.path("edges"), f"bucket={b}")
+        pre[b] = sorted((_os.path.getmtime(_os.path.join(d, f)), f)
+                        for f in _os.listdir(d) if f.endswith(".parquet"))
+
+    # upsert: replace url u3's rows with 5 new edges on 2 subjects
+    touched = spark.createDataFrame([("u3",)], "url string")
+    new_rows = spark.createDataFrame(
+        [("u3", 10_000 + i, 9) for i in range(5)], "url string, subj_id long, v long"
+    )
+    stats = wh.upsert_buckets(spark, "edges", new_rows, touched,
+                              delete_col="url", bucket_col="subj_id", n_buckets=8)
+    assert 0 < stats["buckets_rewritten"] <= 8
+
+    got = {tuple(r) for r in wh.read(spark, "edges").drop("bucket").collect()}
+    want = {
+        tuple(r)
+        for r in base.filter(F.col("url") != "u3").unionByName(new_rows).collect()
+    }
+    assert got == want
+    # unaffected buckets were not rewritten (same files, same mtimes)
+    rewritten = stats["buckets_rewritten"]
+    untouched_same = 0
+    for b in range(8):
+        d = _os.path.join(wh.path("edges"), f"bucket={b}")
+        cur = sorted((_os.path.getmtime(_os.path.join(d, f)), f)
+                     for f in _os.listdir(d) if f.endswith(".parquet"))
+        if cur == pre[b]:
+            untouched_same += 1
+    assert untouched_same == 8 - rewritten
+
+
 def test_checkpoint_retention(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("wh_retain"))
     for run in ("r1", "r2", "r3"):

@@ -66,7 +66,13 @@ def test_stream_matches_batch(spark, corpus, corpus_dir, tmp_path_factory):
     total_pages = sum(v for (src, met), v in rows.items() if met == "pages_in")
     assert total_pages == pages.count()
     assert any(met == "triples_resolved" and v > 0 for (_, met), v in rows.items())
-    assert any(met == "edges_after" for (_, met), v in rows.items())
+    assert any(met == "edges_new" for (_, met), v in rows.items())
+    # partial upsert actually prunes: later batches rewrite fewer buckets
+    # than the table has (the whole point of the bucket-level MERGE)
+    rewrites = [(src, v) for (src, met), v in rows.items() if met == "buckets_rewritten"]
+    totals = {v for (src, met), v in rows.items() if met == "n_buckets"}
+    assert rewrites and totals
+    assert min(v for _, v in rewrites) < max(totals) or len(rewrites) <= 1
 
 
 def test_multimodal_plumbing(spark):
