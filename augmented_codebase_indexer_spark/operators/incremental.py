@@ -88,21 +88,24 @@ def incremental_update(
         .dropDuplicates(["subj_id", "pred", "obj_id", "url", "pos"])
     )
 
-    old_edges = wh.read(spark, "edges").drop("bucket")
-    kept = old_edges.join(F.broadcast(removed), "url", "left_anti")
-    merged = kept.unionByName(new_edges)
-
     from pyspark.sql import Observation
 
     obs = Observation("incremental-edges")
-    merged = merged.observe(obs, F.count(F.lit(1)).alias("edges_after"))
-    wh.commit(merged, "edges", bucket_col="subj_id", n_buckets=cfg.edge_buckets,
-              sort_within=["subj_id"])
+    new_edges = new_edges.observe(obs, F.count(F.lit(1)).alias("edges_new"))
+    # bucket-level MERGE: delete edges of removed/modified urls + insert the
+    # recomputed ones, rewriting only affected bucket partitions — unchanged
+    # urls' edges are not even READ (the 100 TB win compounds: unchanged
+    # pages skip extraction AND their storage never churns)
+    stats = wh.upsert_buckets(
+        spark, "edges", new_edges, removed, delete_col="url",
+        bucket_col="subj_id", n_buckets=cfg.edge_buckets,
+        sort_within=["subj_id"],
+    )
     wh.commit(cur_hashes, "page_index")
     counts = {r["change"]: r["n"] for r in
               diff.groupBy("change").agg(F.count("*").alias("n")).collect()}
     diff.unpersist()
     # A7: update counters land in the warehouse _metrics table alongside
     # the watch path's per-batch counters
-    wh.record_metrics(spark, "incremental", {**counts, **obs.get})
+    wh.record_metrics(spark, "incremental", {**counts, **obs.get, **stats})
     return counts

@@ -60,7 +60,9 @@ def test_incremental_equals_full_rebuild(spark, corpus, corpus_dir, tmp_path_fac
     m = {r["metric"]: r["value"] for r in wh_obj.metrics(spark).filter(
         F.col("source") == "incremental").collect()}
     assert m.get("new") == counts["new"] and m.get("deleted") == counts["deleted"]
-    assert m.get("edges_after", 0) > 0
+    assert m.get("edges_new", 0) > 0
+    # bucket-level MERGE recorded its pruning
+    assert 0 < m.get("buckets_rewritten", 0) <= m.get("n_buckets", 0)
 
     build_graph(spark, pages2, gaz, wh_full, run_id="full")
     inc_edges = _edge_set(spark, wh_inc)
