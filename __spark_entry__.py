@@ -532,6 +532,15 @@ def q_rerank_search(spark, sf_dir):
     return rerank_search(_t(spark, sf_dir, "documents"), "spark window join", k=10)
 
 
+def q_profile(spark, sf_dir):
+    # column profiling: null/distinct/min/max per column in ONE aggregation
+    from augmented_codebase_indexer_spark.operators.profiling import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def q_moving_avg(spark, sf_dir):
     # RANGE-frame window: each event's trailing-1h per-user average — the
     # time-series smoothing shape (range frame, not rows frame)
@@ -653,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "curation": q_curation,
+        "profile": q_profile,
         "moving_avg": q_moving_avg,
         "pivot_counts": q_pivot_counts,
     }
@@ -1228,6 +1238,12 @@ def oracle_sql() -> dict[str, str]:
            round(sum(value), 4) AS total_value
     FROM sess GROUP BY user_id, session_seq
     """
+
+    from augmented_codebase_indexer_spark.operators.profiling import profile_oracle_sql
+
+    sql["profile"] = profile_oracle_sql(
+        "documents", ["doc_id", "lang", "source", "n_chars"], ["doc_id", "n_chars"]
+    )
 
     sql["moving_avg"] = """
     SELECT event_id,
