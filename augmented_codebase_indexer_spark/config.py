@@ -39,6 +39,11 @@ class PipelineConfig:
     gazetteer_broadcast_max_rows: int = 1_000_000
 
     # ---- canonicalization / graph algorithms ----
+    # cap on a same-as LSH candidate bucket before the self-join would go
+    # quadratic (e.g. every entity named "the ..."); capped buckets are
+    # counted into warehouse metrics, never silently dropped. 10k² pairs is
+    # the worst single bucket we accept (~50M comparisons, one task-second).
+    canon_max_bucket_size: int = 10_000
     cc_max_iters: int = 25
     cc_checkpoint_every: int = 4     # localCheckpoint cadence to cut lineage
     pagerank_damping: float = 0.85   # pagerank_scorer.py:22-27

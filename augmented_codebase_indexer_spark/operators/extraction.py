@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.openie import (
-    build_alias_regex,
+    build_matcher,
     extract_triples_from_text,
     find_mentions,
     line_of,
@@ -43,10 +43,13 @@ _MATCHER_CACHE: dict[str, object] = {}
 
 
 def _matcher_from(handle: BcHandle | None) -> object:
+    """Init-once per python worker: alternation regex for small alias sets,
+    Aho-Corasick automaton past ``openie.AC_THRESHOLD`` (identical spans;
+    the automaton's scan cost is independent of gazetteer size)."""
     if handle is None:
         return None
     if handle.token not in _MATCHER_CACHE:
-        _MATCHER_CACHE[handle.token] = build_alias_regex(handle.bc.value)
+        _MATCHER_CACHE[handle.token] = build_matcher(handle.bc.value)
     return _MATCHER_CACHE[handle.token]
 
 

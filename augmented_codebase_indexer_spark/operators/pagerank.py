@@ -78,9 +78,15 @@ def pagerank(
     if m <= local_threshold:
         pairs = [(r["src"], r["dst"]) for r in e.collect()]
         pr = pagerank_numpy_mirror(pairs, damping, max_iters, tol, check_every)
-        return spark.createDataFrame(
-            sorted(pr.items()), "node_id string, pagerank double"
-        )
+        # node_id keeps the INPUT id type (integer ids stay integers), so the
+        # local and distributed tiers return the identical schema (ADVICE r2)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType([
+            StructField("node_id", edges.schema[src_col].dataType),
+            StructField("pagerank", DoubleType()),
+        ])
+        return spark.createDataFrame(sorted(pr.items()), schema)
 
     e = e.localCheckpoint(eager=True)
     nodes = (

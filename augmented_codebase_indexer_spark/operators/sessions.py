@@ -98,28 +98,39 @@ def asof_join(
     events_ts: str = "ts",
     dim_ts: str = "ts",
     dim_value: str = "value",
+    dim_tiebreak: str | None = None,
 ) -> DataFrame:
     """events + latest ``dim_value`` as-of each event's timestamp (NULL when
     no dimension version precedes it). Dimension rows sort BEFORE event
-    rows on ts ties (an update effective at t applies to events at t)."""
+    rows on ts ties (an update effective at t applies to events at t).
+    Among DIMENSION rows sharing the same (key, ts), the carried value is
+    made deterministic by a final sort key: ``dim_tiebreak`` (a dim column,
+    e.g. a version/sequence id — the greatest wins) when given, else the
+    value itself (ADVICE r2: without this the pick was partition-order
+    dependent and could diverge from the DuckDB ASOF oracle)."""
     e = events.withColumn("__src", F.lit(1)).withColumn("__dimval", F.lit(None).cast(
         dim.schema[dim_value].dataType
     ))
+    tiebreak_src = F.col(dim_tiebreak) if dim_tiebreak else F.col(dim_value)
     d = (
         dim.select(
             F.col(key_col),
             F.col(dim_ts).alias(events_ts),
             F.col(dim_value).alias("__dimval"),
+            tiebreak_src.alias("__tie"),
         )
         .withColumn("__src", F.lit(0))
     )
-    cols = [key_col, events_ts, "__src", "__dimval"]
+    e = e.withColumn("__tie", F.lit(None).cast(d.schema["__tie"].dataType))
+    cols = [key_col, events_ts, "__src", "__dimval", "__tie"]
     extra = [c for c in events.columns if c not in (key_col, events_ts)]
     merged = e.select(*cols, *extra).unionByName(
         d.select(*cols, *[F.lit(None).cast(e.schema[c].dataType).alias(c) for c in extra])
     )
-    w = Window.partitionBy(key_col).orderBy(F.asc(events_ts), F.asc("__src")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # event rows (__src=1) sort after all same-ts dim rows; among same-ts dim
+    # rows the LAST in (__tie asc) order wins the carry — deterministic
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc(events_ts), F.asc("__src"), F.asc_nulls_first("__tie")
+    ).rowsBetween(Window.unboundedPreceding, 0)
     carried = merged.withColumn("asof_value", F.last("__dimval", ignorenulls=True).over(w))
-    return carried.filter(F.col("__src") == 1).drop("__src", "__dimval")
+    return carried.filter(F.col("__src") == 1).drop("__src", "__dimval", "__tie")
