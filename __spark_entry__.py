@@ -513,6 +513,33 @@ def q_chunking(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), size=40, overlap=10)
 
 
+def q_chunking_sentence(spark, sf_dir):
+    """Smart-splitter parity: cut points snap to the nearest sentence
+    boundary within ±tol tokens (operators/chunking.py:chunk_documents_sentence;
+    reference core/chunker/smart_splitter.py:59-339). The synthetic
+    documents table has NO sentence punctuation, so the gate first injects
+    a deterministic '.' after every 9th token — identically in the DuckDB
+    oracle — which makes every nominal cut actually snap (offset-3
+    boundaries at all multiples of 30); fixed-stride degeneration would
+    hash-mismatch."""
+    from augmented_codebase_indexer_spark.operators.chunking import (
+        chunk_documents_sentence,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    punct = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t, j: F.when(j % 9 == 8, F.concat(t, F.lit("."))).otherwise(t),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return chunk_documents_sentence(punct, size=40, overlap=10, tol=5)
+
+
 def q_summaries(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.summary import summarize_documents
 
@@ -655,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "pagerank": q_pagerank,
         "chunking": q_chunking,
+        "chunking_sentence": q_chunking_sentence,
         "summaries": q_summaries,
         "outlinks": q_outlinks,
         "rerank_search": q_rerank_search,
@@ -1160,7 +1188,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from augmented_codebase_indexer_spark.functions.sqlhash import fingerprint_expr
-    from augmented_codebase_indexer_spark.operators.chunking import chunk_oracle_sql
+    from augmented_codebase_indexer_spark.operators.chunking import (
+        chunk_oracle_sql,
+        chunk_sentence_oracle_sql,
+    )
     from augmented_codebase_indexer_spark.operators.summary import summary_oracle_sql
 
     sql["fingerprint"] = f"""
@@ -1180,6 +1211,16 @@ def oracle_sql() -> dict[str, str]:
     sql["hybrid_search"] = _hybrid_search_oracle_sql("spark window join", k=10)
     sql["rerank_search"] = _rerank_oracle_sql("spark window join", k=10)
     sql["chunking"] = chunk_oracle_sql(size=40, overlap=10)
+    punct = """(
+      WITH __p AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS n FROM documents)
+      SELECT doc_id,
+             array_to_string(list_transform(range(1, n + 1),
+                 j -> CASE WHEN j % 9 = 0 THEN toks[j] || '.' ELSE toks[j] END), ' ') AS text
+      FROM __p)"""
+    sql["chunking_sentence"] = chunk_sentence_oracle_sql(
+        size=40, overlap=10, tol=5, table=punct
+    )
     sql["summaries"] = summary_oracle_sql()
 
     # artifact table = doc summaries ∪ chunk artifacts; pattern coverage per

@@ -55,6 +55,99 @@ def test_chunking_short_doc_single_part(spark):
     assert rows[0]["n_tokens"] == 4
 
 
+def _py_sentence_starts(text, size, overlap, tol):
+    """Independent python mirror of the snap rule."""
+    toks = text.split(" ")
+    n = len(toks)
+    stride = size - overlap
+    total = 1 if n <= size else (n - size + stride - 1) // stride + 1
+    bpos = [j + 1 for j, t in enumerate(toks) if t.endswith(".") and j + 1 < n]
+    starts = [0]
+    for i in range(1, total):
+        p = i * stride
+        cands = [(abs(b - p), b) for b in bpos if abs(b - p) <= tol]
+        starts.append(min(cands)[1] if cands else p)
+    return toks, starts
+
+
+def test_sentence_chunking_snaps_and_covers(spark, corpus):
+    """Uses the generated corpus texts — real sentences ending '. ' — since
+    the synthetic documents table carries no punctuation."""
+    from augmented_codebase_indexer_spark.functions.textextract import extract_text
+    from augmented_codebase_indexer_spark.operators.chunking import (
+        chunk_documents_sentence,
+    )
+
+    rows_in = []
+    for p in corpus.pages[:150]:
+        t = extract_text(p["html"])
+        if t:
+            rows_in.append((p["url"], t))
+    docs = spark.createDataFrame(rows_in, "doc_id string, text string")
+    out = chunk_documents_sentence(docs, size=40, overlap=10, tol=5).collect()
+    texts = dict(rows_in)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    snapped = unsnapped = 0
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["part_index"])
+        toks, starts = _py_sentence_starts(texts[did], 40, 10, 5)
+        # last chunk absorbs the remainder (may exceed size by ≤ tol)
+        ends = [s + 40 for s in starts[:-1]] + [len(toks)]
+        assert [r["chunk_text"] for r in rows] == [
+            " ".join(toks[s:e]) for s, e in zip(starts, ends)
+        ]
+        n = len(toks)
+        bpos = [j + 1 for j, t in enumerate(toks) if t.endswith(".") and j + 1 < n]
+        covered = set()
+        for s, r in zip(starts, rows):
+            covered.update(range(s, s + r["n_tokens"]))
+            if r["part_index"] == 0:
+                continue
+            # THE property: when a boundary exists within ±tol of the
+            # nominal cut, the chunk must start ON a sentence boundary
+            p = 30 * r["part_index"]
+            if any(abs(b - p) <= 5 for b in bpos):
+                assert toks[s - 1].endswith("."), (did, r["part_index"], s)
+                snapped += 1
+            else:
+                unsnapped += 1
+        assert covered == set(range(n))  # tol ≤ overlap/2 ⇒ no gaps
+    assert snapped > 50  # the corpus really exercises the snap rule
+
+
+def test_chunking_tokenizer_hook(spark):
+    """A custom tokenizer column drives boundaries/counts/ids; the default
+    whitespace path is unchanged (hermetic, oracle-gated)."""
+    from augmented_codebase_indexer_spark.operators.chunking import tokenize_with
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    # fake BPE: every whitespace token splits into ≤2 sub-tokens
+    def fake_bpe(s):
+        out = []
+        for t in s.split(" "):
+            out.extend([t[:3], t[3:]] if len(t) > 3 else [t])
+        return out
+
+    toked = tokenize_with(docs, fake_bpe, out_col="tokens")
+    out = chunk_documents(toked, size=40, overlap=10, tokens_col="tokens").collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["part_index"])
+        toks = fake_bpe(texts[did])
+        n = len(toks)
+        total = 1 if n <= 40 else (n - 40 + 29) // 30 + 1
+        assert rows[0]["total_parts"] == total  # budget follows the HOOK's counts
+        assert [r["chunk_text"] for r in rows] == [
+            " ".join(toks[i * 30 : i * 30 + 40]) for i in range(total)
+        ]
+
+
 def test_summaries_shapes(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
     out = summarize_documents(docs).collect()
