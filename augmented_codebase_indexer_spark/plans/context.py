@@ -21,6 +21,7 @@ SCALE.md).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,10 +37,17 @@ def assemble_context(
     token_budget: int = 2000,
     tokens_per_node: int = 50,
     count_tokens: bool = True,
+    token_counter=None,
 ) -> DataFrame:
     """→ (node_id, hops, pagerank, canonical_name, entity_type, n_tokens,
     cum_tokens) — the highest-PageRank neighborhood slice that fits the
-    budget; seeds always survive (hops 0 sorts first on ties via hops asc)."""
+    budget; seeds always survive (hops 0 sorts first on ties via hops asc).
+
+    Tokenizer hook (VERDICT r2 ask #6): pass ``token_counter`` — any python
+    callable str → int (e.g. ``lambda s: len(enc.encode(s))`` where a real
+    tokenizer exists) — and each node's rendered content is budgeted by THAT
+    count (Arrow-batched). The hermetic whitespace heuristic stays the
+    default, so the oracle-gated behavior is unchanged."""
     hood = neighborhood(edges, seed_ids, depth=depth, direction="out")
     enriched = (
         hood.join(ranks, "node_id", "left")
@@ -55,7 +63,16 @@ def assemble_context(
             " ", F.coalesce(F.col("canonical_name"), F.col("node_id")),
             F.coalesce(F.col("entity_type"), F.lit("")),
         )
-        n_tokens = F.size(F.split(F.trim(rendered), " ")) + F.lit(tokens_per_node)
+        if token_counter is not None:
+            from pyspark.sql.types import IntegerType
+
+            @F.pandas_udf(IntegerType())
+            def count_udf(s: pd.Series) -> pd.Series:
+                return s.map(lambda x: int(token_counter(x)) if x is not None else 0)
+
+            n_tokens = count_udf(F.trim(rendered)) + F.lit(tokens_per_node)
+        else:
+            n_tokens = F.size(F.split(F.trim(rendered), " ")) + F.lit(tokens_per_node)
     else:
         n_tokens = F.lit(tokens_per_node)
     # seeds (hops=0) first, then pagerank desc; running token sum caps the set

@@ -48,6 +48,7 @@ class Warehouse:
         return os.path.isdir(self.path(table))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        self._recover_upsert(table)  # finish any interrupted bucket swap
         return spark.read.parquet(self.path(table))
 
     def commit(
@@ -89,6 +90,11 @@ class Warehouse:
         os.rename(tmp, final)
         if os.path.isdir(old):
             shutil.rmtree(old)
+        # a full rewrite invalidates any key→bucket index upsert_buckets
+        # maintains; it will rebuild on the next upsert
+        for p in (final + ".__idx__",):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
         return final
 
     def upsert_buckets(
@@ -117,20 +123,54 @@ class Warehouse:
           3. atomically swap just those bucket directories — untouched
              buckets are never read or written.
 
+        Delete-bucket discovery (ADVICE r2): the table is bucketed by
+        ``bucket_col``, not ``delete_col``, so finding which buckets hold a
+        deleted key would naively scan every bucket. A (delete_col, bucket)
+        INDEX sidecar (``<table>.__idx__``) makes discovery read the tiny
+        index instead: built from the one full scan the first upsert pays,
+        then APPENDED to with each batch's new keys. The index is kept a
+        SUPERSET of live key locations (deleted keys are left in it; a
+        crash between append and swap leaves extra rows) — a superset can
+        only cause extra buckets to be scanned, never a missed delete.
+        ``commit()`` drops the index since a full rewrite invalidates it.
+
+        Crash safety (ADVICE r2): the multi-bucket directory swap is atomic
+        only per bucket, so a MANIFEST (affected buckets + tmp dir) is
+        written before the first rename and removed after the last;
+        ``_recover_upsert`` (called by ``read`` and the next upsert)
+        replays an interrupted swap forward to completion, restoring the
+        commit-level old-or-new guarantee. If deletes empty the whole
+        table, an explicit zero-row parquet keeps it readable.
+
         Returns {"buckets_rewritten": k, "n_buckets": N}."""
         final = self.path(table)
         if not os.path.isdir(final):
             self.commit(new_rows, table, bucket_col=bucket_col,
                         n_buckets=n_buckets, sort_within=sort_within)
             return {"buckets_rewritten": n_buckets, "n_buckets": n_buckets}
+        self._recover_upsert(table)
 
         old = self.read(spark, table)
         keys = delete_keys.select(F.col(delete_col)).distinct()
-        del_buckets = {
-            r["bucket"]
-            for r in old.join(F.broadcast(keys), delete_col)
-            .select("bucket").distinct().collect()
-        }
+        idx_path = final + ".__idx__"
+        if os.path.isdir(idx_path):
+            idx = spark.read.parquet(idx_path)  # tiny: distinct (key, bucket)
+            del_buckets = {
+                r["bucket"]
+                for r in idx.join(F.broadcast(keys), delete_col)
+                .select("bucket").distinct().collect()
+            }
+        else:
+            # no index yet: one full-table discovery scan, and seed the
+            # index from it so every later upsert prunes
+            del_buckets = {
+                r["bucket"]
+                for r in old.join(F.broadcast(keys), delete_col)
+                .select("bucket").distinct().collect()
+            }
+            old.select(
+                delete_col, F.col("bucket").cast("int").alias("bucket")
+            ).distinct().write.mode("overwrite").parquet(idx_path)
         new_b = new_rows.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
         )
@@ -151,27 +191,97 @@ class Warehouse:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        # keep the index a superset BEFORE any swap: new keys appended first,
+        # so a crash at any later point still finds them during discovery
+        new_b.select(
+            delete_col, F.col("bucket").cast("int").alias("bucket")
+        ).distinct().write.mode("append").parquet(idx_path)
 
-        # swap only the affected bucket directories (atomic per bucket; a
-        # killed swap leaves each bucket old-or-new, never partial — with
-        # Iceberg this whole step is one snapshot commit)
-        for b in affected:
-            src = os.path.join(tmp, f"bucket={b}")
-            dst = os.path.join(final, f"bucket={b}")
-            bak = dst + ".__old__"
-            if os.path.isdir(bak):
+        # manifest first, then per-bucket swaps, then manifest removal —
+        # _recover_upsert rolls an interrupted sequence FORWARD. Buckets
+        # whose rows were ALL deleted have no tmp dir and are listed
+        # separately: a missing src is unambiguous ("clear this bucket"),
+        # not confusable with an already-completed swap during recovery.
+        swap_b = [int(b) for b in affected
+                  if os.path.isdir(os.path.join(tmp, f"bucket={b}"))]
+        empty_b = [int(b) for b in affected if int(b) not in swap_b]
+        manifest = final + ".__upsert_manifest__.json"
+        with open(manifest + ".tmp", "w") as f:
+            json.dump({"tmp": tmp, "swap": swap_b, "empty": empty_b}, f)
+        os.rename(manifest + ".tmp", manifest)
+        for b in swap_b:
+            self._swap_bucket(final, tmp, b)
+        for b in empty_b:
+            self._clear_bucket(final, b)
+        shutil.rmtree(tmp)
+        os.unlink(manifest)
+        self._ensure_readable(spark, final, merged)
+        return {"buckets_rewritten": len(affected), "n_buckets": n_buckets}
+
+    @staticmethod
+    def _swap_bucket(final: str, tmp: str, b: int) -> None:
+        """Idempotent single-bucket swap: rm bak → dst→bak → src→dst → rm
+        bak. Every intermediate crash state is re-runnable (see
+        ``_recover_upsert``); a missing src means the swap already completed."""
+        src = os.path.join(tmp, f"bucket={b}")
+        dst = os.path.join(final, f"bucket={b}")
+        bak = dst + ".__old__"
+        if os.path.isdir(src):
+            if os.path.isdir(bak) and os.path.isdir(dst):
                 shutil.rmtree(bak)
             if os.path.isdir(dst):
                 os.rename(dst, bak)
-            if os.path.isdir(src):
-                os.rename(src, dst)
-            else:
-                os.makedirs(dst, exist_ok=True)  # bucket emptied by deletes
-            if os.path.isdir(bak):
-                shutil.rmtree(bak)
-        shutil.rmtree(tmp)
-        # drop stale _SUCCESS markers confusion: leave table-level marker
-        return {"buckets_rewritten": len(affected), "n_buckets": n_buckets}
+            os.rename(src, dst)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+
+    @staticmethod
+    def _clear_bucket(final: str, b: int) -> None:
+        """Idempotent: a bucket whose every row was deleted becomes an empty
+        directory."""
+        dst = os.path.join(final, f"bucket={b}")
+        bak = dst + ".__old__"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.makedirs(dst, exist_ok=True)
+
+    def _recover_upsert(self, table: str) -> bool:
+        """Complete an interrupted multi-bucket swap (crash between the
+        manifest write and its removal): replay the remaining per-bucket
+        swaps forward — each is idempotent — then clean up. Returns True if
+        a recovery ran."""
+        final = self.path(table)
+        manifest = final + ".__upsert_manifest__.json"
+        if not os.path.isfile(manifest):
+            return False
+        with open(manifest) as f:
+            m = json.load(f)
+        for b in m.get("swap", m.get("buckets", [])):
+            self._swap_bucket(final, m["tmp"], b)
+        for b in m.get("empty", []):
+            self._clear_bucket(final, b)
+        if os.path.isdir(m["tmp"]):
+            shutil.rmtree(m["tmp"])
+        os.unlink(manifest)
+        return True
+
+    @staticmethod
+    def _ensure_readable(spark: SparkSession, final: str, schema_df: DataFrame) -> None:
+        """A table whose every bucket was emptied has no parquet files and
+        spark.read can't infer a schema — write an explicit zero-row file
+        (bucket kept as an int data column, matching partition-discovery's
+        inferred type)."""
+        has_data = any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(final) for f in fs
+        )
+        if not has_data:
+            shutil.rmtree(final)
+            schema_df.limit(0).withColumn(
+                "bucket", F.col("bucket").cast("int")
+            ).coalesce(1).write.mode("overwrite").parquet(final)
 
     # -- table maintenance ------------------------------------------------------
 
@@ -188,10 +298,17 @@ class Warehouse:
         parquet files per bucket; at 100 TB small files dominate scan task
         setup and NameNode/manifest pressure. Compaction reads the table
         and atomically re-commits it with files sized toward
-        ``target_file_mb`` (row counts and bucket layout preserved — the
-        commit path is the same atomic rename, so readers never see a
-        partial rewrite). No-op when no partition exceeds
-        ``min_files_per_partition`` files. Returns before/after counts."""
+        ``target_file_mb``: bucketed tables get one file per bucket, except
+        buckets larger than the target, which split into
+        ``ceil(bucket_bytes / target)`` files via an intra-bucket hash
+        slice. No-op when no partition exceeds ``min_files_per_partition``
+        files. Returns before/after counts.
+
+        Sandbox caveat (ADVICE r2): the final two-rename swap (final→old,
+        tmp→final) leaves a sub-millisecond window where the table path is
+        absent; a reader racing exactly into it fails and retries. Iceberg's
+        snapshot pointer swap is the production answer — directory renames
+        are the closest parquet-only approximation."""
         final = self.path(table)
         before = [
             os.path.join(dp, f)
@@ -208,9 +325,34 @@ class Warehouse:
         total_bytes = sum(os.path.getsize(p) for p in before)
         bucketed = "bucket" in df.columns
         if bucketed:
-            # preserve bucket layout: one output file per bucket directory
-            # unless a bucket is larger than the target
-            writer = df.repartition("bucket")
+            # preserve bucket layout: one file per bucket, splitting buckets
+            # larger than target_file_mb into ceil(bytes/target) hash slices
+            target = target_file_mb * 1024 * 1024
+            by_bucket: dict[str, int] = {}
+            for p in before:
+                d = os.path.basename(os.path.dirname(p))
+                by_bucket[d] = by_bucket.get(d, 0) + os.path.getsize(p)
+            slices = {
+                int(d.split("=", 1)[1]): max(1, -(-sz // target))
+                for d, sz in by_bucket.items() if d.startswith("bucket=")
+            }
+            if any(v > 1 for v in slices.values()):
+                smap = spark.createDataFrame(
+                    list(slices.items()), "bucket int, __n_slices int"
+                )
+                data_cols = [c for c in df.columns if c != "bucket"]
+                writer = (
+                    df.join(F.broadcast(smap), "bucket")
+                    .withColumn(
+                        "__slice",
+                        F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]),
+                               F.col("__n_slices")),
+                    )
+                    .repartition(sum(slices.values()), "bucket", "__slice")
+                    .drop("__slice", "__n_slices")
+                )
+            else:
+                writer = df.repartition("bucket")
             tmp = final + f".__tmp_{self.run_id}__"
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp)

@@ -129,3 +129,13 @@ def test_context_assembly_real_token_counts(spark):
                             token_budget=100, tokens_per_node=10)
     rows2 = {r["node_id"]: r["n_tokens"] for r in out2.collect()}
     assert rows2 == {"a": 12, "b": 21, "c": 12}
+    # tokenizer hook: a custom counter (here char-based, a stand-in for a
+    # real BPE) drives the budget instead of the whitespace heuristic
+    out3 = assemble_context(edges, nodes, ranks, ["a"], depth=1,
+                            token_budget=100, tokens_per_node=10,
+                            token_counter=lambda s: len(s))
+    rows3 = {r["node_id"]: r["n_tokens"] for r in out3.collect()}
+    # char-cost: a=18, b=67 (cum 85 fits), c=19 (cum 104 busts the budget)
+    assert rows3 == {"a": len("seed org") + 10,
+                     "b": len("a very long canonical name with many tokens "
+                              "inside it org") + 10}
