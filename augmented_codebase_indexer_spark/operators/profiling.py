@@ -9,10 +9,11 @@ per-column scans, no collect of data rows. Output is long-form
 (column, metric, value) so profiles diff trivially across runs.
 
 countDistinct on several columns in one agg expands to Spark's expand-node
-plan (one shuffle); at 100 TB swap exact distinct for HLL
-(``approx_count_distinct``) per column — same operator shape, documented
-here rather than silently approximated, because the driver oracle compares
-exact values.
+plan (one shuffle); at 100 TB pass ``approx=True`` to swap exact distinct
+for HLL (``approx_count_distinct``) per column — same single-pass operator
+shape, and the choice is SELF-DOCUMENTING in the output (the metric is
+named ``approx_distinct_count``), never silently approximated: the driver
+oracle compares exact values, so the gated default stays exact.
 """
 
 from __future__ import annotations
@@ -22,15 +23,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+    approx_rsd: float = 0.05,
+) -> DataFrame:
     """→ (column, metric, value: double) — n_rows, null_count,
-    distinct_count per column; min/max for numeric columns."""
+    distinct_count per column; min/max for numeric columns. ``approx=True``
+    replaces exact distinct with HLL at relative error ``approx_rsd`` and
+    renames the metric ``approx_distinct_count`` (the 100 TB switch: no
+    expand-node shuffle, constant memory per column)."""
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__n")]
+    dst_metric = "approx_distinct_count" if approx else "distinct_count"
     numeric = set()
     for c in cols:
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nul__{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"dst__{c}"))
+        aggs.append(
+            (F.approx_count_distinct(F.col(c), rsd=approx_rsd) if approx
+             else F.countDistinct(F.col(c))).alias(f"dst__{c}")
+        )
         if isinstance(df.schema[c].dataType, NumericType):
             numeric.add(c)
             aggs.append(F.min(F.col(c)).cast("double").alias(f"min__{c}"))
@@ -40,7 +53,7 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     # movement (the row is already on the driver-adjacent single partition)
     pairs = []
     for c in cols:
-        pairs += [(c, "null_count", f"nul__{c}"), (c, "distinct_count", f"dst__{c}")]
+        pairs += [(c, "null_count", f"nul__{c}"), (c, dst_metric, f"dst__{c}")]
         if c in numeric:
             pairs += [(c, "min", f"min__{c}"), (c, "max", f"max__{c}")]
     stack_args = []

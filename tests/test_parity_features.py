@@ -72,3 +72,68 @@ def test_graph_export_import_roundtrip(spark, tmp_path):
     # merge mode dedupes on the edge key (UNIQUE constraint analog)
     n3, e3 = import_graph(spark, out, existing_nodes=nodes, existing_edges=edges, mode="merge")
     assert n3.count() == 1 and e3.count() == 1
+
+
+def test_graphml_and_jsonld_roundtrip(spark, tmp_path):
+    from augmented_codebase_indexer_spark.sources.graph_io import (
+        export_graphml,
+        export_jsonld,
+        import_graphml,
+        import_jsonld,
+    )
+
+    nodes = spark.createDataFrame(
+        [("n1", "Acme & Sons <weird>", "org"), ("n2", 'Quote"City', "place")],
+        ["node_id", "canonical_name", "entity_type"],
+    )
+    edges = spark.createDataFrame(
+        [("n1", "acquired", "n2", "u1", 5), ("n2", "located_in", "n1", "u2", 9)],
+        ["subj_id", "pred", "obj_id", "url", "pos"],
+    )
+    gml = str(tmp_path / "g.graphml")
+    export_graphml(nodes, edges, gml)
+    n2, e2 = import_graphml(spark, gml)
+    assert {tuple(r) for r in n2.select("node_id", "canonical_name").collect()} == {
+        ("n1", "Acme & Sons <weird>"), ("n2", 'Quote"City')  # XML-escaped ok
+    }
+    assert {(r["subj_id"], r["pred"], r["obj_id"]) for r in e2.collect()} == {
+        ("n1", "acquired", "n2"), ("n2", "located_in", "n1")
+    }
+
+    out = str(tmp_path / "ld")
+    export_jsonld(nodes, edges, out)
+    n3, e3 = import_jsonld(spark, out)
+    assert {r["node_id"] for r in n3.collect()} == {"n1", "n2"}
+    assert {(r["subj_id"], r["pred"], r["obj_id"], r["url"], r["pos"])
+            for r in e3.collect()} == {
+        ("n1", "acquired", "n2", "u1", 5), ("n2", "located_in", "n1", "u2", 9)
+    }
+    # the written records really are JSON-LD objects
+    import glob as _glob
+    import json as _json
+    lines = [ln for p in sorted(_glob.glob(f"{out}/nodes_jsonld/part-*.json"))
+             for ln in open(p) if ln.strip()]
+    sample = _json.loads(lines[0])
+    assert sample["@context"] and sample["@type"] == "Thing" and sample["@id"]
+
+
+def test_profile_approx_switch(spark):
+    from augmented_codebase_indexer_spark.operators.profiling import profile_table
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    exact = {(r["column"], r["metric"]): r["value"]
+             for r in profile_table(df).collect()}
+    approx = {(r["column"], r["metric"]): r["value"]
+              for r in profile_table(df, approx=True).collect()}
+    # self-documenting metric name; value within HLL tolerance of exact
+    assert ("k", "distinct_count") in exact and ("k", "approx_distinct_count") in approx
+    assert ("k", "distinct_count") not in approx
+    for c in ("k", "v"):
+        ex, ap = exact[(c, "distinct_count")], approx[(c, "approx_distinct_count")]
+        assert abs(ap - ex) / ex < 0.15
+    # non-distinct metrics identical in both modes
+    for key, val in exact.items():
+        if key[1] in ("n_rows", "null_count", "min", "max"):
+            assert approx[key] == val
