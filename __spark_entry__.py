@@ -131,6 +131,33 @@ def q_kg_mentions(spark, sf_dir):
     )
 
 
+def q_kg_mentions_joins(spark, sf_dir):
+    """Same result as kg_mentions through the NO-MATERIALIZATION tier:
+    token-ngram candidates equi-join the gazetteer TABLE
+    (operators/mentions_joins.py) — nothing driver-collected, nothing
+    broadcast. Gated against the SAME independent DuckDB oracle, so the
+    driver verifies the huge-gazetteer path end-to-end, not just pytest."""
+    from augmented_codebase_indexer_spark.operators.extraction import extract_stage
+    from augmented_codebase_indexer_spark.operators.mentions_joins import (
+        mention_stage_joins,
+    )
+    from augmented_codebase_indexer_spark.sources.pages import (
+        derive_pages_from_documents,
+        entry_gazetteer_rows,
+    )
+
+    pages = derive_pages_from_documents(spark, sf_dir)
+    gaz = spark.createDataFrame(entry_gazetteer_rows(50))
+    extracted = extract_stage(pages.filter(F.col("lang") == "en")).filter(
+        F.length("extracted_text") > 0
+    )
+    return (
+        mention_stage_joins(extracted, gaz)
+        .groupBy("url")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
 def q_kg_node_degree(spark, sf_dir):
     linked = _kg_linked(spark, sf_dir).filter(F.col("resolved"))
     endpoints = linked.select(F.col("subj_id").alias("node_id")).unionByName(
@@ -645,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_text": q_kg_extract_text,
         "kg_triples": q_kg_triples,
         "kg_mentions": q_kg_mentions,
+        "kg_mentions_joins": q_kg_mentions_joins,
         "kg_node_degree": q_kg_node_degree,
         "q1_pricing_summary": q1_pricing_summary,
         "join_topk_revenue": q_join_topk_revenue,
@@ -915,6 +943,8 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_mentions"] = _DERIVED + """
     SELECT url, CAST(2 AS BIGINT) AS n_mentions FROM derived WHERE lang = 'en'
     """
+    # the join-based tier must land on the identical oracle
+    sql["kg_mentions_joins"] = sql["kg_mentions"]
 
     sql["kg_node_degree"] = _DERIVED + """
     SELECT node_id, COUNT(*) AS mention_count FROM (

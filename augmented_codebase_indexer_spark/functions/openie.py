@@ -174,7 +174,9 @@ class AhoCorasick:
 # Above this alias count the broadcast-tier matcher switches from the
 # alternation regex to the Aho-Corasick automaton. The regex wins on build
 # time for small sets; the automaton's scan cost does not grow with the
-# gazetteer (measured crossover on this corpus is ~10^3-10^4 aliases).
+# gazetteer. Measured on a 2k-token doc (two-word aliases): regex 3.9 →
+# 22.4 → 54.4 ms/doc at 500 / 2k / 10k+ aliases; AC flat at 1.9-2.9 ms/doc
+# (10-20× past the threshold).
 AC_THRESHOLD = 2_000
 
 

@@ -37,6 +37,21 @@ def summarize(plan: str) -> str:
     return f"exchanges={n_ex}, python_stages={n_py}, pushed_filters={pushed}"
 
 
+def _mentions_joins(spark, pages, gaz_rows):
+    from pyspark.sql import functions as F
+
+    from augmented_codebase_indexer_spark.operators.extraction import extract_stage
+    from augmented_codebase_indexer_spark.operators.mentions_joins import (
+        triple_stage_joins,
+    )
+
+    gaz_df = spark.createDataFrame(gaz_rows)
+    extracted = extract_stage(pages).filter(
+        (F.col("lang") == "en") & (F.length("extracted_text") > 0)
+    )
+    return triple_stage_joins(extracted, gaz_df)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -111,6 +126,12 @@ def main() -> None:
         "chunking": (
             chunk_documents(docs),
             "Pure per-row flatMap: no exchange, no Python stage.",
+        ),
+        "kg_mentions_joins (no-broadcast gazetteer tier)": (
+            _mentions_joins(spark, pages, gaz),
+            "Huge-gazetteer path: slim n-gram candidate rows meet the alias "
+            "TABLE in one equi-join; exactly ONE exchange carries text (the "
+            "cogroup with selected spans) — asserted in test_plans.py.",
         ),
         "sessionize+stats": (
             session_stats(events),

@@ -155,3 +155,31 @@ def test_bucket_partition_pruning(spark, corpus, corpus_dir, tmp_path_factory):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:120]
     assert "bucket" in seg
+
+
+def test_join_mention_path_shuffles_no_text(spark, corpus_dir):
+    """The huge-gazetteer mention tier (operators/mentions_joins.py): no
+    Exchange feeding the candidates ⋈ alias join may carry the document
+    text — only slim (url, offsets, surface) rows and the alias table move.
+    The text crosses exactly one exchange: the cogroup with the selected
+    spans (asserted by counting text-carrying exchanges, not just their
+    absence)."""
+    from augmented_codebase_indexer_spark.operators.extraction import extract_stage
+    from augmented_codebase_indexer_spark.operators.mentions_joins import (
+        triple_stage_joins,
+    )
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    gaz = spark.read.parquet(f"{corpus_dir}/gazetteer.parquet")
+    extracted = extract_stage(pages).filter(
+        (F.col("lang") == "en") & (F.length("extracted_text") > 0)
+    )
+    plan = _plan(triple_stage_joins(extracted, gaz))
+    text_exchanges = 0
+    for seg in plan.split("Exchange")[1:]:
+        header = seg[:400]  # the exchange's output attribute list
+        if "extracted_text#" in header:
+            text_exchanges += 1
+    # one text exchange (the cogroup-by-url of the text side), never more —
+    # in particular the exploded n-gram candidate side carries no text
+    assert text_exchanges == 1, plan
