@@ -567,6 +567,27 @@ def q_chunking_sentence(spark, sf_dir):
     return chunk_documents_sentence(punct, size=40, overlap=10, tol=5)
 
 
+def q_boilerplate_prune(spark, sf_dir):
+    """Cross-document segment dedup (RefinedWeb-style line-level dedup):
+    segments appearing in ≥ min_df docs removed everywhere
+    (operators/curation_filters.py)."""
+    from augmented_codebase_indexer_spark.operators.curation_filters import (
+        boilerplate_prune,
+    )
+
+    return boilerplate_prune(_t(spark, sf_dir, "documents"), min_df=3)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Within-document duplicate n-gram fractions (Gopher repetition rules),
+    zero-shuffle array algebra (operators/curation_filters.py)."""
+    from augmented_codebase_indexer_spark.operators.curation_filters import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_summaries(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.summary import summarize_documents
 
@@ -711,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "chunking": q_chunking,
         "chunking_sentence": q_chunking_sentence,
+        "boilerplate_prune": q_boilerplate_prune,
+        "repetition_stats": q_repetition_stats,
         "summaries": q_summaries,
         "outlinks": q_outlinks,
         "rerank_search": q_rerank_search,
@@ -1240,6 +1263,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["hybrid_search"] = _hybrid_search_oracle_sql("spark window join", k=10)
     sql["rerank_search"] = _rerank_oracle_sql("spark window join", k=10)
+    from augmented_codebase_indexer_spark.operators.curation_filters import (
+        boilerplate_oracle_sql,
+        repetition_oracle_sql,
+    )
+
+    sql["boilerplate_prune"] = boilerplate_oracle_sql(min_df=3)
+    sql["repetition_stats"] = repetition_oracle_sql()
     sql["chunking"] = chunk_oracle_sql(size=40, overlap=10)
     punct = """(
       WITH __p AS (SELECT doc_id, string_split(text, ' ') AS toks,
