@@ -659,6 +659,15 @@ def q_curation(spark, sf_dir):
     return curation_pipeline(_t(spark, sf_dir, "documents"))
 
 
+def q_curation_v2(spark, sf_dir):
+    # the full nightly pass with corpus-level filters in front: cross-doc
+    # boilerplate removal → repetition filter → quality/lang → dedup →
+    # chunks (plans/curation.py::curation_pipeline_v2, fully mirrored)
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v2
+
+    return curation_pipeline_v2(_t(spark, sf_dir, "documents"))
+
+
 def q_sessionize(spark, sf_dir):
     # gap-based sessionization (two shared-partition windows, one shuffle)
     from augmented_codebase_indexer_spark.operators.sessions import session_stats
@@ -741,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "curation": q_curation,
+        "curation_v2": q_curation_v2,
         "profile": q_profile,
         "moving_avg": q_moving_avg,
         "pivot_counts": q_pivot_counts,
@@ -1366,9 +1376,13 @@ def oracle_sql() -> dict[str, str]:
     FROM events GROUP BY user_id
     """
 
-    from augmented_codebase_indexer_spark.plans.curation import curation_oracle_sql
+    from augmented_codebase_indexer_spark.plans.curation import (
+        curation_oracle_sql,
+        curation_v2_oracle_sql,
+    )
 
     sql["curation"] = curation_oracle_sql()
+    sql["curation_v2"] = curation_v2_oracle_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -114,6 +114,19 @@ def _dup_frac(grams: Column) -> Column:
     return F.when(total > 0, F.floor(frac * 1e6) / 1e6).otherwise(F.lit(0.0))
 
 
+def dup_2gram_frac_col(text: Column) -> Column:
+    """Duplicate word-2-gram fraction of a text column — reusable as a
+    narrow filter predicate (no join against ``repetition_stats``)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    len2 = F.greatest(n - 1, F.lit(0))  # slice() rejects negative lengths
+    g2 = F.zip_with(
+        F.slice(toks, 1, len2), F.slice(toks, 2, len2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return _dup_frac(g2)
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -123,12 +136,7 @@ def repetition_stats(
     repetition signals; filter thresholds are the caller's policy."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    len2 = F.greatest(n - 1, F.lit(0))  # slice() rejects negative lengths
-    len3 = F.greatest(n - 2, F.lit(0))
-    g2 = F.zip_with(
-        F.slice(toks, 1, len2), F.slice(toks, 2, len2),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    len3 = F.greatest(n - 2, F.lit(0))  # slice() rejects negative lengths
     g3 = F.zip_with(
         F.slice(toks, 1, len3),
         F.zip_with(F.slice(toks, 2, len3), F.slice(toks, 3, len3),
@@ -138,7 +146,7 @@ def repetition_stats(
     return df.select(
         F.col(id_col).alias("doc_id"),
         n.cast("long").alias("n_tokens"),
-        _dup_frac(g2).alias("dup_2gram_frac"),
+        dup_2gram_frac_col(F.col(text_col)).alias("dup_2gram_frac"),
         _dup_frac(g3).alias("dup_3gram_frac"),
     )
 

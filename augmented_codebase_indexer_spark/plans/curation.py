@@ -66,6 +66,72 @@ def curation_pipeline(
     )
 
 
+def curation_pipeline_v2(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    allowed_langs: tuple = ("en",),
+    size: int = 40,
+    overlap: int = 10,
+    boiler_min_df: int = 3,
+    max_dup_2gram: float = 0.3,
+) -> DataFrame:
+    """The full nightly pass with the corpus-level filters in front:
+
+        documents → cross-doc boilerplate segment removal
+                  → repetition filter (dup-2-gram fraction ≤ threshold)
+                  → quality + language floor ON THE CLEANED TEXT
+                  → exact-dedup winners → token chunks
+
+    Boilerplate removal runs FIRST so a page that is 90% cookie banner is
+    judged (and deduped) on its real content — scoring before cleaning
+    would let boilerplate carry junk pages over the quality floor. Cost at
+    scale: the two boilerplate shuffles + the one dedup shuffle; the
+    repetition/quality/lang filters are narrow and fused."""
+    from ..operators.curation_filters import boilerplate_prune, dup_2gram_frac_col
+
+    cleaned = (
+        boilerplate_prune(docs, min_df=boiler_min_df)
+        .filter(F.length("clean_text") > 0)
+        .filter(dup_2gram_frac_col(F.col("clean_text")) <= max_dup_2gram)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    kept = curate_documents(cleaned, min_quality, allowed_langs)
+    chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
+    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
+        "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def curation_v2_oracle_sql(
+    min_quality: float = 0.3,
+    size: int = 40,
+    overlap: int = 10,
+    boiler_min_df: int = 3,
+    max_dup_2gram: float = 0.3,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``curation_pipeline_v2`` — the boilerplate oracle
+    feeds the v1 quality/dedup/chunk SQL as the source table."""
+    from ..operators.curation_filters import boilerplate_oracle_sql
+
+    boiler = boilerplate_oracle_sql(min_df=boiler_min_df, table=table)
+    cleaned = f"""(
+      SELECT doc_id, text FROM (
+        SELECT doc_id, clean_text AS text,
+               string_split(clean_text, ' ') AS toks,
+               len(string_split(clean_text, ' ')) AS n
+        FROM ({boiler}) WHERE length(clean_text) > 0)
+      WHERE (CASE WHEN n >= 2 THEN
+               floor((1.0 - CAST(len(list_distinct(
+                  [toks[i] || ' ' || toks[i+1] FOR i IN range(1, n)]
+               )) AS DOUBLE) / (n - 1)) * 1e6) / 1e6
+             ELSE 0.0 END) <= {max_dup_2gram})"""
+    return curation_oracle_sql(
+        min_quality=min_quality, size=size, overlap=overlap, table=cleaned
+    )
+
+
 def curation_oracle_sql(
     min_quality: float = 0.3,
     size: int = 40,

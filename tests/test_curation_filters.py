@@ -51,6 +51,34 @@ def test_repetition_stats_fractions(spark):
     assert abs(out[1]["dup_3gram_frac"] - 0.5) < 1e-6
 
 
+def test_curation_v2_judges_on_cleaned_text(spark):
+    """A page that is mostly boilerplate must be scored (and chunked) on its
+    real content: the banner is stripped before the quality/repetition
+    filters, so a junk page carried by boilerplate drops out while a good
+    page buried under the same banner survives."""
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v2
+
+    banner = "subscribe to our newsletter and accept all cookies right now please"
+    good_body = "the quick brown fox jumps over the lazy dog near the river bank today"
+    junk_body = "buy buy buy buy buy buy buy buy buy buy"
+    rows = [(i, f"{banner}. filler row {i}") for i in range(5)]          # banner-only
+    rows.append((10, f"{banner}. {good_body}"))                          # good + banner
+    rows.append((11, f"{banner}. {junk_body}"))                          # repetitive + banner
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation_pipeline_v2(
+        df, min_quality=0.0, allowed_langs=("en",), size=5, overlap=0,
+        boiler_min_df=3, max_dup_2gram=0.3,
+    ).collect()
+    kept_ids = {r["doc_id"] for r in out}
+    assert 10 in kept_ids           # judged on its cleaned body
+    assert 11 not in kept_ids       # repetition filter sees past the banner
+    # chunks of doc 10 come from the cleaned text only (no banner tokens)
+    n_tok = {r["doc_id"]: r["n_tokens"] for r in out if r["doc_id"] == 10}
+    assert sum(r["n_tokens"] for r in out if r["doc_id"] == 10) == len(
+        good_body.split()
+    ), n_tok
+
+
 def test_repetition_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
