@@ -668,6 +668,52 @@ def q_curation_v2(spark, sf_dir):
     return curation_pipeline_v2(_t(spark, sf_dir, "documents"))
 
 
+def q_decontam(spark, sf_dir):
+    # benchmark decontamination: docs sharing a word n-gram with the eval
+    # split are flagged; eval grams broadcast, corpus text never shuffled.
+    # n=3 here because the synthetic vocab is tiny (≈40 words) — at web
+    # scale the same operator runs with its default n=13.
+    from augmented_codebase_indexer_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.filter(F.col("doc_id") % 53 == 0)
+    cands = d.filter(F.col("doc_id") % 53 != 0)
+    return decontaminate(cands, eval_docs, n=3)
+
+
+def q_gopher_quality(spark, sf_dir):
+    # Gopher-style per-rule quality verdicts, all JVM exprs, zero shuffle
+    from augmented_codebase_indexer_spark.operators.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark, sf_dir):
+    # PII masking gate: inject deterministic fake PII (the corpus has none
+    # by construction), redact, and hash the result — both engines build
+    # the identical injected text, so the sha256 compare gates the regex
+    # replacement semantics byte-for-byte.
+    from augmented_codebase_indexer_spark.operators.pii import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail.example.com from "),
+        (did % 256).cast("string"), F.lit(".0.0."), (did % 100).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    red = redact_pii(d.select("doc_id", injected.alias("text")))
+    return red.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     # gap-based sessionization (two shared-partition windows, one shuffle)
     from augmented_codebase_indexer_spark.operators.sessions import session_stats
@@ -751,6 +797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "curation": q_curation,
         "curation_v2": q_curation_v2,
+        "decontam": q_decontam,
+        "gopher_quality": q_gopher_quality,
+        "pii_redact": q_pii_redact,
         "profile": q_profile,
         "moving_avg": q_moving_avg,
         "pivot_counts": q_pivot_counts,
@@ -1383,6 +1432,26 @@ def oracle_sql() -> dict[str, str]:
 
     sql["curation"] = curation_oracle_sql()
     sql["curation_v2"] = curation_v2_oracle_sql()
+
+    from augmented_codebase_indexer_spark.operators.decontam import (
+        decontaminate_oracle_sql,
+    )
+    from augmented_codebase_indexer_spark.operators.textstats import gopher_oracle_sql
+    from augmented_codebase_indexer_spark.operators.pii import redact_pii_oracle_sql
+
+    sql["decontam"] = decontaminate_oracle_sql(
+        n=3, eval_pred="doc_id % 53 = 0", cand_pred="doc_id % 53 <> 0"
+    )
+    sql["gopher_quality"] = gopher_oracle_sql()
+    _pii_injected = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com from '"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.0.0.'"
+        " || CAST(doc_id % 100 AS VARCHAR)"
+        " || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    sql["pii_redact"] = redact_pii_oracle_sql(text_expr=_pii_injected)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

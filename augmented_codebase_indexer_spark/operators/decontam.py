@@ -1,0 +1,105 @@
+"""Benchmark decontamination: drop (or flag) training documents that share a
+word n-gram with an evaluation/benchmark set.
+
+The standard LLM-training hygiene pass (e.g. GPT-3 appendix C, Gopher §A.5.2
+use 8-13-gram overlap): any candidate document containing an n-gram that also
+appears in the eval set is contaminated. Reference analog: the reference
+indexes a *bounded* corpus so it never needs this; at 10^12 crawled pages it
+is mandatory before training.
+
+Scale shape (the part that must survive 100 TB):
+* eval-set n-grams are DISTINCT-ed and hashed to fixed-width 60-bit ints
+  (``functions/sqlhash.h60_expr`` — verified bit-equal Spark vs DuckDB), then
+  **broadcast**: benchmark suites are MBs, never sharded.
+* the candidate side explodes its n-gram hashes NARROWLY (no shuffle — the
+  explode feeds a broadcast hash join in the same stage), so corpus text
+  never moves through an exchange.
+* the only shuffle is the hit-count aggregation, and it carries ONLY
+  (doc_id, gram_hash) rows that actually matched — on a clean corpus that is
+  ~zero rows regardless of corpus size.
+
+No UDFs anywhere; the oracle replays the identical hash pipeline in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.sqlhash import h60_expr, word_shingles_expr
+
+
+def _gram_hashes(text_col: str, n: int) -> str:
+    """Spark SQL expression: array of 60-bit hashes of the word n-grams of
+    ``text_col`` (docs shorter than n tokens hash as one whole-text gram)."""
+    grams = word_shingles_expr(text_col, "spark", n=n)
+    return f"transform({grams}, g -> {h60_expr('g', 'spark')})"
+
+
+def eval_ngram_hashes(eval_docs: DataFrame, n: int = 13,
+                      text_col: str = "text") -> DataFrame:
+    """Distinct 60-bit n-gram hashes of the eval set — the broadcast side."""
+    return (
+        eval_docs
+        .select(F.explode(F.expr(_gram_hashes(text_col, n))).alias("gram_h"))
+        .distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-candidate contamination verdict: (doc_id, n_hits, kept).
+
+    ``n_hits`` = number of DISTINCT eval n-grams the document shares;
+    ``kept`` = no overlap. Callers filter ``kept`` to decontaminate, or keep
+    the flag for lineage. Default n=13 is the published web-scale setting;
+    tests/entries use smaller n because the synthetic corpus has a tiny
+    vocabulary (a 13-gram collision there is as rare as a 50-gram on the
+    open web)."""
+    grams = eval_ngram_hashes(eval_docs, n=n, text_col=text_col)
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_gram_hashes(text_col, n))).alias("gram_h"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(grams), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram_h").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_hits", F.lit(0)).eqNullSafe(0).alias("kept"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(n: int, eval_pred: str, cand_pred: str,
+                             table: str = "documents") -> str:
+    """DuckDB mirror: same shingles, same 60-bit hash, same join/agg.
+    ``eval_pred`` / ``cand_pred`` are SQL predicates splitting ``table``
+    into the benchmark set and the candidate corpus."""
+    grams = word_shingles_expr("text", "duckdb", n=n)
+    h = h60_expr("g", "duckdb")
+    return f"""
+    WITH eval_grams AS (
+      SELECT DISTINCT {h} AS gram_h
+      FROM (SELECT unnest({grams}) AS g FROM {table} WHERE {eval_pred})
+    ),
+    doc_grams AS (
+      SELECT doc_id, {h} AS gram_h
+      FROM (SELECT doc_id, unnest({grams}) AS g FROM {table} WHERE {cand_pred})
+    ),
+    hits AS (
+      SELECT doc_id, count(DISTINCT d.gram_h) AS n_hits
+      FROM doc_grams d JOIN eval_grams USING (gram_h)
+      GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) = 0 AS kept
+    FROM (SELECT doc_id FROM {table} WHERE {cand_pred}) c
+    LEFT JOIN hits h USING (doc_id)
+    """

@@ -82,6 +82,108 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stopwords: int = 2,
+    min_frac_alpha: float = 0.8,
+    max_dup_2gram: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 shape:
+    word-count window, mean-word-length window, stopword floor, alphabetic
+    fraction, repetition cap), as pure JVM expressions — zero shuffle, zero
+    UDF, fused into the scan, and exactly SQL-mirrorable so the DuckDB
+    oracle replays every rule. Emits per-rule booleans plus the measured
+    values (not just a verdict) so a curation run can report WHICH rule
+    rejected each page; ``passes`` is the conjunction. Floats are floored to
+    6 decimals on both engines before thresholding (cross-engine ulp
+    hygiene, see quality_score_col note)."""
+    from .curation_filters import dup_2gram_frac_col
+
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_len = F.floor(sum_len / F.greatest(n_words, F.lit(1)) * 1e6) / 1e6
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    frac_alpha = F.floor(n_alpha / F.greatest(n_words, F.lit(1)) * 1e6) / 1e6
+    n_stop = F.regexp_count(t, F.lit(STOPWORD_RE))
+    dup2 = dup_2gram_frac_col(t)
+    flags = {
+        "flag_words": (n_words >= min_words) & (n_words <= max_words),
+        "flag_mean_len": (mean_len >= min_mean_len) & (mean_len <= max_mean_len),
+        "flag_stopwords": n_stop >= min_stopwords,
+        "flag_alpha": frac_alpha >= min_frac_alpha,
+        "flag_repetition": dup2 <= max_dup_2gram,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        n_stop.cast("long").alias("n_stopwords"),
+        dup2.alias("dup_2gram_frac"),
+        *[col.alias(name) for name, col in flags.items()],
+        passes.alias("passes"),
+    )
+
+
+def gopher_oracle_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stopwords: int = 2,
+    min_frac_alpha: float = 0.8,
+    max_dup_2gram: float = 0.2,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``gopher_quality_flags`` (same rules, same floors)."""
+    return f"""
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, frac_alpha,
+           CAST(n_stopwords AS BIGINT) AS n_stopwords,
+           dup_2gram_frac,
+           (n_words >= {min_words} AND n_words <= {max_words}) AS flag_words,
+           (mean_word_len >= {min_mean_len} AND mean_word_len <= {max_mean_len})
+             AS flag_mean_len,
+           (n_stopwords >= {min_stopwords}) AS flag_stopwords,
+           (frac_alpha >= {min_frac_alpha}) AS flag_alpha,
+           (dup_2gram_frac <= {max_dup_2gram}) AS flag_repetition,
+           (n_words >= {min_words} AND n_words <= {max_words}
+            AND mean_word_len >= {min_mean_len} AND mean_word_len <= {max_mean_len}
+            AND n_stopwords >= {min_stopwords}
+            AND frac_alpha >= {min_frac_alpha}
+            AND dup_2gram_frac <= {max_dup_2gram}) AS passes
+    FROM (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             floor(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                   / greatest(len(toks), 1) * 1e6) / 1e6 AS mean_word_len,
+             floor(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                        AS DOUBLE) / greatest(len(toks), 1) * 1e6) / 1e6 AS frac_alpha,
+             len(regexp_extract_all(text, '{STOPWORD_RE}')) AS n_stopwords,
+             (CASE WHEN len(toks) >= 2 THEN
+                floor((1.0 - CAST(len(list_distinct(
+                   [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+                )) AS DOUBLE) / (len(toks) - 1)) * 1e6) / 1e6
+              ELSE 0.0 END) AS dup_2gram_frac
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM {table})
+    )
+    """
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling-hash document fingerprint as pure JVM expressions
     (``sqlhash.fingerprint_expr``): hashes are in [0, 2^32) so the column is

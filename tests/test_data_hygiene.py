@@ -1,0 +1,89 @@
+"""Training-data hygiene operators: benchmark decontamination, Gopher-style
+quality rules, PII redaction — planted-case gates (the driver oracle gates
+the same ops statistically at sf0.01)."""
+
+from pyspark.sql import functions as F
+
+from augmented_codebase_indexer_spark.operators.decontam import decontaminate
+from augmented_codebase_indexer_spark.operators.pii import redact_pii
+from augmented_codebase_indexer_spark.operators.textstats import gopher_quality_flags
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    eval_docs = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [
+            # copies an eval 5-gram verbatim → contaminated
+            (1, "some page saying the secret benchmark answer is known"),
+            # shares words but no 5-gram → clean
+            (2, "benchmark the answer secret is two forty page words"),
+            (3, "completely unrelated text about rivers and mountains"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(cands, eval_docs, n=5).collect()}
+    assert not out[1]["kept"] and out[1]["n_hits"] >= 1
+    assert out[2]["kept"] and out[2]["n_hits"] == 0
+    assert out[3]["kept"]
+
+
+def test_decontaminate_no_text_in_shuffle(spark):
+    """Corpus text must not cross an exchange: only (doc_id, gram_h) rows
+    that HIT the broadcast eval set reach the aggregation."""
+    eval_docs = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    cands = spark.createDataFrame([(1, "x y z w v u")], "doc_id long, text string")
+    plan = (
+        decontaminate(cands, eval_docs, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+    assert "BroadcastExchange" in plan  # eval grams + hits both broadcast
+
+
+def test_gopher_rules_each_flag_fires(spark):
+    good = "the quick brown fox jumps over a lazy dog and then it runs to the old river bank where the other animals wait for it in the morning sun with a calm and happy mood all day long every single week of the year is it not a fine tale to tell"
+    rows = [
+        (1, good),                                     # passes everything
+        (2, "short text only"),                        # word count floor
+        (3, " ".join(["internationalization"] * 60)),  # mean len + repetition
+        (4, " ".join(f"w{i}" for i in range(60))),     # no stopwords, mean len < 3
+        (5, " ".join(str(i) for i in range(100, 160))),  # numeric → frac_alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[1]["passes"], dict(out[1].asDict())
+    assert not out[2]["flag_words"] and not out[2]["passes"]
+    assert not out[3]["flag_mean_len"] and not out[3]["flag_repetition"]
+    assert not out[4]["flag_stopwords"]
+    assert not out[5]["flag_alpha"] and not out[5]["passes"]
+
+
+def test_gopher_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_quality_flags(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_redact_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.org or bob@ex.io thanks"),
+            (2, "server 10.0.255.7 and 192.168.1.1 call 555-123-4567"),
+            (3, "no pii here just words and numbers 12345"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["clean_text"] == (
+        "mail me at <EMAIL> or <EMAIL> thanks"
+    )
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_phone"] == 1
+    assert out[2]["clean_text"] == "server <IP> and <IP> call <PHONE>"
+    assert out[3]["clean_text"] == out[3]["text"]
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
