@@ -714,6 +714,38 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+_MIX_BUDGETS = {"src0": 400, "src1": 700, "src2": 1000, "src3": 100000, "src4": 10}
+
+
+def q_training_mix(spark, sf_dir):
+    # deterministic data mixing: hash-ordered prefix per source under a
+    # token budget (src3 = whole source, src4 = first-doc-only, the other
+    # 15 sources dropped). One shuffle; no RNG state.
+    from augmented_codebase_indexer_spark.operators.sampling import training_mix
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return training_mix(d, _MIX_BUDGETS)
+
+
+def q_data_split(spark, sf_dir):
+    # stable hash train/val/test split, aggregated per (source, split)
+    from augmented_codebase_indexer_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    return (
+        hash_split(d)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def q_sessionize(spark, sf_dir):
     # gap-based sessionization (two shared-partition windows, one shuffle)
     from augmented_codebase_indexer_spark.operators.sessions import session_stats
@@ -800,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
+        "training_mix": q_training_mix,
+        "data_split": q_data_split,
         "profile": q_profile,
         "moving_avg": q_moving_avg,
         "pivot_counts": q_pivot_counts,
@@ -1452,6 +1486,14 @@ def oracle_sql() -> dict[str, str]:
         " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
     )
     sql["pii_redact"] = redact_pii_oracle_sql(text_expr=_pii_injected)
+
+    from augmented_codebase_indexer_spark.operators.sampling import (
+        hash_split_oracle_sql,
+        training_mix_oracle_sql,
+    )
+
+    sql["training_mix"] = training_mix_oracle_sql(_MIX_BUDGETS)
+    sql["data_split"] = hash_split_oracle_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

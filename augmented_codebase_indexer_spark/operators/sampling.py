@@ -1,0 +1,137 @@
+"""Training-mix construction: deterministic sampling and splits for
+assembling a training set from a curated corpus.
+
+* ``training_mix`` — per-source token budgets: shuffle each source's docs
+  into a deterministic pseudo-random order (60-bit md5 hash of the doc id —
+  ``functions/sqlhash.h60_expr``, verified bit-equal Spark vs DuckDB) and
+  keep docs until the source's token budget is exhausted. This is the
+  "data mixing" step of an LLM pipeline (sample N tokens of web, M of
+  reference text, ...) made reproducible: same corpus + same budgets →
+  byte-identical mix, no RNG state anywhere.
+* ``hash_split`` — stable train/val/test assignment by hash range, the
+  standard leakage-safe split (a doc's split never changes as the corpus
+  grows, unlike ``randomSplit``).
+
+Scale shape: ``training_mix`` is ONE shuffle (hash-partition by source for
+the running-sum window); sources are few and large, so if one source
+dominates, the window ordering is the hot spot — mitigate upstream by
+sub-bucketing the source key (documented, not needed at test scale).
+``hash_split`` is narrow, zero shuffle. Both pure JVM expressions; the
+DuckDB oracle replays the identical hash arithmetic, so ordering and
+cut-offs match exactly (integer hash ordering, integer token cumsum — no
+float comparisons anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.sqlhash import h60_expr
+
+
+def _priority(id_col: str) -> Column:
+    return F.expr(h60_expr(f"cast({id_col} as string)", "spark"))
+
+
+def training_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Keep, per source, the hash-ordered prefix of docs whose cumulative
+    token count stays under that source's budget (the first doc is always
+    admitted so a budget smaller than one doc still yields data). Sources
+    absent from ``budgets`` are dropped. Returns (doc_id, source, n_tokens,
+    mix_order, cum_tokens)."""
+    pri = _priority(id_col).alias("__pri")
+    w = Window.partitionBy(source_col).orderBy("__pri", id_col)
+    budget = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(int(b)))
+            for s, b in sorted(budgets.items())
+        ]
+        + [F.lit(None).cast("long")]
+    )
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            pri,
+        )
+        .withColumn("mix_order", F.row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("__budget", budget)
+    )
+    return out.filter(
+        F.col("__budget").isNotNull()
+        & ((F.col("cum_tokens") - F.col("n_tokens")) < F.col("__budget"))
+    ).select("doc_id", "source", "n_tokens", "mix_order", "cum_tokens")
+
+
+def training_mix_oracle_sql(
+    budgets: dict[str, int],
+    table: str = "documents",
+    tokens_expr: str = "len(string_split(text, ' '))",
+) -> str:
+    """DuckDB mirror of ``training_mix`` (same hash, same window, same
+    budget cut)."""
+    h = h60_expr("CAST(doc_id AS VARCHAR)", "duckdb")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(b)}" for s, b in sorted(budgets.items())
+    )
+    return f"""
+    SELECT doc_id, source, n_tokens, mix_order, cum_tokens
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             CAST(row_number() OVER w AS BIGINT) AS mix_order,
+             CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+             CASE source {cases} ELSE NULL END AS budget
+      FROM (
+        SELECT doc_id, source,
+               CAST({tokens_expr} AS BIGINT) AS n_tokens, {h} AS pri
+        FROM {table})
+      WINDOW w AS (PARTITION BY source ORDER BY pri, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    WHERE budget IS NOT NULL AND cum_tokens - n_tokens < budget
+    """
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Adds a stable ``split`` column (train/val/test) from the doc-id hash
+    modulo 100 — membership is a pure function of the id, so re-running
+    over a grown corpus never moves an old doc across splits."""
+    bucket = _priority(id_col) % 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def hash_split_oracle_sql(
+    val_pct: int = 10, test_pct: int = 10, table: str = "documents"
+) -> str:
+    """DuckDB mirror: per-(source, split) doc and token totals."""
+    h = h60_expr("CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT source, text,
+             CASE WHEN {h} % 100 < {val_pct} THEN 'val'
+                  WHEN {h} % 100 < {val_pct + test_pct} THEN 'test'
+                  ELSE 'train' END AS split
+      FROM {table})
+    GROUP BY source, split
+    """
