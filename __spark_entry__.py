@@ -668,6 +668,15 @@ def q_curation_v2(spark, sf_dir):
     return curation_pipeline_v2(_t(spark, sf_dir, "documents"))
 
 
+def q_curation_v3(spark, sf_dir):
+    # the complete hygiene chain: boilerplate → PII redaction → Gopher
+    # rules → benchmark decontamination → dedup winners → chunks, with
+    # n=3 decontam grams for the tiny synthetic vocab (default 13 at scale)
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v3
+
+    return curation_pipeline_v3(_t(spark, sf_dir, "documents"), decontam_n=3)
+
+
 def q_decontam(spark, sf_dir):
     # benchmark decontamination: docs sharing a word n-gram with the eval
     # split are flagged; eval grams broadcast, corpus text never shuffled.
@@ -829,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "curation": q_curation,
         "curation_v2": q_curation_v2,
+        "curation_v3": q_curation_v3,
         "decontam": q_decontam,
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
@@ -1462,10 +1472,12 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.plans.curation import (
         curation_oracle_sql,
         curation_v2_oracle_sql,
+        curation_v3_oracle_sql,
     )
 
     sql["curation"] = curation_oracle_sql()
     sql["curation_v2"] = curation_v2_oracle_sql()
+    sql["curation_v3"] = curation_v3_oracle_sql(decontam_n=3)
 
     from augmented_codebase_indexer_spark.operators.decontam import (
         decontaminate_oracle_sql,

@@ -76,6 +76,26 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     )
 
 
+def decontaminate_filter(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Anti-join form for composed pipelines: returns ``docs`` minus the
+    contaminated rows, keeping all input columns. The contaminated-id set
+    is small (only docs that HIT the broadcast eval grams), so the final
+    anti-join is a broadcast too — corpus text never shuffles."""
+    grams = eval_ngram_hashes(eval_docs, n=n, text_col=text_col)
+    contam = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.expr(_gram_hashes(text_col, n))).alias("gram_h"),
+        )
+        .join(F.broadcast(grams), "gram_h")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(F.broadcast(contam), id_col, "left_anti")
+
+
 def decontaminate_oracle_sql(n: int, eval_pred: str, cand_pred: str,
                              table: str = "documents") -> str:
     """DuckDB mirror: same shingles, same 60-bit hash, same join/agg.

@@ -37,6 +37,15 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return out.withColumn(out_col, cur)
 
 
+def redacted_text_expr(text_expr: str = "text") -> str:
+    """DuckDB expression: ``text_expr`` with every PII rule applied in
+    order — the oracle-side mirror of ``redact_pii``'s output column."""
+    cur = text_expr
+    for _name, pat, repl in PII_RULES:
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return cur
+
+
 def redact_pii_oracle_sql(text_expr: str = "text",
                           table: str = "documents") -> str:
     """DuckDB mirror: same rules, same order, counts at each step; returns

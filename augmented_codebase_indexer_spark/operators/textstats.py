@@ -82,10 +82,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def gopher_quality_flags(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def gopher_flag_cols(
+    text: Column,
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_len: float = 3.0,
@@ -93,6 +91,48 @@ def gopher_quality_flags(
     min_stopwords: int = 2,
     min_frac_alpha: float = 0.8,
     max_dup_2gram: float = 0.2,
+) -> dict[str, Column]:
+    """Gopher-rule columns for an arbitrary text column — measured values,
+    per-rule booleans, and the ``passes`` conjunction. Exposed separately
+    from the operator so composed pipelines (curation v3) can use
+    ``passes`` as a narrow filter predicate without a join."""
+    from .curation_filters import dup_2gram_frac_col
+
+    toks = F.split(text, " ")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_len = F.floor(sum_len / F.greatest(n_words, F.lit(1)) * 1e6) / 1e6
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    frac_alpha = F.floor(n_alpha / F.greatest(n_words, F.lit(1)) * 1e6) / 1e6
+    n_stop = F.regexp_count(text, F.lit(STOPWORD_RE))
+    dup2 = dup_2gram_frac_col(text)
+    cols = {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": mean_len,
+        "frac_alpha": frac_alpha,
+        "n_stopwords": n_stop.cast("long"),
+        "dup_2gram_frac": dup2,
+        "flag_words": (n_words >= min_words) & (n_words <= max_words),
+        "flag_mean_len": (mean_len >= min_mean_len) & (mean_len <= max_mean_len),
+        "flag_stopwords": n_stop >= min_stopwords,
+        "flag_alpha": frac_alpha >= min_frac_alpha,
+        "flag_repetition": dup2 <= max_dup_2gram,
+    }
+    passes = None
+    for name, c in cols.items():
+        if name.startswith("flag_"):
+            passes = c if passes is None else (passes & c)
+    cols["passes"] = passes
+    return cols
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1 shape:
     word-count window, mean-word-length window, stopword floor, alphabetic
@@ -103,38 +143,47 @@ def gopher_quality_flags(
     rejected each page; ``passes`` is the conjunction. Floats are floored to
     6 decimals on both engines before thresholding (cross-engine ulp
     hygiene, see quality_score_col note)."""
-    from .curation_filters import dup_2gram_frac_col
-
-    t = F.col(text_col)
-    toks = F.split(t, " ")
-    n_words = F.size(toks)
-    sum_len = F.aggregate(
-        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
-    )
-    mean_len = F.floor(sum_len / F.greatest(n_words, F.lit(1)) * 1e6) / 1e6
-    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
-    frac_alpha = F.floor(n_alpha / F.greatest(n_words, F.lit(1)) * 1e6) / 1e6
-    n_stop = F.regexp_count(t, F.lit(STOPWORD_RE))
-    dup2 = dup_2gram_frac_col(t)
-    flags = {
-        "flag_words": (n_words >= min_words) & (n_words <= max_words),
-        "flag_mean_len": (mean_len >= min_mean_len) & (mean_len <= max_mean_len),
-        "flag_stopwords": n_stop >= min_stopwords,
-        "flag_alpha": frac_alpha >= min_frac_alpha,
-        "flag_repetition": dup2 <= max_dup_2gram,
-    }
-    passes = None
-    for c in flags.values():
-        passes = c if passes is None else (passes & c)
+    cols = gopher_flag_cols(F.col(text_col), **thresholds)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n_words.cast("long").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        frac_alpha.alias("frac_alpha"),
-        n_stop.cast("long").alias("n_stopwords"),
-        dup2.alias("dup_2gram_frac"),
-        *[col.alias(name) for name, col in flags.items()],
-        passes.alias("passes"),
+        *[col.alias(name) for name, col in cols.items()],
+    )
+
+
+def gopher_passes_sql(
+    text_expr: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stopwords: int = 2,
+    min_frac_alpha: float = 0.8,
+    max_dup_2gram: float = 0.2,
+) -> str:
+    """DuckDB boolean predicate mirroring ``gopher_flag_cols(...)['passes']``
+    for an arbitrary text expression — used by composed pipelines."""
+    toks = f"string_split({text_expr}, ' ')"
+    n = f"len({toks})"
+    mean_len = (
+        f"(floor(CAST(list_sum(list_transform({toks}, w -> length(w))) AS DOUBLE)"
+        f" / greatest({n}, 1) * 1e6) / 1e6)"
+    )
+    frac_alpha = (
+        f"(floor(CAST(len(list_filter({toks}, w -> regexp_matches(w, '[a-z]')))"
+        f" AS DOUBLE) / greatest({n}, 1) * 1e6) / 1e6)"
+    )
+    n_stop = f"len(regexp_extract_all({text_expr}, '{STOPWORD_RE}'))"
+    dup2 = (
+        f"(CASE WHEN {n} >= 2 THEN floor((1.0 - CAST(len(list_distinct("
+        f"[{toks}[i] || ' ' || {toks}[i+1] FOR i IN range(1, {n})]"
+        f")) AS DOUBLE) / ({n} - 1)) * 1e6) / 1e6 ELSE 0.0 END)"
+    )
+    return (
+        f"({n} >= {min_words} AND {n} <= {max_words}"
+        f" AND {mean_len} >= {min_mean_len} AND {mean_len} <= {max_mean_len}"
+        f" AND {n_stop} >= {min_stopwords}"
+        f" AND {frac_alpha} >= {min_frac_alpha}"
+        f" AND {dup2} <= {max_dup_2gram})"
     )
 
 

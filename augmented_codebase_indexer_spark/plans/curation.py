@@ -132,6 +132,102 @@ def curation_v2_oracle_sql(
     )
 
 
+# Gopher thresholds tuned for the synthetic corpus (30-80-word docs, tiny
+# vocab): word floor 30, ≥1 stopword, ≥50% alphabetic tokens, dup-2-gram
+# ≤0.5. Web-scale runs use gopher_flag_cols' published defaults instead.
+V3_GOPHER = dict(
+    min_words=30, min_stopwords=1, min_frac_alpha=0.5, max_dup_2gram=0.5
+)
+
+
+def curation_pipeline_v3(
+    docs: DataFrame,
+    size: int = 40,
+    overlap: int = 10,
+    boiler_min_df: int = 3,
+    decontam_n: int = 13,
+    eval_mod: int = 53,
+    allowed_langs: tuple = ("en",),
+    gopher: dict | None = None,
+) -> DataFrame:
+    """The complete hygiene chain — every data-hygiene operator composed
+    into one nightly pass:
+
+        documents → cross-doc boilerplate removal
+                  → PII redaction (typed placeholders)
+                  → hold out the eval split (doc_id % eval_mod == 0)
+                  → Gopher quality rules on the cleaned text
+                  → benchmark decontamination vs the eval split's n-grams
+                  → language floor → exact-dedup winners → token chunks
+
+    Plan shape at scale: boilerplate costs its two segment-level shuffles
+    (inherent to the global frequency pass — see curation_filters module
+    note); every later stage before dedup is narrow — PII + Gopher +
+    language fuse into one JVM filter stage, and decontamination
+    broadcasts both the eval grams and the (small) contaminated id set —
+    so the assembled document text crosses exactly ONE exchange after
+    cleaning: the dedup-winner shuffle, paid only by docs that survived
+    every filter."""
+    from ..operators.curation_filters import boilerplate_prune
+    from ..operators.decontam import decontaminate_filter
+    from ..operators.pii import redact_pii
+    from ..operators.textstats import gopher_flag_cols
+
+    gopher = V3_GOPHER if gopher is None else gopher
+    cleaned = boilerplate_prune(docs, min_df=boiler_min_df).filter(
+        F.length("clean_text") > 0
+    )
+    cleaned = redact_pii(cleaned, text_col="clean_text", out_col="text").select(
+        "doc_id", "text"
+    )
+    eval_docs = cleaned.filter(F.col("doc_id") % eval_mod == 0)
+    cands = cleaned.filter(F.col("doc_id") % eval_mod != 0)
+    gophered = cands.filter(gopher_flag_cols(F.col("text"), **gopher)["passes"])
+    kept_docs = decontaminate_filter(gophered, eval_docs, n=decontam_n)
+    kept = curate_documents(kept_docs, 0.0, allowed_langs)
+    chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
+    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
+        "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def curation_v3_oracle_sql(
+    size: int = 40,
+    overlap: int = 10,
+    boiler_min_df: int = 3,
+    decontam_n: int = 13,
+    eval_mod: int = 53,
+    gopher: dict | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``curation_pipeline_v3`` — each stage's oracle
+    builder composed in the same order."""
+    from ..operators.curation_filters import boilerplate_oracle_sql
+    from ..operators.decontam import decontaminate_oracle_sql
+    from ..operators.pii import redacted_text_expr
+    from ..operators.textstats import gopher_passes_sql
+
+    gopher = V3_GOPHER if gopher is None else gopher
+    boiler = boilerplate_oracle_sql(min_df=boiler_min_df, table=table)
+    cleaned = (
+        f"(SELECT doc_id, {redacted_text_expr('clean_text')} AS text"
+        f" FROM ({boiler}) WHERE length(clean_text) > 0)"
+    )
+    decontam = decontaminate_oracle_sql(
+        n=decontam_n,
+        eval_pred=f"doc_id % {eval_mod} = 0",
+        cand_pred=f"doc_id % {eval_mod} <> 0",
+        table=cleaned,
+    )
+    final = f"""(
+      SELECT doc_id, text FROM {cleaned}
+      WHERE doc_id % {eval_mod} <> 0
+        AND {gopher_passes_sql('text', **gopher)}
+        AND doc_id NOT IN (SELECT doc_id FROM ({decontam}) WHERE NOT kept))"""
+    return curation_oracle_sql(min_quality=0.0, size=size, overlap=overlap, table=final)
+
+
 def curation_oracle_sql(
     min_quality: float = 0.3,
     size: int = 40,

@@ -79,6 +79,37 @@ def test_curation_v2_judges_on_cleaned_text(spark):
     ), n_tok
 
 
+def test_curation_v3_full_hygiene_chain(spark):
+    """End-to-end v3: the eval split is held out, a candidate copying an
+    eval n-gram is decontaminated away, a Gopher-failing page drops, and a
+    clean page survives to chunks — all on boilerplate-cleaned text."""
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v3
+
+    banner = "subscribe to the newsletter and accept the cookies now please"
+    base = ("the quick brown fox jumps over a lazy dog and then it runs to "
+            "the old river bank where the other animals wait for it in the "
+            "morning sun with a calm mood")
+    rows = [(i, f"{banner}. filler padding row {i}") for i in range(1, 6)]
+    rows.append((53, f"{banner}. {base} secret eval marker phrase here"))  # eval split
+    rows.append((7, f"{banner}. {base} secret eval marker phrase here"))   # contaminated
+    fresh = ("a small boat drifts down the wide green valley while birds "
+             "sing in the tall trees and the warm wind moves over the "
+             "quiet fields of corn near the farm")
+    rows.append((8, f"{banner}. {fresh}"))                                 # clean → kept
+    rows.append((9, f"{banner}. too short"))                               # Gopher words floor
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation_pipeline_v3(
+        df, size=10, overlap=0, boiler_min_df=3, decontam_n=5,
+        gopher=dict(min_words=20, min_stopwords=1, min_frac_alpha=0.5,
+                    max_dup_2gram=0.6),
+    ).collect()
+    kept_ids = {r["doc_id"] for r in out}
+    assert 8 in kept_ids
+    assert 53 not in kept_ids  # eval split held out of training
+    assert 7 not in kept_ids   # shares a 5-gram with the eval doc
+    assert 9 not in kept_ids   # fails the word-count rule
+
+
 def test_repetition_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
