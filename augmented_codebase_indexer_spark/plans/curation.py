@@ -180,6 +180,11 @@ def curation_pipeline_v3(
     cleaned = redact_pii(cleaned, text_col="clean_text", out_col="text").select(
         "doc_id", "text"
     )
+    # the cleaned corpus is read three times (eval split, candidates, and
+    # the decontamination gram explode) — pin it so the boilerplate
+    # shuffles run once. A production nightly run materializes this
+    # intermediate to a warehouse table instead (sources/catalog.py).
+    cleaned = cleaned.persist()
     eval_docs = cleaned.filter(F.col("doc_id") % eval_mod == 0)
     cands = cleaned.filter(F.col("doc_id") % eval_mod != 0)
     gophered = cands.filter(gopher_flag_cols(F.col("text"), **gopher)["passes"])

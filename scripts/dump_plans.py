@@ -80,7 +80,9 @@ def main() -> None:
         broadcast_gazetteer,
         linking_stage,
     )
+    from augmented_codebase_indexer_spark.operators.decontam import decontaminate
     from augmented_codebase_indexer_spark.operators.sessions import session_stats
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v3
     from augmented_codebase_indexer_spark.sources.pages import (
         derive_pages_from_documents,
         entry_gazetteer_rows,
@@ -136,6 +138,21 @@ def main() -> None:
         "sessionize+stats": (
             session_stats(events),
             "Two windows + groupBy share ONE user_id exchange.",
+        ),
+        "decontam (vs eval split)": (
+            decontaminate(
+                docs.filter(F.col("doc_id") % 53 != 0).select("doc_id", "text"),
+                docs.filter(F.col("doc_id") % 53 == 0).select("doc_id", "text"),
+                n=3,
+            ),
+            "Eval grams + hit set both BroadcastExchange; the n-gram explode "
+            "is narrow, so corpus text never crosses a shuffle.",
+        ),
+        "curation_v3 (full hygiene chain)": (
+            curation_pipeline_v3(docs, decontam_n=3),
+            "Boilerplate pays its two segment shuffles up front; PII + Gopher "
+            "+ lang fuse into narrow filters; decontam is broadcast-only; the "
+            "cleaned text crosses ONE exchange (dedup winner).",
         ),
     }
 
