@@ -569,6 +569,15 @@ def main() -> None:
             "saturation": {k: v for k, v in scaling["saturation"].items() if k != "runs"},
             "efficiency": min(scaling["primary"]["efficiency"], 1.0),
         }
+        # append the per-query walls to the BENCH.md the scaling run wrote,
+        # so the artifact carries the whole picture of this one run
+        md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+        with open(md, "a") as f:
+            f.write(
+                f"\n## Per-query walls at {SF_DIR} (local[{CPUS}], best of 2, sec)\n\n"
+                "| query | wall (s) |\n|---|---|\n"
+                + "".join(f"| {k} | {v} |\n" for k, v in queries.items())
+            )
     print(json.dumps(result))
 
 
