@@ -677,6 +677,14 @@ def q_curation_v3(spark, sf_dir):
     return curation_pipeline_v3(_t(spark, sf_dir, "documents"), decontam_n=3)
 
 
+def q_curation_funnel(spark, sf_dir):
+    # the v3 chain's filter funnel — per-stage survivor counts in one row
+    # (observability: no silent drops anywhere in the nightly pass)
+    from augmented_codebase_indexer_spark.plans.curation import curation_funnel
+
+    return curation_funnel(_t(spark, sf_dir, "documents"), decontam_n=3)
+
+
 def q_decontam(spark, sf_dir):
     # benchmark decontamination: docs sharing a word n-gram with the eval
     # split are flagged; eval grams broadcast, corpus text never shuffled.
@@ -839,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": q_curation,
         "curation_v2": q_curation_v2,
         "curation_v3": q_curation_v3,
+        "curation_funnel": q_curation_funnel,
         "decontam": q_decontam,
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
@@ -1471,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
 
     from augmented_codebase_indexer_spark.plans.curation import (
         curation_oracle_sql,
+        curation_funnel_oracle_sql,
         curation_v2_oracle_sql,
         curation_v3_oracle_sql,
     )
@@ -1478,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
     sql["curation"] = curation_oracle_sql()
     sql["curation_v2"] = curation_v2_oracle_sql()
     sql["curation_v3"] = curation_v3_oracle_sql(decontam_n=3)
+    sql["curation_funnel"] = curation_funnel_oracle_sql(decontam_n=3)
 
     from augmented_codebase_indexer_spark.operators.decontam import (
         decontaminate_oracle_sql,

@@ -76,15 +76,14 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     )
 
 
-def decontaminate_filter(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
-                         id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
-    """Anti-join form for composed pipelines: returns ``docs`` minus the
-    contaminated rows, keeping all input columns. The contaminated-id set
-    is small (only docs that HIT the broadcast eval grams), so the final
-    anti-join is a broadcast too — corpus text never shuffles."""
+def contaminated_ids(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Distinct ids of docs sharing an n-gram with the eval set — small by
+    construction (only rows that HIT the broadcast eval grams survive the
+    join), so callers can broadcast it."""
     grams = eval_ngram_hashes(eval_docs, n=n, text_col=text_col)
-    contam = (
+    return (
         docs.select(
             F.col(id_col),
             F.explode(F.expr(_gram_hashes(text_col, n))).alias("gram_h"),
@@ -93,6 +92,16 @@ def decontaminate_filter(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
         .select(id_col)
         .distinct()
     )
+
+
+def decontaminate_filter(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Anti-join form for composed pipelines: returns ``docs`` minus the
+    contaminated rows, keeping all input columns. The contaminated-id set
+    is small, so the final anti-join is a broadcast too — corpus text
+    never shuffles."""
+    contam = contaminated_ids(docs, eval_docs, n=n, id_col=id_col, text_col=text_col)
     return docs.join(F.broadcast(contam), id_col, "left_anti")
 
 

@@ -233,6 +233,119 @@ def curation_v3_oracle_sql(
     return curation_oracle_sql(min_quality=0.0, size=size, overlap=overlap, table=final)
 
 
+# DuckDB predicate mirroring lang_id_col(text) == 'en' ('en' is the first
+# marker language, so it wins every tie it participates in)
+LANG_EN_SQL = r"""
+      len(regexp_extract_all(text, '\b(the|and|of|with|for)\b')) > 0
+      AND len(regexp_extract_all(text, '\b(the|and|of|with|for)\b')) = greatest(
+        len(regexp_extract_all(text, '\b(the|and|of|with|for)\b')),
+        len(regexp_extract_all(text, '\b(der|die|und|das|mit)\b')),
+        len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')),
+        len(regexp_extract_all(text, '\b(el|los|las|y|con)\b')))
+    """
+
+
+def curation_funnel(
+    docs: DataFrame,
+    boiler_min_df: int = 3,
+    decontam_n: int = 13,
+    eval_mod: int = 53,
+    gopher: dict | None = None,
+) -> DataFrame:
+    """Observability for the v3 chain — the filter funnel as one row:
+    how many docs enter, survive boilerplate cleaning, remain after the
+    eval holdout, pass the Gopher rules, survive decontamination, pass the
+    language floor, and how many distinct texts the dedup winner keeps.
+    Every count a nightly run should alert on; none of the chain's drops
+    are silent. Cost: the same stages as the pipeline, but terminating in
+    two single-row aggregations (crossJoined) instead of chunk output."""
+    from ..operators.curation_filters import boilerplate_prune
+    from ..operators.decontam import contaminated_ids
+    from ..operators.pii import redact_pii
+    from ..operators.textstats import gopher_flag_cols, lang_id_col
+
+    gopher = V3_GOPHER if gopher is None else gopher
+    cleaned_all = redact_pii(
+        boilerplate_prune(docs, min_df=boiler_min_df),
+        text_col="clean_text", out_col="text",
+    ).select("doc_id", "text")
+    ne = cleaned_all.filter(F.length("text") > 0).persist()
+    eval_docs = ne.filter(F.col("doc_id") % eval_mod == 0)
+    cands = ne.filter(F.col("doc_id") % eval_mod != 0)
+    contam = contaminated_ids(cands, eval_docs, n=decontam_n).withColumn(
+        "is_contam", F.lit(True)
+    )
+    flags = (
+        cands.withColumn("g_pass", gopher_flag_cols(F.col("text"), **gopher)["passes"])
+        .withColumn("is_en", lang_id_col(F.col("text")) == "en")
+        .join(F.broadcast(contam), "doc_id", "left")
+        .withColumn("clean", F.coalesce("is_contam", F.lit(False)) == False)  # noqa: E712
+    )
+    base = cleaned_all.agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        F.sum((F.length("text") > 0).cast("long")).cast("long").alias("n_nonempty"),
+    )
+    final_pred = F.col("g_pass") & F.col("clean") & F.col("is_en")
+    stages = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.col("g_pass").cast("long")).cast("long").alias("n_gopher"),
+        F.sum((F.col("g_pass") & F.col("clean")).cast("long")).cast("long")
+        .alias("n_decontaminated"),
+        F.sum(final_pred.cast("long")).cast("long").alias("n_lang"),
+        F.count_distinct(F.when(final_pred, F.sha2(F.col("text"), 256)))
+        .cast("long").alias("n_winners"),
+    )
+    return base.crossJoin(stages)
+
+
+def curation_funnel_oracle_sql(
+    boiler_min_df: int = 3,
+    decontam_n: int = 13,
+    eval_mod: int = 53,
+    gopher: dict | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``curation_funnel``."""
+    from ..operators.curation_filters import boilerplate_oracle_sql
+    from ..operators.decontam import decontaminate_oracle_sql
+    from ..operators.pii import redacted_text_expr
+    from ..operators.textstats import gopher_passes_sql
+
+    gopher = V3_GOPHER if gopher is None else gopher
+    boiler = boilerplate_oracle_sql(min_df=boiler_min_df, table=table)
+    cleaned = (
+        f"(SELECT doc_id, {redacted_text_expr('clean_text')} AS text"
+        f" FROM ({boiler}))"
+    )
+    decontam = decontaminate_oracle_sql(
+        n=decontam_n,
+        eval_pred=f"doc_id % {eval_mod} = 0",
+        cand_pred=f"doc_id % {eval_mod} <> 0",
+        table=f"(SELECT doc_id, text FROM {cleaned} WHERE length(text) > 0)",
+    )
+    passes = gopher_passes_sql("text", **gopher)
+    return f"""
+    WITH cleaned AS (SELECT * FROM {cleaned}),
+    ne AS (SELECT * FROM cleaned WHERE length(text) > 0),
+    verdicts AS (SELECT doc_id, kept FROM ({decontam})),
+    flags AS (
+      SELECT ne.doc_id, ne.text, {passes} AS g_pass, v.kept AS clean,
+             ({LANG_EN_SQL}) AS is_en
+      FROM ne JOIN verdicts v USING (doc_id)
+      WHERE ne.doc_id % {eval_mod} <> 0)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM cleaned) AS n_input,
+      (SELECT CAST(count(*) AS BIGINT) FROM ne) AS n_nonempty,
+      CAST(count(*) AS BIGINT) AS n_candidates,
+      CAST(count(*) FILTER (g_pass) AS BIGINT) AS n_gopher,
+      CAST(count(*) FILTER (g_pass AND clean) AS BIGINT) AS n_decontaminated,
+      CAST(count(*) FILTER (g_pass AND clean AND is_en) AS BIGINT) AS n_lang,
+      CAST(count(DISTINCT CASE WHEN g_pass AND clean AND is_en
+                 THEN sha256(text) END) AS BIGINT) AS n_winners
+    FROM flags
+    """
+
+
 def curation_oracle_sql(
     min_quality: float = 0.3,
     size: int = 40,
@@ -247,14 +360,7 @@ def curation_oracle_sql(
             * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))
                            / greatest(length(text), 1) * 10.0, 1.0) * 0.5), 6)
     """
-    lang_en = r"""
-      len(regexp_extract_all(text, '\b(the|and|of|with|for)\b')) > 0
-      AND len(regexp_extract_all(text, '\b(the|and|of|with|for)\b')) = greatest(
-        len(regexp_extract_all(text, '\b(the|and|of|with|for)\b')),
-        len(regexp_extract_all(text, '\b(der|die|und|das|mit)\b')),
-        len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')),
-        len(regexp_extract_all(text, '\b(el|los|las|y|con)\b')))
-    """
+    lang_en = LANG_EN_SQL
     chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
     return f"""
     WITH scored AS (

@@ -110,6 +110,36 @@ def test_curation_v3_full_hygiene_chain(spark):
     assert 9 not in kept_ids   # fails the word-count rule
 
 
+def test_curation_funnel_consistent_with_v3(spark):
+    """The funnel is the v3 chain's own counts: monotone non-increasing
+    through the stages, and n_winners == distinct docs in the v3 output."""
+    from augmented_codebase_indexer_spark.plans.curation import (
+        curation_funnel,
+        curation_pipeline_v3,
+    )
+
+    banner = "subscribe to the newsletter and accept the cookies now please"
+    fresh = ("a small boat drifts down the wide green valley while birds "
+             "sing in the tall trees and the warm wind moves over the "
+             "quiet fields of corn near the farm")
+    rows = [(i, f"{banner}. filler padding row {i}") for i in range(1, 6)]
+    rows += [(53, f"{banner}. held out eval document with its own words"),
+             (8, f"{banner}. {fresh}"), (9, f"{banner}. {fresh}")]  # 9 dups 8
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(boiler_min_df=3, decontam_n=5,
+              gopher=dict(min_words=20, min_stopwords=1, min_frac_alpha=0.5,
+                          max_dup_2gram=0.6))
+    fun = curation_funnel(df, **kw).collect()[0]
+    assert (fun["n_input"] >= fun["n_nonempty"] >= fun["n_candidates"]
+            >= fun["n_gopher"] >= fun["n_decontaminated"] >= fun["n_lang"]
+            >= fun["n_winners"])
+    v3_docs = {
+        r["doc_id"]
+        for r in curation_pipeline_v3(df, size=10, overlap=0, **kw).collect()
+    }
+    assert fun["n_winners"] == len(v3_docs) == 1  # 8 wins, 9 deduped away
+
+
 def test_repetition_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
