@@ -746,6 +746,16 @@ def q_training_mix(spark, sf_dir):
     return training_mix(d, _MIX_BUDGETS)
 
 
+def q_pack_sequences(spark, sf_dir):
+    # training-batch assembly: pack token chunks into budget bins, sharded
+    # by doc hash so no global-order window exists anywhere
+    from augmented_codebase_indexer_spark.operators.chunking import chunk_documents
+    from augmented_codebase_indexer_spark.operators.sampling import pack_sequences
+
+    chunks = chunk_documents(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return pack_sequences(chunks, budget=128, n_shards=8)
+
+
 def q_data_split(spark, sf_dir):
     # stable hash train/val/test split, aggregated per (source, split)
     from augmented_codebase_indexer_spark.operators.sampling import hash_split
@@ -852,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
         "training_mix": q_training_mix,
+        "pack_sequences": q_pack_sequences,
         "data_split": q_data_split,
         "profile": q_profile,
         "moving_avg": q_moving_avg,
@@ -1510,13 +1521,18 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["pii_redact"] = redact_pii_oracle_sql(text_expr=_pii_injected)
 
+    from augmented_codebase_indexer_spark.operators.chunking import chunk_oracle_sql
     from augmented_codebase_indexer_spark.operators.sampling import (
         hash_split_oracle_sql,
+        pack_sequences_oracle_sql,
         training_mix_oracle_sql,
     )
 
     sql["training_mix"] = training_mix_oracle_sql(_MIX_BUDGETS)
     sql["data_split"] = hash_split_oracle_sql()
+    sql["pack_sequences"] = pack_sequences_oracle_sql(
+        budget=128, n_shards=8, chunks_table=f"({chunk_oracle_sql()})"
+    )
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -100,6 +100,77 @@ def training_mix_oracle_sql(
     """
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    order_col: str = "part_index",
+    tokens_col: str = "n_tokens",
+    chunk_id_col: str = "chunk_id",
+) -> DataFrame:
+    """Streaming sequence packing: assign chunks to token-budget bins for
+    training-batch assembly. A chunk goes to bin ``floor(cum_before /
+    budget)`` of its shard, where ``cum_before`` is the running token sum
+    in (doc-hash, part_index) order — so a doc's chunks stay adjacent, a
+    bin can overflow by at most one chunk (standard sample-packing slack),
+    and the result is a pure function of the input (no RNG, no state).
+
+    Scale shape: packing is per-shard (doc-hash % n_shards), so the window
+    never sees more than corpus/n_shards rows — there is NO global-order
+    window anywhere (a single ORDER BY over 10^12 chunks would serialize
+    onto one task). Bins are independent across shards by construction;
+    size n_shards to taste (it only changes which bins chunks share).
+    Returns (doc_id, chunk_id, shard, bin_id, offset_tokens, n_tokens)."""
+    pri = _priority(id_col)
+    shard = F.pmod(pri, F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__pri", id_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = chunks.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(chunk_id_col).alias("chunk_id"),
+        F.col(order_col).alias(order_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        pri.alias("__pri"),
+        shard.alias("shard"),
+    ).withColumn("__cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return out.select(
+        "doc_id", "chunk_id", "shard",
+        F.floor(F.col("__cum_before") / budget).cast("long").alias("bin_id"),
+        (F.col("__cum_before") % budget).cast("long").alias("offset_tokens"),
+        "n_tokens",
+    )
+
+
+def pack_sequences_oracle_sql(
+    budget: int = 2048,
+    n_shards: int = 64,
+    chunks_table: str = "chunks",
+) -> str:
+    """DuckDB mirror of ``pack_sequences`` over a table with columns
+    (doc_id, chunk_id, part_index, n_tokens)."""
+    h = h60_expr("CAST(doc_id AS VARCHAR)", "duckdb")
+    return f"""
+    SELECT doc_id, chunk_id, shard,
+           CAST(floor(CAST(cum_before AS DOUBLE) / {budget}) AS BIGINT) AS bin_id,
+           CAST(cum_before % {budget} AS BIGINT) AS offset_tokens,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, chunk_id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY pri, doc_id, part_index
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM (
+        SELECT doc_id, chunk_id, part_index, n_tokens, {h} AS pri,
+               CAST({h} % {n_shards} AS INT) AS shard
+        FROM {chunks_table})
+    )
+    """
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -40,6 +40,48 @@ def test_training_mix_deterministic_and_order_is_hash_not_id(spark):
     assert picked != sorted(picked)  # hash order, not insertion/id order
 
 
+def test_pack_sequences_budget_and_coverage(spark):
+    from augmented_codebase_indexer_spark.operators.sampling import pack_sequences
+
+    rows = [(d, f"c{d}-{p}", p, 30 + (d % 3) * 10) for d in range(40) for p in range(3)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id string, part_index int, n_tokens long"
+    )
+    out = pack_sequences(chunks, budget=100, n_shards=4).collect()
+    assert len(out) == len(rows)  # every chunk assigned exactly once
+    assert len({r["chunk_id"] for r in out}) == len(rows)
+    bins = {}
+    for r in out:
+        assert 0 <= r["offset_tokens"] < 100   # starts inside its bin
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (_, _), members in bins.items():
+        tot = sum(r["n_tokens"] for r in members)
+        # bin holds ≥ budget-worth before the straddling chunk: total token
+        # count can exceed the budget by at most one chunk (max 50 here)
+        assert tot < 100 + 50
+    # a doc's chunks are adjacent: same shard, consecutive offsets
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for members in by_doc.values():
+        assert len({r["shard"] for r in members}) == 1
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The packing window partitions by shard — there must be no
+    single-partition (global ORDER BY) exchange in the plan."""
+    from augmented_codebase_indexer_spark.operators.sampling import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, "c", 0, 10)], "doc_id long, chunk_id string, part_index int, n_tokens long"
+    )
+    plan = (
+        pack_sequences(chunks, budget=100, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
 def test_hash_split_stable_under_growth(spark):
     small = _docs(spark, [(i, "a", 1) for i in range(100)])
     big = _docs(spark, [(i, "a", 1) for i in range(300)])
