@@ -105,6 +105,97 @@ def boilerplate_oracle_sql(min_df: int = 3, table: str = "documents",
     """
 
 
+def segment_doc_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-segment document frequency of a doc batch: (seg, df). One
+    aggregation; a doc contributes 1 per DISTINCT segment it contains."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(F.split(F.col(text_col), r"\. ")).alias("seg"))
+        .groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+def update_segment_df(
+    state: DataFrame | None,
+    added: DataFrame | None = None,
+    removed: DataFrame | None = None,
+) -> DataFrame:
+    """Incrementally maintain the corpus-global segment-frequency state:
+    add the counts of new docs, subtract the counts of deleted docs, drop
+    segments that reach df ≤ 0. The nightly boilerplate pass then prices
+    only the BATCH, not the corpus — the state merge aggregates (seg,
+    delta) rows, and the batch prune joins the (small) boilerplate subset
+    of the state. Callers persist the returned state (a warehouse table in
+    production — sources/catalog.py upserts fit it directly)."""
+    parts = []
+    if state is not None:
+        parts.append(state.select("seg", F.col("df").cast("long").alias("df")))
+    if added is not None:
+        parts.append(segment_doc_counts(added))
+    if removed is not None:
+        parts.append(
+            segment_doc_counts(removed).select("seg", (-F.col("df")).alias("df"))
+        )
+    if not parts:
+        raise ValueError("update_segment_df needs at least one input")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return (
+        merged.groupBy("seg").agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+
+
+def boilerplate_prune_with_state(
+    df: DataFrame,
+    segment_df_state: DataFrame,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``boilerplate_prune`` against a MAINTAINED global frequency state
+    (which must already include this batch's docs): prune only the batch,
+    using the boilerplate subset of the state — segments with df ≥ min_df,
+    a set small enough to broadcast (only repeated segments qualify), so
+    the batch pays one anti-join plus its own reassembly shuffle instead
+    of a corpus-wide frequency pass. Identical output to running
+    ``boilerplate_prune`` over the full corpus (pytest-gated)."""
+    boiler = segment_df_state.filter(F.col("df") >= min_df).select("seg")
+    segs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\. ")).alias("pos", "seg"),
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            SEG_SEP,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), r"\. ")).cast("long").alias("__n_total"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("__n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )
+
+
 def _dup_frac(grams: Column) -> Column:
     """1 − distinct/total, floor-truncated to 6 decimals (floor on an
     identical IEEE division is engine-stable; round() is not — see module

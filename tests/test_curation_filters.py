@@ -34,6 +34,43 @@ def test_boilerplate_prune_all_removed_doc_survives_empty(spark):
                for r in out)
 
 
+def test_incremental_boilerplate_equals_batch(spark):
+    """The maintained segment-df state reproduces the full-corpus pass:
+    build the state over two batches (plus a delete), then prune — output
+    must be byte-identical to boilerplate_prune over the same final
+    corpus in one shot."""
+    from augmented_codebase_indexer_spark.operators.curation_filters import (
+        boilerplate_prune_with_state,
+        update_segment_df,
+    )
+
+    banner = "subscribe to our newsletter today"
+    batch1 = spark.createDataFrame(
+        [(i, f"unique fact {i}. {banner}. tail {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(i, f"fresh item {i}. {banner}") for i in range(10, 14)],
+        "doc_id long, text string",
+    )
+    removed = batch1.filter(F.col("doc_id") == 3)
+    corpus = batch1.unionByName(batch2).filter(F.col("doc_id") != 3)
+
+    state = update_segment_df(None, added=batch1)
+    state = update_segment_df(state, added=batch2, removed=removed)
+    incr = {r["doc_id"]: r for r in
+            boilerplate_prune_with_state(corpus, state, min_df=3).collect()}
+    full = {r["doc_id"]: r for r in boilerplate_prune(corpus, min_df=3).collect()}
+    assert set(incr) == set(full)
+    for k in full:
+        assert incr[k]["clean_text"] == full[k]["clean_text"]
+        assert incr[k]["n_removed"] == full[k]["n_removed"]
+    # state reflects the delete: doc 3's unique segments are gone
+    segs = {r["seg"]: r["df"] for r in state.collect()}
+    assert "unique fact 3" not in segs
+    assert segs[banner] == 7  # 3 live batch1 docs + 4 batch2 docs
+
+
 def test_repetition_stats_fractions(spark):
     df = spark.createDataFrame(
         [
