@@ -150,6 +150,49 @@ def update_segment_df(
     )
 
 
+def crossed_segments(
+    state_before: DataFrame | None, state_after: DataFrame, min_df: int = 3
+) -> DataFrame:
+    """Segments whose boilerplate verdict FLIPPED between two states:
+    newly boilerplate (df climbed past min_df — docs cleaned earlier still
+    carry it) or no-longer boilerplate (deletes dropped df below min_df —
+    docs cleaned earlier lost a segment they should keep). This is the
+    correctness core of incremental cleaning: without it, early batches
+    silently keep banners that only later became frequent. The flipped
+    set is tiny (segments near the threshold), so downstream re-clean
+    discovery can broadcast it."""
+    after = state_after.select("seg", F.col("df").alias("__df_a"))
+    if state_before is None:
+        return after.filter(F.col("__df_a") >= min_df).select("seg")
+    before = state_before.select("seg", F.col("df").alias("__df_b"))
+    j = before.join(after, "seg", "full_outer").select(
+        "seg",
+        F.coalesce("__df_b", F.lit(0)).alias("b"),
+        F.coalesce("__df_a", F.lit(0)).alias("a"),
+    )
+    return j.filter(
+        ((F.col("b") < min_df) & (F.col("a") >= min_df))
+        | ((F.col("b") >= min_df) & (F.col("a") < min_df))
+    ).select("seg")
+
+
+def affected_doc_ids(
+    docs: DataFrame,
+    crossed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ids of previously processed docs that contain a flipped segment and
+    therefore need re-pruning with the new state. The crossed set
+    broadcasts; the corpus-side explode is narrow into the broadcast
+    semi-join, so discovery never shuffles document text."""
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\. ")).alias("seg"),
+    )
+    return segs.join(F.broadcast(crossed), "seg", "left_semi").select("doc_id").distinct()
+
+
 def boilerplate_prune_with_state(
     df: DataFrame,
     segment_df_state: DataFrame,

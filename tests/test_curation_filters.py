@@ -71,6 +71,50 @@ def test_incremental_boilerplate_equals_batch(spark):
     assert segs[banner] == 7  # 3 live batch1 docs + 4 batch2 docs
 
 
+def test_incremental_reclean_via_crossed_segments(spark):
+    """Full incremental protocol: batch 1 is cleaned when the banner is
+    still rare (df < min_df → kept); batch 2 pushes it over the threshold.
+    crossed_segments flags the banner, affected_doc_ids names exactly the
+    batch-1 docs carrying it, and re-pruning those with the new state
+    converges to the one-shot full-corpus result."""
+    from augmented_codebase_indexer_spark.operators.curation_filters import (
+        affected_doc_ids,
+        boilerplate_prune_with_state,
+        crossed_segments,
+        update_segment_df,
+    )
+
+    banner = "subscribe to our newsletter today"
+    batch1 = spark.createDataFrame(
+        [(1, f"alpha fact one. {banner}"), (2, "bravo fact two. nothing shared")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(i, f"charlie item {i}. {banner}") for i in range(10, 13)],
+        "doc_id long, text string",
+    )
+    state1 = update_segment_df(None, added=batch1)
+    out1 = {r["doc_id"]: r for r in
+            boilerplate_prune_with_state(batch1, state1, min_df=3).collect()}
+    assert banner in out1[1]["clean_text"]  # correctly kept at df=1
+
+    state2 = update_segment_df(state1, added=batch2)
+    crossed = crossed_segments(state1, state2, min_df=3)
+    assert {r["seg"] for r in crossed.collect()} == {banner}
+    redo = {r["doc_id"] for r in affected_doc_ids(batch1, crossed).collect()}
+    assert redo == {1}  # doc 2 untouched — no flipped segment in it
+
+    corpus = batch1.unionByName(batch2)
+    incr = {r["doc_id"]: r for r in boilerplate_prune_with_state(
+        batch1.filter(F.col("doc_id").isin(list(redo))).unionByName(batch2),
+        state2, min_df=3).collect()}
+    incr[2] = out1[2]  # unaffected doc keeps its batch-1 result
+    full = {r["doc_id"]: r for r in boilerplate_prune(corpus, min_df=3).collect()}
+    assert set(incr) == set(full)
+    for k in full:
+        assert incr[k]["clean_text"] == full[k]["clean_text"], k
+
+
 def test_repetition_stats_fractions(spark):
     df = spark.createDataFrame(
         [
