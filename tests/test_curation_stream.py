@@ -1,0 +1,105 @@
+"""Continuous curation: the incremental hygiene stream converges to the
+batch pipeline's output regardless of arrival order, including verdict
+flips (re-cleans) and dedup-winner promotion by late-arriving smaller ids."""
+
+from pyspark.sql import functions as F
+
+from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v2
+from augmented_codebase_indexer_spark.sources.catalog import Warehouse
+from augmented_codebase_indexer_spark.streaming.curation_stream import (
+    curate_increment,
+    run_curation_stream,
+)
+
+BANNER = "subscribe to the newsletter and accept the cookies now please"
+BODY_A = ("a small boat drifts down the wide green valley while birds sing "
+          "in the tall trees and the warm wind moves over the quiet fields "
+          "of corn near the farm in the early light of the day")
+BODY_B = ("the old clock in the hall strikes nine and the cat walks along "
+          "the warm stone wall to find a place in the sun where it can "
+          "sleep for most of the afternoon without any noise at all")
+
+KW = dict(min_df=3, min_quality=0.1, max_dup_2gram=0.6, size=10, overlap=0)
+
+
+def _rows():
+    # batch 1: banner appears twice (df=2 < min_df=3 → still content).
+    # batch 2 pushes the banner to df=5 (→ re-clean of both batch-1 docs)
+    # and brings doc 5 — a SMALLER id duplicating doc 20's body, which
+    # must steal its dedup-winner slot. BODY_B stays at df=2 (content).
+    b1 = [(20, f"{BANNER}. {BODY_B}"),
+          (40, f"{BANNER}. {BODY_A}")]
+    b2 = [(5, f"{BANNER}. {BODY_B}"),
+          (50, f"{BANNER}. {BODY_A} extra tail words here"),
+          (60, f"{BANNER}. {BODY_A} another distinct ending")]
+    return b1, b2
+
+
+def _chunks(spark, wh_root):
+    return {
+        (r["doc_id"], r["chunk_id"], r["part_index"], r["total_parts"],
+         r["n_tokens"], r["quality"])
+        for r in spark.read.parquet(f"{wh_root}/cur_chunks").select(
+            "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
+            "quality").collect()
+    }
+
+
+def _batch_reference(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        tuple(r) for r in curation_pipeline_v2(
+            docs, min_quality=KW["min_quality"], boiler_min_df=KW["min_df"],
+            max_dup_2gram=KW["max_dup_2gram"], size=KW["size"],
+            overlap=KW["overlap"],
+        ).collect()
+    }
+
+
+def test_curation_increments_converge_to_batch(spark, tmp_path_factory):
+    b1, b2 = _rows()
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_cur")), "cur")
+    c1 = curate_increment(
+        wh, spark.createDataFrame(b1, "doc_id long, text string"), **KW)
+    assert c1["recleaned_docs"] == 0
+    # after batch 1 the banner is content (df=2 < 3): winner chunks exist
+    # for docs 20 and 40
+    mid_ids = {r[0] for r in _chunks(spark, wh.root)}
+    assert mid_ids == {20, 40}
+
+    c2 = curate_increment(
+        wh, spark.createDataFrame(b2, "doc_id long, text string"), **KW)
+    # the banner crossed min_df → both batch-1 docs carry it → re-clean
+    assert c2["recleaned_docs"] == 2
+
+    got = _chunks(spark, wh.root)
+    want = _batch_reference(spark, b1 + b2)
+    assert got == want and len(got) > 0
+    # promotion happened: doc 5 now owns BODY_B's chunks, doc 20 is gone
+    final_ids = {r[0] for r in got}
+    assert 5 in final_ids and 20 not in final_ids
+
+
+def test_curation_stream_drain_matches_batch(spark, tmp_path_factory):
+    b1, b2 = _rows()
+    stream_in = str(tmp_path_factory.mktemp("cur_stream_in"))
+    ckpt = str(tmp_path_factory.mktemp("cur_ckpt"))
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_cur_s")), "curs")
+
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1)\
+        .write.mode("append").parquet(stream_in)
+    q = run_curation_stream(spark, stream_in, wh, ckpt, available_now=True, **KW)
+    q.awaitTermination(300)
+
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1)\
+        .write.mode("append").parquet(stream_in)
+    q = run_curation_stream(spark, stream_in, wh, ckpt, available_now=True, **KW)
+    q.awaitTermination(300)
+
+    assert _chunks(spark, wh.root) == _batch_reference(spark, b1 + b2)
+    # exactly-once across restarts: re-draining with the same checkpoint
+    # and no new files changes nothing
+    before = _chunks(spark, wh.root)
+    q = run_curation_stream(spark, stream_in, wh, ckpt, available_now=True, **KW)
+    q.awaitTermination(300)
+    assert _chunks(spark, wh.root) == before
