@@ -32,7 +32,10 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     cur = F.col(text_col)
     out = df
     for name, pat, repl in PII_RULES:
-        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)).cast("long"))
+        out = out.withColumn(
+            f"n_{name}",
+            F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)).cast("long"),
+        )
         cur = F.regexp_replace(cur, pat, repl)
     return out.withColumn(out_col, cur)
 
