@@ -28,6 +28,8 @@ designs (C4, Gopher, RefinedWeb).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,14 +41,16 @@ def boilerplate_prune(
     min_df: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seg_sep: str = SEG_SEP,
 ) -> DataFrame:
-    """→ (doc_id, clean_text, n_kept, n_removed). Segments = ``'. '`` splits
-    (sentence-ish units in this corpus; swap the separator for newline-
-    delimited corpora). A doc whose every segment is boilerplate survives
-    with ``clean_text = ''`` — dropping it is the caller's policy call."""
+    """→ (doc_id, clean_text, n_kept, n_removed). Segments = ``seg_sep``
+    splits — ``'. '`` (sentence-ish) for the synthetic corpus, ``'\\n'``
+    for web-extracted text whose lines are the natural units. A doc whose
+    every segment is boilerplate survives with ``clean_text = ''`` —
+    dropping it is the caller's policy call."""
     segs = (
         df.select(F.col(id_col).alias("doc_id"),
-                  F.posexplode(F.split(F.col(text_col), r"\. ")).alias("pos", "seg"))
+                  F.posexplode(F.split(F.col(text_col), re.escape(seg_sep))).alias("pos", "seg"))
     )
     freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
     kept = segs.join(freq.filter(F.col("df") < min_df).select("seg"), "seg")
@@ -56,13 +60,13 @@ def boilerplate_prune(
                 F.array_sort(F.collect_list(F.struct("pos", "seg"))),
                 lambda x: x["seg"],
             ),
-            SEG_SEP,
+            seg_sep,
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
     totals = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), r"\. ")).cast("long").alias("__n_total"),
+        F.size(F.split(F.col(text_col), re.escape(seg_sep))).cast("long").alias("__n_total"),
     )
     return (
         totals.join(rebuilt, "doc_id", "left")
@@ -106,13 +110,14 @@ def boilerplate_oracle_sql(min_df: int = 3, table: str = "documents",
 
 
 def segment_doc_counts(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    seg_sep: str = SEG_SEP,
 ) -> DataFrame:
     """Per-segment document frequency of a doc batch: (seg, df). One
     aggregation; a doc contributes 1 per DISTINCT segment it contains."""
     return (
         df.select(F.col(id_col).alias("doc_id"),
-                  F.explode(F.split(F.col(text_col), r"\. ")).alias("seg"))
+                  F.explode(F.split(F.col(text_col), re.escape(seg_sep))).alias("seg"))
         .groupBy("seg")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
@@ -122,6 +127,7 @@ def update_segment_df(
     state: DataFrame | None,
     added: DataFrame | None = None,
     removed: DataFrame | None = None,
+    seg_sep: str = SEG_SEP,
 ) -> DataFrame:
     """Incrementally maintain the corpus-global segment-frequency state:
     add the counts of new docs, subtract the counts of deleted docs, drop
@@ -134,10 +140,10 @@ def update_segment_df(
     if state is not None:
         parts.append(state.select("seg", F.col("df").cast("long").alias("df")))
     if added is not None:
-        parts.append(segment_doc_counts(added))
+        parts.append(segment_doc_counts(added, seg_sep=seg_sep))
     if removed is not None:
         parts.append(
-            segment_doc_counts(removed).select("seg", (-F.col("df")).alias("df"))
+            segment_doc_counts(removed, seg_sep=seg_sep).select("seg", (-F.col("df")).alias("df"))
         )
     if not parts:
         raise ValueError("update_segment_df needs at least one input")
@@ -181,6 +187,7 @@ def affected_doc_ids(
     crossed: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seg_sep: str = SEG_SEP,
 ) -> DataFrame:
     """Ids of previously processed docs that contain a flipped segment and
     therefore need re-pruning with the new state. The crossed set
@@ -188,7 +195,7 @@ def affected_doc_ids(
     semi-join, so discovery never shuffles document text."""
     segs = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), r"\. ")).alias("seg"),
+        F.explode(F.split(F.col(text_col), re.escape(seg_sep))).alias("seg"),
     )
     return segs.join(F.broadcast(crossed), "seg", "left_semi").select("doc_id").distinct()
 
@@ -199,6 +206,7 @@ def boilerplate_prune_with_state(
     min_df: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seg_sep: str = SEG_SEP,
 ) -> DataFrame:
     """``boilerplate_prune`` against a MAINTAINED global frequency state
     (which must already include this batch's docs): prune only the batch,
@@ -210,7 +218,7 @@ def boilerplate_prune_with_state(
     boiler = segment_df_state.filter(F.col("df") >= min_df).select("seg")
     segs = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), r"\. ")).alias("pos", "seg"),
+        F.posexplode(F.split(F.col(text_col), re.escape(seg_sep))).alias("pos", "seg"),
     )
     kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
@@ -219,13 +227,13 @@ def boilerplate_prune_with_state(
                 F.array_sort(F.collect_list(F.struct("pos", "seg"))),
                 lambda x: x["seg"],
             ),
-            SEG_SEP,
+            seg_sep,
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
     totals = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), r"\. ")).cast("long").alias("__n_total"),
+        F.size(F.split(F.col(text_col), re.escape(seg_sep))).cast("long").alias("__n_total"),
     )
     return (
         totals.join(rebuilt, "doc_id", "left")

@@ -74,6 +74,7 @@ def curation_pipeline_v2(
     overlap: int = 10,
     boiler_min_df: int = 3,
     max_dup_2gram: float = 0.3,
+    seg_sep: str = ". ",
 ) -> DataFrame:
     """The full nightly pass with the corpus-level filters in front:
 
@@ -90,7 +91,7 @@ def curation_pipeline_v2(
     from ..operators.curation_filters import boilerplate_prune, dup_2gram_frac_col
 
     cleaned = (
-        boilerplate_prune(docs, min_df=boiler_min_df)
+        boilerplate_prune(docs, min_df=boiler_min_df, seg_sep=seg_sep)
         .filter(F.length("clean_text") > 0)
         .filter(dup_2gram_frac_col(F.col("clean_text")) <= max_dup_2gram)
         .select("doc_id", F.col("clean_text").alias("text"))
