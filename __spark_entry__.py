@@ -340,6 +340,17 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_near_dedup_winners(spark, sf_dir):
+    # cluster-level near-dedup: minhash pairs → connected components →
+    # min-id winner per cluster (near-dup is not transitive, so keep-one
+    # must be decided per component, not per pair)
+    from augmented_codebase_indexer_spark.operators.dedup import near_dedup_winners
+
+    return near_dedup_winners(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_bucket_size=200
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.dedup import simhash_near_duplicates
 
@@ -825,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
+        "near_dedup_winners": q_near_dedup_winners,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1227,6 +1239,25 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["dedup_minhash"] = _minhash_oracle_sql(threshold=0.5, max_bucket_size=200)
+    # cluster winners: the same pair SQL, closed into components by a
+    # recursive CTE (min-label reachability), winner = min id = the label
+    sql["near_dedup_winners"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT ida, idb FROM ({_minhash_oracle_sql(threshold=0.5, max_bucket_size=200)})
+    ),
+    edges AS (SELECT ida AS src, idb AS dst FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    cc AS (
+      SELECT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS id, c.label FROM cc c JOIN edges e ON e.src = c.id
+    ),
+    comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_id,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_winner
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
     sql["dedup_simhash"] = _simhash_oracle_sql(max_hamming=10)
     sql["dedup_embedding_lsh"] = _embedding_lsh_oracle_sql(threshold=0.5)
     sql["ann_lsh"] = _ann_lsh_oracle_sql(query_ids=(0, 1, 2, 3, 4), k=3)

@@ -194,6 +194,48 @@ def minhash_near_duplicates(
     )
 
 
+def near_dedup_winners(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Cluster-level near-dedup: MinHash-LSH pairs → connected components
+    → keep min(doc_id) per cluster. Near-dup relations are not transitive
+    (A≈B, B≈C, A̸≈C), so pairwise drops can cascade away a whole cluster
+    or keep two members that both match a third — clustering picks exactly
+    ONE representative per connected group, the standard corpus-dedup
+    semantics (e.g. the C4/RefinedWeb cluster-keep-one step).
+
+    Returns (doc_id, cluster_id, is_winner) for EVERY input doc; singletons
+    are their own winner. Scale shape: the pair graph is tiny relative to
+    the corpus (only near-dups), components run min-label propagation over
+    it (operators/components.py — lazy blocks, one action per block), and
+    the corpus-side join against the labels is a broadcast when the pair
+    set is, which is the normal regime."""
+    pairs = minhash_near_duplicates(df, threshold, id_col, text_col, max_bucket_size)
+    edges = pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    from .components import connected_components
+
+    comp = connected_components(nodes, edges).withColumnRenamed("id", id_col)
+    label = F.coalesce("component", F.col(id_col))
+    return (
+        df.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            label.alias("cluster_id"),
+            (label == F.col(id_col)).alias("is_winner"),
+        )
+    )
+
+
 def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """→ (id, sim: bigint 60-bit SimHash); null/blank text → NULL (never 0,
     so empty docs cannot pair up as hamming-0 'duplicates' of each other)."""

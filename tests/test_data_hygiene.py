@@ -70,6 +70,23 @@ def test_gopher_zero_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_near_dedup_winners_cluster_keep_one(spark):
+    from augmented_codebase_indexer_spark.operators.dedup import near_dedup_winners
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank today " * 3
+    b = "a completely different story about ships and storms on the open sea " * 3
+    rows = [(5, a), (1, a), (9, a),        # cluster A → winner 1
+            (7, b), (2, b),                # cluster B → winner 2
+            (3, "unique content that matches nothing else in this corpus")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in near_dedup_winners(df, threshold=0.5).collect()}
+    assert len(out) == 6                      # every doc gets a verdict
+    assert {d for d, r in out.items() if r["is_winner"]} == {1, 2, 3}
+    assert out[5]["cluster_id"] == out[9]["cluster_id"] == out[1]["cluster_id"] == 1
+    assert out[7]["cluster_id"] == out[2]["cluster_id"] == 2
+    assert out[3]["cluster_id"] == 3 and out[3]["is_winner"]
+
+
 def test_redact_pii_masks_and_counts(spark):
     df = spark.createDataFrame(
         [
