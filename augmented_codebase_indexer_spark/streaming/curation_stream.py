@@ -184,6 +184,114 @@ def curate_increment(
     return counters
 
 
+def retract_docs(
+    wh: Warehouse,
+    doc_ids: DataFrame,
+    min_df: int = 3,
+    min_quality: float = 0.3,
+    allowed_langs: tuple = ("en",),
+    max_dup_2gram: float = 0.3,
+    size: int = 40,
+    overlap: int = 10,
+    n_buckets: int = 8,
+) -> dict:
+    """Delete documents from the curated corpus (takedowns, robots.txt
+    revocations, licence changes) and converge to what a fresh batch run
+    over the remaining docs would produce:
+
+    * segment frequencies DECREMENT (``update_segment_df(removed=...)``) —
+      a segment may drop below min_df and stop being boilerplate, so docs
+      that lost it earlier re-clean and GROW text back
+      (``crossed_segments``' other branch);
+    * a removed dedup winner hands its slot to the smallest surviving id
+      with the same hash (the same touched-hash reconcile as inserts);
+    * the retracted ids leave ``docs_raw``/``doc_hash``/``cur_chunks``.
+
+    Work is O(retracted + affected + touched-hash docs), never O(corpus)."""
+    spark = doc_ids.sparkSession
+    ids = doc_ids.select("doc_id").distinct().persist()
+    raw_old = wh.read(spark, "docs_raw")
+    gone = raw_old.join(F.broadcast(ids), "doc_id", "left_semi").persist()
+
+    state1 = wh.read(spark, "segment_df")
+    state2 = update_segment_df(state1, removed=gone).persist()
+    state2.count()
+
+    remaining = raw_old.join(F.broadcast(ids), "doc_id", "left_anti")
+    crossed = crossed_segments(state1, state2, min_df)
+    redo = remaining.join(
+        F.broadcast(affected_doc_ids(remaining, crossed)), "doc_id", "left_semi"
+    ).persist()
+
+    cleaned = boilerplate_prune_with_state(redo, state2, min_df=min_df)
+    eligible = _eligible(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")),
+        min_quality, allowed_langs, max_dup_2gram,
+    ).persist()
+
+    # doc_hash reconcile: retracted ids and re-cleaned ids leave, the
+    # re-cleaned re-enter if still eligible
+    touched_ids = ids.unionByName(redo.select("doc_id")).distinct()
+    old_hash = wh.read(spark, "doc_hash")
+    removed_rows = old_hash.join(F.broadcast(touched_ids), "doc_id", "left_semi")
+    new_hash = eligible.select("doc_id", "sha", "quality")
+    doc_hash = (
+        old_hash.join(F.broadcast(touched_ids), "doc_id", "left_anti")
+        .unionByName(new_hash).persist()
+    )
+    doc_hash.count()
+
+    touched_shas = (
+        new_hash.select("sha").unionByName(removed_rows.select("sha")).distinct()
+    )
+    winners = (
+        doc_hash.join(F.broadcast(touched_shas), "sha", "left_semi")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("sha").orderBy(F.asc("doc_id"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "sha", "quality")
+        .persist()
+    )
+    need_text = winners.join(F.broadcast(
+        eligible.select("doc_id")), "doc_id", "left_anti").select("doc_id")
+    extra = remaining.join(F.broadcast(need_text), "doc_id", "left_semi")
+    texts = _eligible(  # re-clean is identity for untouched docs (no flip)
+        boilerplate_prune_with_state(extra, state2, min_df=min_df)
+        .select("doc_id", F.col("clean_text").alias("text")),
+        min_quality, allowed_langs, max_dup_2gram,
+    ).select("doc_id", "text").unionByName(eligible.select("doc_id", "text"))
+    win_docs = winners.join(texts, "doc_id").select("doc_id", "sha", "quality", "text")
+    chunks = (
+        chunk_documents(win_docs.select("doc_id", "text"), size=size, overlap=overlap)
+        .join(win_docs.select("doc_id", "sha", F.round("quality", 6).alias("quality")),
+              "doc_id")
+        .select("doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
+                "quality", "sha")
+    )
+
+    counters = {
+        "retracted_docs": gone.count(),
+        "recleaned_docs": redo.count(),
+        "touched_hashes": touched_shas.count(),
+    }
+    remaining = remaining.persist()
+    remaining.count()
+    stats = wh.upsert_buckets(
+        spark, "cur_chunks", chunks, touched_shas, delete_col="sha",
+        bucket_col="doc_id", n_buckets=n_buckets,
+    )
+    wh.commit(state2, "segment_df")
+    wh.commit(doc_hash, "doc_hash")
+    wh.commit(remaining, "docs_raw")
+    counters.update({k: v for k, v in stats.items() if isinstance(v, (int, float))})
+    wh.record_metrics(spark, "curation_retract", counters)
+    for df in (ids, gone, state2, redo, eligible, doc_hash, winners, remaining):
+        df.unpersist()
+    return counters
+
+
 def run_curation_stream(
     spark: SparkSession,
     input_dir: str,

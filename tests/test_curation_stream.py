@@ -80,6 +80,39 @@ def test_curation_increments_converge_to_batch(spark, tmp_path_factory):
     assert 5 in final_ids and 20 not in final_ids
 
 
+def test_retraction_converges_to_batch_over_remaining(spark, tmp_path_factory):
+    """Deleting docs must converge to a fresh batch run over the survivors:
+    the banner drops below min_df and GROWS BACK into the remaining docs'
+    text, and a retracted dedup winner hands its slot to the runner-up."""
+    from augmented_codebase_indexer_spark.streaming.curation_stream import retract_docs
+
+    rows = [(10, f"{BANNER}. {BODY_A}"),
+            (20, f"{BANNER}. {BODY_B}"),      # winner of BODY_B's hash
+            (30, f"{BANNER}. {BODY_B}"),      # runner-up
+            (40, f"{BANNER}. {BODY_A} with a different calm ending here")]
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_retract")), "ret")
+    curate_increment(wh, spark.createDataFrame(rows, "doc_id long, text string"), **KW)
+    # banner df=4 ≥ 3 → boilerplate; BODY_B winner is 20
+    ids0 = {r[0] for r in _chunks(spark, wh.root)}
+    assert 20 in ids0 and 30 not in ids0
+
+    c = retract_docs(
+        wh, spark.createDataFrame([(10,), (20,)], "doc_id long"), **KW)
+    assert c["retracted_docs"] == 2
+    # banner df fell to 2 < 3 → both survivors re-clean (text grows back)
+    assert c["recleaned_docs"] == 2
+
+    got = _chunks(spark, wh.root)
+    want = _batch_reference(spark, [r for r in rows if r[0] not in (10, 20)])
+    assert got == want and len(got) > 0
+    final_ids = {r[0] for r in got}
+    assert 30 in final_ids and 20 not in final_ids  # runner-up promoted
+    # the re-grown text includes the banner again: chunk token totals for
+    # doc 30 cover banner + body
+    n30 = sum(r[4] for r in got if r[0] == 30)
+    assert n30 == len(f"{BANNER}. {BODY_B}".split())
+
+
 def test_curation_stream_drain_matches_batch(spark, tmp_path_factory):
     b1, b2 = _rows()
     stream_in = str(tmp_path_factory.mktemp("cur_stream_in"))
