@@ -22,11 +22,11 @@ eligibility may change, and a dedup runner-up may be promoted; all three
 are reconciled per touched hash.
 
 Scale notes: per-trigger work is O(batch + affected + touched-hash
-docs), never O(corpus). ``segment_df``/``doc_hash`` rewrites here are
-whole-table (sandbox parquet); production keys them through
-``upsert_buckets`` like ``cur_chunks`` already is. Deletes flow through
-``update_segment_df(removed=...)`` + the same reconcile; the stream path
-is insert-only (file sources don't retract).
+docs), never O(corpus) — the state tables advance in DELTA form (only
+the batch's segments/ids are read, merged, and written back through
+bucket-level ``upsert_buckets``; untouched buckets are never scanned).
+Deletes go through ``retract_docs`` (same reconcile in reverse); the
+stream path itself is insert-only (file sources don't retract).
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ from ..operators.curation_filters import (
     boilerplate_prune_with_state,
     crossed_segments,
     dup_2gram_frac_col,
+    segment_doc_counts,
     update_segment_df,
 )
 from ..operators.textstats import lang_id_col, quality_score_col
@@ -78,15 +79,28 @@ def curate_increment(
     spark = batch_df.sparkSession
     batch_df = batch_df.dropDuplicates(["doc_id"]).persist()
 
-    # 1. frequency state forward
-    state1 = wh.read(spark, "segment_df") if wh.exists("segment_df") else None
-    state2 = update_segment_df(state1, added=batch_df).persist()
-    state2.count()  # pin before the old table is rewritten underneath it
+    # 1. frequency state forward — DELTA form: only the batch's own
+    #    segments are read from, merged with, and written back to the
+    #    state table; untouched segments are never scanned or rewritten
+    state1 = (wh.read(spark, "segment_df").select("seg", "df")
+              if wh.exists("segment_df") else None)
+    touched_segs = segment_doc_counts(batch_df).select("seg").persist()
+    if state1 is not None:
+        seg_before = state1.join(F.broadcast(touched_segs), "seg", "left_semi")
+    else:
+        seg_before = None
+    seg_after = update_segment_df(seg_before, added=batch_df).persist()
+    seg_after.count()  # pin before the state table is upserted underneath it
+    state2 = seg_after if state1 is None else (
+        state1.join(F.broadcast(touched_segs), "seg", "left_anti")
+        .unionByName(seg_after)
+    )
 
-    # 2. stale docs from verdict flips (old corpus only)
-    raw_old = wh.read(spark, "docs_raw") if wh.exists("docs_raw") else None
-    if raw_old is not None and state1 is not None:
-        crossed = crossed_segments(state1, state2, min_df)
+    # 2. stale docs from verdict flips (only touched segments can flip)
+    raw_old = (wh.read(spark, "docs_raw").select("doc_id", "text")
+               if wh.exists("docs_raw") else None)
+    if raw_old is not None and seg_before is not None:
+        crossed = crossed_segments(seg_before, seg_after, min_df)
         redo_ids = affected_doc_ids(raw_old, crossed)
         redo = raw_old.join(F.broadcast(redo_ids), "doc_id", "left_semi")
     else:
@@ -105,7 +119,8 @@ def curate_increment(
 
     # 4. doc_hash reconcile: drop every touched id, re-add the now-eligible
     touched_ids = to_process.select("doc_id").distinct()
-    old_hash = wh.read(spark, "doc_hash") if wh.exists("doc_hash") else None
+    old_hash = (wh.read(spark, "doc_hash").select("doc_id", "sha", "quality")
+                if wh.exists("doc_hash") else None)
     removed_rows = (
         old_hash.join(F.broadcast(touched_ids), "doc_id", "left_semi")
         if old_hash is not None else None
@@ -157,29 +172,38 @@ def curate_increment(
                 "quality", "sha")
     )
 
-    # 7. counters BEFORE any table rewrite (they read the old tables),
-    #    then commit: chunk upsert keyed by touched hash; state rewritten
+    # 7. counters BEFORE any table mutation (they read the old tables);
+    #    then four PARTIAL upserts, every one O(touched), none O(corpus):
+    #    cur_chunks by hash, then the three state tables by their keys.
+    #    Ordering matters: cur_chunks' plan reads the old doc_hash and
+    #    docs_raw tables, so it runs first (its inputs are materialized by
+    #    the persist/count pins above).
+    eligible.count()
     counters = {
         "batch_docs": batch_df.count(),
         "recleaned_docs": 0 if redo is None else redo.count(),
         "touched_hashes": touched_shas.count(),
     }
-    raw_new = batch_df if raw_old is None else (
-        raw_old.join(F.broadcast(batch_df.select("doc_id")), "doc_id", "left_anti")
-        .unionByName(batch_df)
-    )
-    raw_new = raw_new.persist()
-    raw_new.count()  # materialize every old-table read before the swaps
     stats = wh.upsert_buckets(
         spark, "cur_chunks", chunks, touched_shas, delete_col="sha",
         bucket_col="doc_id", n_buckets=n_buckets,
     )
-    wh.commit(state2, "segment_df")
-    wh.commit(doc_hash, "doc_hash")
-    wh.commit(raw_new, "docs_raw")
+    wh.upsert_buckets(
+        spark, "segment_df", seg_after, touched_segs, delete_col="seg",
+        bucket_col="seg", n_buckets=n_buckets,
+    )
+    wh.upsert_buckets(
+        spark, "doc_hash", new_hash, touched_ids, delete_col="doc_id",
+        bucket_col="doc_id", n_buckets=n_buckets,
+    )
+    wh.upsert_buckets(
+        spark, "docs_raw", batch_df, batch_df.select("doc_id"),
+        delete_col="doc_id", bucket_col="doc_id", n_buckets=n_buckets,
+    )
     counters.update({k: v for k, v in stats.items() if isinstance(v, (int, float))})
     wh.record_metrics(spark, "curation_stream", counters)
-    for df in (batch_df, state2, to_process, eligible, doc_hash, winners, raw_new):
+    for df in (batch_df, touched_segs, seg_after, to_process, eligible,
+               doc_hash, winners):
         df.unpersist()
     return counters
 
@@ -210,15 +234,22 @@ def retract_docs(
     Work is O(retracted + affected + touched-hash docs), never O(corpus)."""
     spark = doc_ids.sparkSession
     ids = doc_ids.select("doc_id").distinct().persist()
-    raw_old = wh.read(spark, "docs_raw")
+    raw_old = wh.read(spark, "docs_raw").select("doc_id", "text")
     gone = raw_old.join(F.broadcast(ids), "doc_id", "left_semi").persist()
 
-    state1 = wh.read(spark, "segment_df")
-    state2 = update_segment_df(state1, removed=gone).persist()
-    state2.count()
+    # delta-form state decrement: only the retracted docs' segments move
+    state1 = wh.read(spark, "segment_df").select("seg", "df")
+    touched_segs = segment_doc_counts(gone).select("seg").persist()
+    seg_before = state1.join(F.broadcast(touched_segs), "seg", "left_semi")
+    seg_after = update_segment_df(seg_before, removed=gone).persist()
+    seg_after.count()
+    state2 = (
+        state1.join(F.broadcast(touched_segs), "seg", "left_anti")
+        .unionByName(seg_after)
+    )
 
     remaining = raw_old.join(F.broadcast(ids), "doc_id", "left_anti")
-    crossed = crossed_segments(state1, state2, min_df)
+    crossed = crossed_segments(seg_before, seg_after, min_df)
     redo = remaining.join(
         F.broadcast(affected_doc_ids(remaining, crossed)), "doc_id", "left_semi"
     ).persist()
@@ -232,7 +263,7 @@ def retract_docs(
     # doc_hash reconcile: retracted ids and re-cleaned ids leave, the
     # re-cleaned re-enter if still eligible
     touched_ids = ids.unionByName(redo.select("doc_id")).distinct()
-    old_hash = wh.read(spark, "doc_hash")
+    old_hash = wh.read(spark, "doc_hash").select("doc_id", "sha", "quality")
     removed_rows = old_hash.join(F.broadcast(touched_ids), "doc_id", "left_semi")
     new_hash = eligible.select("doc_id", "sha", "quality")
     doc_hash = (
@@ -271,23 +302,32 @@ def retract_docs(
                 "quality", "sha")
     )
 
+    eligible.count()
     counters = {
         "retracted_docs": gone.count(),
         "recleaned_docs": redo.count(),
         "touched_hashes": touched_shas.count(),
     }
-    remaining = remaining.persist()
-    remaining.count()
     stats = wh.upsert_buckets(
         spark, "cur_chunks", chunks, touched_shas, delete_col="sha",
         bucket_col="doc_id", n_buckets=n_buckets,
     )
-    wh.commit(state2, "segment_df")
-    wh.commit(doc_hash, "doc_hash")
-    wh.commit(remaining, "docs_raw")
+    wh.upsert_buckets(
+        spark, "segment_df", seg_after, touched_segs, delete_col="seg",
+        bucket_col="seg", n_buckets=n_buckets,
+    )
+    wh.upsert_buckets(
+        spark, "doc_hash", new_hash, touched_ids, delete_col="doc_id",
+        bucket_col="doc_id", n_buckets=n_buckets,
+    )
+    wh.upsert_buckets(
+        spark, "docs_raw", gone.select("doc_id", "text").limit(0), ids,
+        delete_col="doc_id", bucket_col="doc_id", n_buckets=n_buckets,
+    )
     counters.update({k: v for k, v in stats.items() if isinstance(v, (int, float))})
     wh.record_metrics(spark, "curation_retract", counters)
-    for df in (ids, gone, state2, redo, eligible, doc_hash, winners, remaining):
+    for df in (ids, gone, touched_segs, seg_after, redo, eligible, doc_hash,
+               winners):
         df.unpersist()
     return counters
 
