@@ -688,6 +688,14 @@ def q_curation_v3(spark, sf_dir):
     return curation_pipeline_v3(_t(spark, sf_dir, "documents"), decontam_n=3)
 
 
+def q_curation_v4(spark, sf_dir):
+    # v3 with cluster-level NEAR-dedup (minhash pairs → components →
+    # keep min id per cluster) replacing the exact-hash winner
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v4
+
+    return curation_pipeline_v4(_t(spark, sf_dir, "documents"), decontam_n=3)
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -869,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": q_curation,
         "curation_v2": q_curation_v2,
         "curation_v3": q_curation_v3,
+        "curation_v4": q_curation_v4,
         "curation_funnel": q_curation_funnel,
         "decontam": q_decontam,
         "gopher_quality": q_gopher_quality,
@@ -910,37 +919,9 @@ WITH derived AS (
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
 
 
-def _minhash_oracle_sql(threshold: float, max_bucket_size: int) -> str:
-    """DuckDB mirror of operators/dedup.minhash_near_duplicates: the same
-    H60 shingle hashes, affine permutations, band keys, bucket cap, and
-    matching-minima estimator (constants shared via functions/sqlhash.py)."""
-    from augmented_codebase_indexer_spark.functions import sqlhash as SH
-
-    grams = SH.word_shingles_expr("text", "duckdb")
-    h = SH.h60_expr("gram", "duckdb")
-    mins = ", ".join(
-        f"min(({a} * h + {b}) % {SH.P31}) AS m{i}"
-        for i, (a, b) in enumerate(zip(SH.PERM_A, SH.PERM_B))
-    )
-    bands = "\n      UNION ALL ".join(
-        f"SELECT id, concat_ws(':', '{b}', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) AS band_key FROM sigs"
-        for b in range(SH.MINHASH_BANDS)
-    )
-    matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(SH.NUM_PERM))
-    return f"""
-    WITH grams AS (SELECT doc_id AS id, unnest({grams}) AS gram FROM documents),
-    hs AS (SELECT id, {h} % {SH.P31} AS h FROM grams),
-    sigs AS (SELECT id, {mins} FROM hs GROUP BY id),
-    bkeys AS ({bands}),
-    keep AS (SELECT band_key FROM bkeys GROUP BY band_key
-             HAVING count(*) <= {max_bucket_size}),
-    capped AS (SELECT bkeys.* FROM bkeys JOIN keep USING (band_key)),
-    cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb
-             FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.id < b.id),
-    est AS (SELECT ida, idb, round(({matches}) / 16.0, 6) AS est_jaccard
-            FROM cand JOIN sigs sa ON sa.id = ida JOIN sigs sb ON sb.id = idb)
-    SELECT ida, idb, est_jaccard FROM est WHERE est_jaccard >= {threshold}
-    """
+from augmented_codebase_indexer_spark.operators.dedup import (  # noqa: E402
+    minhash_oracle_sql as _minhash_oracle_sql,
+)
 
 
 def _simhash_oracle_sql(max_hamming: int) -> str:
@@ -1525,11 +1506,13 @@ def oracle_sql() -> dict[str, str]:
         curation_funnel_oracle_sql,
         curation_v2_oracle_sql,
         curation_v3_oracle_sql,
+        curation_v4_oracle_sql,
     )
 
     sql["curation"] = curation_oracle_sql()
     sql["curation_v2"] = curation_v2_oracle_sql()
     sql["curation_v3"] = curation_v3_oracle_sql(decontam_n=3)
+    sql["curation_v4"] = curation_v4_oracle_sql(decontam_n=3)
     sql["curation_funnel"] = curation_funnel_oracle_sql(decontam_n=3)
 
     from augmented_codebase_indexer_spark.operators.decontam import (

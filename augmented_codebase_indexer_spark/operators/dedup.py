@@ -214,16 +214,8 @@ def near_dedup_winners(
     it (operators/components.py — lazy blocks, one action per block), and
     the corpus-side join against the labels is a broadcast when the pair
     set is, which is the normal regime."""
-    pairs = minhash_near_duplicates(df, threshold, id_col, text_col, max_bucket_size)
-    edges = pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    from .components import connected_components
-
-    comp = connected_components(nodes, edges).withColumnRenamed("id", id_col)
+    comp = _near_dup_components(df, threshold, id_col, text_col, max_bucket_size)
+    comp = comp.withColumnRenamed("id", id_col)
     label = F.coalesce("component", F.col(id_col))
     return (
         df.select(F.col(id_col))
@@ -233,6 +225,36 @@ def near_dedup_winners(
             label.alias("cluster_id"),
             (label == F.col(id_col)).alias("is_winner"),
         )
+    )
+
+
+def _near_dup_components(df, threshold, id_col, text_col, max_bucket_size):
+    pairs = minhash_near_duplicates(df, threshold, id_col, text_col, max_bucket_size)
+    edges = pairs.select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    from .components import connected_components
+
+    return connected_components(nodes, edges)
+
+
+def near_dup_losers(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Just the ids that LOSE cluster election (cluster members other than
+    the min id) — a set bounded by the number of near-dups, so composed
+    pipelines can drop them with a broadcast anti-join instead of joining
+    a full verdict table against the corpus."""
+    comp = _near_dup_components(df, threshold, id_col, text_col, max_bucket_size)
+    return comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
     )
 
 
@@ -288,3 +310,37 @@ def keep_canonical_per_group(dups: DataFrame, all_ids: DataFrame) -> DataFrame:
     winner — W1 analog); returns surviving ids."""
     losers = dups.select(F.greatest("ida", "idb").alias("id")).distinct()
     return all_ids.join(losers, "id", "left_anti")
+
+
+def minhash_oracle_sql(threshold: float, max_bucket_size: int,
+                        table: str = "documents") -> str:
+    """DuckDB mirror of operators/dedup.minhash_near_duplicates: the same
+    H60 shingle hashes, affine permutations, band keys, bucket cap, and
+    matching-minima estimator (constants shared via functions/sqlhash.py)."""
+    from augmented_codebase_indexer_spark.functions import sqlhash as SH
+
+    grams = SH.word_shingles_expr("text", "duckdb")
+    h = SH.h60_expr("gram", "duckdb")
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {SH.P31}) AS m{i}"
+        for i, (a, b) in enumerate(zip(SH.PERM_A, SH.PERM_B))
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT id, concat_ws(':', '{b}', m{4*b}, m{4*b+1}, m{4*b+2}, m{4*b+3}) AS band_key FROM sigs"
+        for b in range(SH.MINHASH_BANDS)
+    )
+    matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(SH.NUM_PERM))
+    return f"""
+    WITH grams AS (SELECT doc_id AS id, unnest({grams}) AS gram FROM {table}),
+    hs AS (SELECT id, {h} % {SH.P31} AS h FROM grams),
+    sigs AS (SELECT id, {mins} FROM hs GROUP BY id),
+    bkeys AS ({bands}),
+    keep AS (SELECT band_key FROM bkeys GROUP BY band_key
+             HAVING count(*) <= {max_bucket_size}),
+    capped AS (SELECT bkeys.* FROM bkeys JOIN keep USING (band_key)),
+    cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb
+             FROM capped a JOIN capped b ON a.band_key = b.band_key AND a.id < b.id),
+    est AS (SELECT ida, idb, round(({matches}) / 16.0, 6) AS est_jaccard
+            FROM cand JOIN sigs sa ON sa.id = ida JOIN sigs sb ON sb.id = idb)
+    SELECT ida, idb, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """

@@ -234,6 +234,15 @@ def curation_v3_oracle_sql(
     return curation_oracle_sql(min_quality=0.0, size=size, overlap=overlap, table=final)
 
 
+# DuckDB expression mirroring quality_score_col(text) (already rounded)
+QUALITY_SQL = r"""
+      round((least(length(text) / 400.0, 1.0) * 0.5
+             + least(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) * 0.3)
+            * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))
+                           / greatest(length(text), 1) * 10.0, 1.0) * 0.5), 6)
+    """
+
 # DuckDB predicate mirroring lang_id_col(text) == 'en' ('en' is the first
 # marker language, so it wins every tie it participates in)
 LANG_EN_SQL = r"""
@@ -347,6 +356,122 @@ def curation_funnel_oracle_sql(
     """
 
 
+def curation_pipeline_v4(
+    docs: DataFrame,
+    size: int = 40,
+    overlap: int = 10,
+    boiler_min_df: int = 3,
+    decontam_n: int = 13,
+    eval_mod: int = 53,
+    allowed_langs: tuple = ("en",),
+    gopher: dict | None = None,
+    near_threshold: float = 0.5,
+    near_max_bucket: int = 200,
+) -> DataFrame:
+    """v3 with cluster-level NEAR-dedup in place of the exact-hash winner:
+    after the hygiene filters, MinHash-LSH pairs close into connected
+    components and only the min-id member of each cluster is chunked —
+    identical docs land in the same cluster (estimated Jaccard 1), so the
+    exact tier is subsumed. The loser set is bounded by the number of
+    near-dups, so dropping it is a broadcast anti-join; the corpus-wide
+    exact-dedup shuffle of v3 is replaced by the signature-only band
+    exchanges of the LSH join (no document text in any exchange)."""
+    from ..operators.curation_filters import boilerplate_prune
+    from ..operators.decontam import decontaminate_filter
+    from ..operators.dedup import near_dup_losers
+    from ..operators.pii import redact_pii
+    from ..operators.textstats import gopher_flag_cols, lang_id_col
+
+    gopher = V3_GOPHER if gopher is None else gopher
+    cleaned = boilerplate_prune(docs, min_df=boiler_min_df).filter(
+        F.length("clean_text") > 0
+    )
+    cleaned = redact_pii(cleaned, text_col="clean_text", out_col="text").select(
+        "doc_id", "text"
+    ).persist()
+    eval_docs = cleaned.filter(F.col("doc_id") % eval_mod == 0)
+    cands = cleaned.filter(F.col("doc_id") % eval_mod != 0)
+    gophered = cands.filter(gopher_flag_cols(F.col("text"), **gopher)["passes"])
+    eligible = (
+        decontaminate_filter(gophered, eval_docs, n=decontam_n)
+        .filter(lang_id_col(F.col("text")).isin(*allowed_langs))
+        .withColumn("quality", F.round(quality_score_col(F.col("text")), 6))
+        .persist()
+    )
+    losers = near_dup_losers(
+        eligible, threshold=near_threshold, max_bucket_size=near_max_bucket
+    )
+    kept = eligible.join(F.broadcast(losers), "doc_id", "left_anti")
+    chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
+    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
+        "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens", "quality"
+    )
+
+
+def curation_v4_oracle_sql(
+    size: int = 40,
+    overlap: int = 10,
+    boiler_min_df: int = 3,
+    decontam_n: int = 13,
+    eval_mod: int = 53,
+    gopher: dict | None = None,
+    near_threshold: float = 0.5,
+    near_max_bucket: int = 200,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``curation_pipeline_v4`` — the hygiene subquery of
+    v3 feeds the minhash pair SQL, closed by a recursive CTE; winners =
+    docs that are their own component label."""
+    from ..operators.curation_filters import boilerplate_oracle_sql
+    from ..operators.decontam import decontaminate_oracle_sql
+    from ..operators.pii import redacted_text_expr
+    from ..operators.textstats import gopher_passes_sql
+    from ..operators.dedup import minhash_oracle_sql
+
+    gopher = V3_GOPHER if gopher is None else gopher
+    boiler = boilerplate_oracle_sql(min_df=boiler_min_df, table=table)
+    cleaned = (
+        f"(SELECT doc_id, {redacted_text_expr('clean_text')} AS text"
+        f" FROM ({boiler}) WHERE length(clean_text) > 0)"
+    )
+    decontam = decontaminate_oracle_sql(
+        n=decontam_n,
+        eval_pred=f"doc_id % {eval_mod} = 0",
+        cand_pred=f"doc_id % {eval_mod} <> 0",
+        table=cleaned,
+    )
+    pairs = minhash_oracle_sql(
+        threshold=near_threshold, max_bucket_size=near_max_bucket,
+        table="eligible",
+    )
+    chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
+    return f"""
+    WITH RECURSIVE eligible AS (
+      SELECT doc_id, text, {QUALITY_SQL} AS quality FROM {cleaned}
+      WHERE doc_id % {eval_mod} <> 0
+        AND {gopher_passes_sql('text', **gopher)}
+        AND doc_id NOT IN (SELECT doc_id FROM ({decontam}) WHERE NOT kept)
+        AND ({LANG_EN_SQL})),
+    np AS (SELECT ida, idb FROM ({pairs})),
+    nedges AS (SELECT ida AS src, idb AS dst FROM np
+               UNION SELECT idb, ida FROM np),
+    ncc AS (
+      SELECT src AS id, src AS label FROM nedges
+      UNION
+      SELECT e.dst AS id, c.label FROM ncc c JOIN nedges e ON e.src = c.id
+    ),
+    ncomp AS (SELECT id, min(label) AS component FROM ncc GROUP BY id),
+    kept AS (
+      SELECT e.doc_id, e.text, e.quality FROM eligible e
+      LEFT JOIN ncomp c ON c.id = e.doc_id
+      WHERE coalesce(c.component, e.doc_id) = e.doc_id),
+    chunks AS ({chunks})
+    SELECT c.doc_id, c.chunk_id, c.part_index, c.total_parts, c.n_tokens,
+           k.quality
+    FROM chunks c JOIN kept k USING (doc_id)
+    """
+
+
 def curation_oracle_sql(
     min_quality: float = 0.3,
     size: int = 40,
@@ -354,13 +479,7 @@ def curation_oracle_sql(
     table: str = "documents",
 ) -> str:
     """DuckDB mirror of ``curation_pipeline`` (en-only)."""
-    quality = r"""
-      round((least(length(text) / 400.0, 1.0) * 0.5
-             + least(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
-                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) * 0.3)
-            * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))
-                           / greatest(length(text), 1) * 10.0, 1.0) * 0.5), 6)
-    """
+    quality = QUALITY_SQL
     lang_en = LANG_EN_SQL
     chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
     return f"""

@@ -75,7 +75,10 @@ def curate_increment(
     overlap: int = 10,
     n_buckets: int = 8,
 ) -> dict:
-    """Process one batch of (doc_id, text) rows; returns reconcile counters."""
+    """Process one batch of (doc_id, text) rows; returns reconcile counters.
+
+    ``n_buckets`` must stay constant across all calls against one
+    warehouse — bucket discovery and assignment share it."""
     spark = batch_df.sparkSession
     batch_df = batch_df.dropDuplicates(["doc_id"]).persist()
 

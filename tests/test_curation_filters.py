@@ -221,6 +221,33 @@ def test_curation_funnel_consistent_with_v3(spark):
     assert fun["n_winners"] == len(v3_docs) == 1  # 8 wins, 9 deduped away
 
 
+def test_curation_v4_drops_near_dups_v3_keeps(spark):
+    """v4's cluster dedup removes NEAR-duplicates (one word changed →
+    different sha, so v3's exact tier keeps both), keeping the min id."""
+    from augmented_codebase_indexer_spark.plans.curation import (
+        curation_pipeline_v3,
+        curation_pipeline_v4,
+    )
+
+    base = ("the quick brown fox jumps over a lazy dog and then it runs to "
+            "the old river bank where the other animals wait for it in the "
+            "morning sun with a calm mood")
+    near = base.replace("calm", "quiet")       # near-dup, different hash
+    rows = [(8, base), (9, near),
+            (10, "a small boat drifts down the wide green valley while birds "
+                 "sing in the tall trees and the warm wind moves over the "
+                 "quiet fields of corn near the farm")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(size=10, overlap=0, boiler_min_df=3, decontam_n=5, eval_mod=53,
+              gopher=dict(min_words=20, min_stopwords=1, min_frac_alpha=0.5,
+                          max_dup_2gram=0.6))
+    v3_ids = {r["doc_id"] for r in curation_pipeline_v3(df, **kw).collect()}
+    v4_ids = {r["doc_id"] for r in curation_pipeline_v4(
+        df, near_threshold=0.5, **kw).collect()}
+    assert v3_ids == {8, 9, 10}   # exact tier sees two different hashes
+    assert v4_ids == {8, 10}      # cluster tier keeps the min id only
+
+
 def test_repetition_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
