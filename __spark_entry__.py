@@ -717,6 +717,19 @@ def q_decontam(spark, sf_dir):
     return decontaminate(cands, eval_docs, n=3)
 
 
+def q_decontam_spans(spark, sf_dir):
+    # span-level decontamination: excise matching n-gram windows, keep the
+    # rest of the page (doc-level dropping wastes long mostly-good pages)
+    from augmented_codebase_indexer_spark.operators.decontam import decontaminate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate_spans(
+        d.filter(F.col("doc_id") % 53 != 0),
+        d.filter(F.col("doc_id") % 53 == 0),
+        n=3,
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     # Gopher-style per-rule quality verdicts, all JVM exprs, zero shuffle
     from augmented_codebase_indexer_spark.operators.textstats import gopher_quality_flags
@@ -880,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v4": q_curation_v4,
         "curation_funnel": q_curation_funnel,
         "decontam": q_decontam,
+        "decontam_spans": q_decontam_spans,
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
         "training_mix": q_training_mix,
@@ -1522,6 +1536,13 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.pii import redact_pii_oracle_sql
 
     sql["decontam"] = decontaminate_oracle_sql(
+        n=3, eval_pred="doc_id % 53 = 0", cand_pred="doc_id % 53 <> 0"
+    )
+    from augmented_codebase_indexer_spark.operators.decontam import (
+        decontaminate_spans_oracle_sql,
+    )
+
+    sql["decontam_spans"] = decontaminate_spans_oracle_sql(
         n=3, eval_pred="doc_id % 53 = 0", cand_pred="doc_id % 53 <> 0"
     )
     sql["gopher_quality"] = gopher_oracle_sql()

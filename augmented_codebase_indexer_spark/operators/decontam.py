@@ -105,6 +105,105 @@ def decontaminate_filter(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     return docs.join(F.broadcast(contam), id_col, "left_anti")
 
 
+def decontaminate_spans(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Span-level decontamination: EXCISE the contaminated n-gram windows
+    instead of dropping whole documents — the right call when a long page
+    quotes a few benchmark lines but the rest is good training text
+    (doc-level dropping would throw away the whole page; keeping it
+    verbatim leaks the benchmark). A token is removed iff some eval-matching
+    n-gram window covers it.
+
+    Shape: per-position window hashes are a narrow transform; only HIT
+    positions (doc_id, start) survive the broadcast join, so the per-doc
+    start lists are tiny and broadcast back. Docs shorter than n tokens
+    have no n-gram window and pass through unchanged (the doc-level
+    ``decontaminate`` flags those via its whole-text shingle instead).
+
+    Returns (doc_id, clean_text, n_tokens_removed, n_hit_spans)."""
+    toks = f"split({text_col}, ' ')"
+    win = f"concat_ws(' ', slice({toks}, i, {n}))"
+    # NB: Spark sequence(1, 0) DESCENDS ([1, 0]) instead of returning an
+    # empty array — docs shorter than n need the explicit CASE guard
+    pos_hash = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> struct(i AS i, {h60_expr(win, 'spark')} AS gram_h)) "
+        f"ELSE array() END"
+    )
+    grams = eval_ngram_hashes(eval_docs, n=n, text_col=text_col)
+    starts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.expr(pos_hash)).alias("ph"),
+        )
+        .select("doc_id", F.col("ph.i").alias("i"), F.col("ph.gram_h").alias("gram_h"))
+        .join(F.broadcast(grams), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("i")).alias("starts"))
+    )
+    kept = (
+        "transform(filter(transform(split(text, ' '), "
+        "(t, j0) -> struct(t AS t, j0 + 1 AS j)), "
+        f"s -> NOT exists(__starts, st -> st <= s.j AND s.j <= st + {n - 1})), "
+        "x -> x.t)"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .join(F.broadcast(starts), "doc_id", "left")
+        .withColumn("__starts", F.coalesce("starts", F.array().cast("array<int>")))
+        .withColumn("__kept", F.expr(kept))
+        .select(
+            "doc_id",
+            F.array_join("__kept", " ").alias("clean_text"),
+            (F.size(F.expr("split(text, ' ')")) - F.size("__kept"))
+            .cast("long").alias("n_tokens_removed"),
+            F.size("__starts").cast("long").alias("n_hit_spans"),
+        )
+    )
+
+
+def decontaminate_spans_oracle_sql(n: int, eval_pred: str, cand_pred: str,
+                                   table: str = "documents") -> str:
+    """DuckDB mirror of ``decontaminate_spans``."""
+    h = h60_expr("array_to_string(toks[i : i + " + str(n - 1) + "], ' ')", "duckdb")
+    eval_grams_src = word_shingles_expr("text", "duckdb", n=n)
+    eh = h60_expr("g", "duckdb")
+    return f"""
+    WITH eval_grams AS (
+      SELECT DISTINCT {eh} AS gram_h
+      FROM (SELECT unnest({eval_grams_src}) AS g FROM {table} WHERE {eval_pred})
+    ),
+    base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS nt
+      FROM {table} WHERE {cand_pred}
+    ),
+    posh AS (
+      SELECT doc_id, CAST(i AS INT) AS i, {h} AS gram_h
+      FROM base, unnest(range(1, greatest(nt - {n - 1}, 0) + 1)) AS r(i)
+    ),
+    st AS (
+      SELECT doc_id, list_sort(list(DISTINCT i)) AS starts
+      FROM posh JOIN eval_grams USING (gram_h) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           array_to_string(
+             [b.toks[CAST(j AS INT)] FOR j IN range(1, b.nt + 1)
+              IF len(list_filter(coalesce(s.starts, []),
+                                 st -> st <= j AND j <= st + {n - 1})) = 0],
+             ' ') AS clean_text,
+           CAST(b.nt - len(
+             [b.toks[CAST(j AS INT)] FOR j IN range(1, b.nt + 1)
+              IF len(list_filter(coalesce(s.starts, []),
+                                 st -> st <= j AND j <= st + {n - 1})) = 0]
+           ) AS BIGINT) AS n_tokens_removed,
+           CAST(coalesce(len(s.starts), 0) AS BIGINT) AS n_hit_spans
+    FROM base b LEFT JOIN st s USING (doc_id)
+    """
+
+
 def decontaminate_oracle_sql(n: int, eval_pred: str, cand_pred: str,
                              table: str = "documents") -> str:
     """DuckDB mirror: same shingles, same 60-bit hash, same join/agg.

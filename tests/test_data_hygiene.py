@@ -46,6 +46,36 @@ def test_decontaminate_no_text_in_shuffle(spark):
     assert "BroadcastExchange" in plan  # eval grams + hits both broadcast
 
 
+def test_decontaminate_spans_excises_only_the_leak(spark):
+    from augmented_codebase_indexer_spark.operators.decontam import decontaminate_spans
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [
+            (1, "good prose before the secret benchmark answer is forty two and good prose after"),
+            (2, "totally clean document with no leaked content at all"),
+            (3, "short doc"),  # shorter than n → no window, passes through
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate_spans(cands, eval_docs, n=5).collect()}
+    # every 5-gram window inside the quoted phrase hits, so the whole
+    # quote (plus any token covered by a hitting window) is excised;
+    # tokens outside every hitting window survive
+    assert "secret" not in out[1]["clean_text"]
+    assert "forty" not in out[1]["clean_text"]
+    assert out[1]["clean_text"].startswith("good prose")
+    assert out[1]["clean_text"].endswith("good prose after")
+    assert out[1]["n_hit_spans"] >= 1 and out[1]["n_tokens_removed"] >= 7
+    assert out[2]["clean_text"] == cands.collect()[1]["text"]
+    assert out[2]["n_tokens_removed"] == 0 and out[2]["n_hit_spans"] == 0
+    assert out[3]["clean_text"] == "short doc"
+
+
 def test_gopher_rules_each_flag_fires(spark):
     good = "the quick brown fox jumps over a lazy dog and then it runs to the old river bank where the other animals wait for it in the morning sun with a calm and happy mood all day long every single week of the year is it not a fine tale to tell"
     rows = [
