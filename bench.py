@@ -498,7 +498,8 @@ def main() -> None:
         "q1_pricing_summary", "join_topk_revenue",
         "ann_topk", "text_stats", "event_window", "window_dedup",
         "chunking", "summaries", "sessionize", "asof_join", "curation",
-        "curation_v3", "decontam", "training_mix",
+        "curation_v3", "curation_v4", "decontam", "decontam_spans",
+        "training_mix",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every

@@ -80,7 +80,10 @@ def main() -> None:
         broadcast_gazetteer,
         linking_stage,
     )
-    from augmented_codebase_indexer_spark.operators.decontam import decontaminate
+    from augmented_codebase_indexer_spark.operators.decontam import (
+        decontaminate,
+        decontaminate_spans,
+    )
     from augmented_codebase_indexer_spark.operators.sessions import session_stats
     from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v3
     from augmented_codebase_indexer_spark.sources.pages import (
@@ -153,6 +156,15 @@ def main() -> None:
             "Boilerplate pays its two segment shuffles up front; PII + Gopher "
             "+ lang fuse into narrow filters; decontam is broadcast-only; the "
             "cleaned text crosses ONE exchange (dedup winner).",
+        ),
+        "decontam_spans (excise leaked windows)": (
+            decontaminate_spans(
+                docs.filter(F.col("doc_id") % 53 != 0).select("doc_id", "text"),
+                docs.filter(F.col("doc_id") % 53 == 0).select("doc_id", "text"),
+                n=3,
+            ),
+            "Per-position window hashes are narrow; only HIT starts cross the "
+            "broadcast join and broadcast back — text never shuffles.",
         ),
     }
 
