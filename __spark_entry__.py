@@ -788,6 +788,15 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(chunks, budget=128, n_shards=8)
 
 
+def q_domain_cap(spark, sf_dir):
+    # per-domain quota (crawl balance): at most k docs per source, in
+    # deterministic hash order — one window shuffle keyed by domain
+    from augmented_codebase_indexer_spark.operators.sampling import domain_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return domain_cap(d, k=7).select("doc_id", "source", "domain_rank")
+
+
 def q_data_split(spark, sf_dir):
     # stable hash train/val/test split, aggregated per (source, split)
     from augmented_codebase_indexer_spark.operators.sampling import hash_split
@@ -898,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "training_mix": q_training_mix,
         "pack_sequences": q_pack_sequences,
+        "domain_cap": q_domain_cap,
         "data_split": q_data_split,
         "profile": q_profile,
         "moving_avg": q_moving_avg,
@@ -1558,10 +1568,13 @@ def oracle_sql() -> dict[str, str]:
 
     from augmented_codebase_indexer_spark.operators.chunking import chunk_oracle_sql
     from augmented_codebase_indexer_spark.operators.sampling import (
+        domain_cap_oracle_sql,
         hash_split_oracle_sql,
         pack_sequences_oracle_sql,
         training_mix_oracle_sql,
     )
+
+    sql["domain_cap"] = domain_cap_oracle_sql(k=7)
 
     sql["training_mix"] = training_mix_oracle_sql(_MIX_BUDGETS)
     sql["data_split"] = hash_split_oracle_sql()

@@ -171,6 +171,57 @@ def pack_sequences_oracle_sql(
     """
 
 
+def domain_cap(
+    docs: DataFrame,
+    k: int,
+    domain_col: str = "source",
+    quality_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quota: keep at most ``k`` docs per domain — the standard
+    crawl-balance pass (one link-farm domain must not dominate the mix).
+    Best-first when ``quality_col`` is given (ties broken by id), else a
+    deterministic hash order (uniform per-domain sample, reproducible).
+    One shuffle, keyed by domain; skew = a pathologically hot domain,
+    which is exactly what the cap then truncates. Returns the surviving
+    rows plus their ``domain_rank``."""
+    if quality_col is not None:
+        order = [F.desc(quality_col), F.asc(id_col)]
+        pri = []
+    else:
+        order = [F.asc("__pri"), F.asc(id_col)]
+        pri = [_priority(id_col).alias("__pri")]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    out = (
+        docs.select("*", *pri)
+        .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= k)
+    )
+    return out.drop("__pri") if pri else out
+
+
+def domain_cap_oracle_sql(
+    k: int,
+    table: str = "documents",
+    quality_expr: str | None = None,
+) -> str:
+    """DuckDB mirror of ``domain_cap`` over (doc_id, source, ...); hash
+    order when ``quality_expr`` is None."""
+    if quality_expr is not None:
+        order = f"{quality_expr} DESC, doc_id ASC"
+    else:
+        h = h60_expr("CAST(doc_id AS VARCHAR)", "duckdb")
+        order = f"{h} ASC, doc_id ASC"
+    return f"""
+    SELECT doc_id, source, domain_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY {order})
+                  AS BIGINT) AS domain_rank
+      FROM {table})
+    WHERE domain_rank <= {k}
+    """
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

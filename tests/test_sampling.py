@@ -82,6 +82,49 @@ def test_pack_sequences_no_global_window(spark):
     assert "SinglePartition" not in plan
 
 
+def test_domain_cap_quota_and_ordering(spark):
+    from augmented_codebase_indexer_spark.operators.sampling import domain_cap
+
+    rows = ([(i, "big", 0) for i in range(20)]
+            + [(100 + i, "small", 0) for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = domain_cap(df, k=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["big"]) == 5          # hot domain truncated
+    assert len(by_src["small"]) == 3        # small domain untouched
+    assert sorted(r["domain_rank"] for r in by_src["big"]) == [1, 2, 3, 4, 5]
+    # quality-ordered mode: best quality wins rank 1
+    q = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "a", 0.9), (3, "a", 0.5)],
+        "doc_id long, source string, quality double",
+    )
+    top = domain_cap(q, k=2, quality_col="quality").collect()
+    assert {(r["doc_id"], r["domain_rank"]) for r in top} == {(2, 1), (3, 2)}
+
+
+def test_read_jsonl_docs_tolerates_corrupt_lines(spark, tmp_path):
+    from augmented_codebase_indexer_spark.sources.jsonl import read_jsonl_docs
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"url": "https://a.example/x", "ts": "2026-08-16T00:00:00Z", '
+        '"text": "hello world", "lang": "en"}\n'
+        '{"url": "https://b.example/y", "text": "no ts or lang"}\n'
+        "this is not json at all\n"
+        '{"broken": \n'
+    )
+    docs, corrupt = read_jsonl_docs(spark, str(p))
+    got = {r["url"]: r for r in docs.collect()}
+    assert set(got) == {"https://a.example/x", "https://b.example/y"}
+    assert got["https://a.example/x"]["lang"] == "en"
+    assert got["https://b.example/y"]["lang"] == "unknown"   # defaulted
+    assert got["https://b.example/y"]["text"] == "no ts or lang"
+    assert all(r["doc_id"] >= 0 for r in got.values())       # stable ids
+    assert corrupt.count() == 2                              # counted, not dropped
+
+
 def test_hash_split_stable_under_growth(spark):
     small = _docs(spark, [(i, "a", 1) for i in range(100)])
     big = _docs(spark, [(i, "a", 1) for i in range(300)])
