@@ -152,7 +152,20 @@ def chunk_documents_sentence(
     stride = size - overlap
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    total = F.when(n <= size, F.lit(1)).otherwise(
+    # the min-encode snap wraps (corrupts silently) at _ENC tokens, and the
+    # 10 MB page cap upstream admits ~2M-token documents (ADVICE r3) — so
+    # oversized docs raise instead of snapping to a wrong boundary; the
+    # guard rides on `total`, which every row computes
+    total = F.when(
+        n >= _ENC,
+        F.raise_error(
+            F.concat(
+                F.lit(f"chunk_documents_sentence: document exceeds {_ENC - 1} "
+                      "tokens (min-encode snap would wrap); doc_id="),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("int"),
+    ).when(n <= size, F.lit(1)).otherwise(
         F.floor((n - size + stride - 1) / stride).cast("int") + 1
     )
     # boundary positions: cut BEFORE token j+1 when token j (0-based) ends

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.sqlhash import h60_expr, word_shingles_expr
+from .guards import DEFAULT_BROADCAST_MAX_ROWS, guarded_broadcast
 
 
 def _gram_hashes(text_col: str, n: int) -> str:
@@ -46,7 +47,9 @@ def eval_ngram_hashes(eval_docs: DataFrame, n: int = 13,
 
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  broadcast_max_rows: int | None = DEFAULT_BROADCAST_MAX_ROWS,
+                  ) -> DataFrame:
     """Per-candidate contamination verdict: (doc_id, n_hits, kept).
 
     ``n_hits`` = number of DISTINCT eval n-grams the document shares;
@@ -54,7 +57,11 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     the flag for lineage. Default n=13 is the published web-scale setting;
     tests/entries use smaller n because the synthetic corpus has a tiny
     vocabulary (a 13-gram collision there is as rare as a 50-gram on the
-    open web)."""
+    open web).
+
+    ``hits`` is bounded by CONTAMINATED docs — ~zero on a clean corpus but
+    unbounded on a contaminated crawl (the very case this pass exists
+    for), so its re-join is broadcast only under a counted guard."""
     grams = eval_ngram_hashes(eval_docs, n=n, text_col=text_col)
     doc_grams = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -67,7 +74,7 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(guarded_broadcast(hits, broadcast_max_rows), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
@@ -95,19 +102,23 @@ def contaminated_ids(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
 
 
 def decontaminate_filter(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
-                         id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         id_col: str = "doc_id", text_col: str = "text",
+                         broadcast_max_rows: int | None = DEFAULT_BROADCAST_MAX_ROWS,
+                         ) -> DataFrame:
     """Anti-join form for composed pipelines: returns ``docs`` minus the
     contaminated rows, keeping all input columns. The contaminated-id set
-    is small, so the final anti-join is a broadcast too — corpus text
-    never shuffles."""
+    is small ON A CLEAN CORPUS, so the final anti-join broadcasts under a
+    counted guard and degrades to a shuffled anti-join (slim ids, still
+    cheap) when a contaminated crawl blows the set up — corpus text never
+    shuffles either way."""
     contam = contaminated_ids(docs, eval_docs, n=n, id_col=id_col, text_col=text_col)
-    return docs.join(F.broadcast(contam), id_col, "left_anti")
+    return docs.join(guarded_broadcast(contam, broadcast_max_rows), id_col, "left_anti")
 
 
 def decontaminate_spans(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
-                        id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        broadcast_max_rows: int | None = DEFAULT_BROADCAST_MAX_ROWS,
+                        ) -> DataFrame:
     """Span-level decontamination: EXCISE the contaminated n-gram windows
     instead of dropping whole documents — the right call when a long page
     quotes a few benchmark lines but the rest is good training text
@@ -117,7 +128,9 @@ def decontaminate_spans(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
 
     Shape: per-position window hashes are a narrow transform; only HIT
     positions (doc_id, start) survive the broadcast join, so the per-doc
-    start lists are tiny and broadcast back. Docs shorter than n tokens
+    start lists are tiny on a clean corpus and broadcast back under the
+    counted guard (a heavily contaminated crawl degrades to a shuffled
+    join of the slim start lists instead of OOMing the driver). Docs shorter than n tokens
     have no n-gram window and pass through unchanged (the doc-level
     ``decontaminate`` flags those via its whole-text shingle instead).
 
@@ -151,7 +164,7 @@ def decontaminate_spans(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .join(F.broadcast(starts), "doc_id", "left")
+        .join(guarded_broadcast(starts, broadcast_max_rows), "doc_id", "left")
         .withColumn("__starts", F.coalesce("starts", F.array().cast("array<int>")))
         .withColumn("__kept", F.expr(kept))
         .select(

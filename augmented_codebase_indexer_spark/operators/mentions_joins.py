@@ -112,11 +112,29 @@ def mention_candidate_stage(extracted: DataFrame, max_tokens: int) -> DataFrame:
 
 
 def _max_alias_tokens(gazetteer: DataFrame) -> int:
-    """Longest alias in tokens — ONE distributed agg collecting a single
-    int (never the aliases themselves)."""
+    """Longest alias in tokens — ONE distributed agg collecting two ints
+    (never the aliases themselves). Aliases longer than the cap would be
+    silently unmatchable by THIS tier while the broadcast regex /
+    Aho-Corasick tiers do match them, breaking the tiers-agree contract
+    (ADVICE r3) — so an over-cap alias raises instead of truncating; the
+    caller either shortens the gazetteer or raises
+    ``MAX_ALIAS_TOKENS_CAP`` knowingly (candidate volume is linear in
+    it)."""
     row = gazetteer.agg(
-        F.max(F.size(F.split(F.col("alias"), " "))).alias("n")
+        F.max(F.size(F.split(F.col("alias"), " "))).alias("n"),
+        F.sum(
+            (F.size(F.split(F.col("alias"), " ")) > MAX_ALIAS_TOKENS_CAP)
+            .cast("long")
+        ).alias("n_over"),
     ).collect()[0]
+    if int(row["n_over"] or 0) > 0:
+        raise ValueError(
+            f"{row['n_over']} gazetteer alias(es) exceed "
+            f"MAX_ALIAS_TOKENS_CAP={MAX_ALIAS_TOKENS_CAP} tokens; the join "
+            "tier cannot match them (the broadcast tiers can, so the tiers "
+            "would silently disagree). Shorten the aliases or raise "
+            "operators.mentions_joins.MAX_ALIAS_TOKENS_CAP."
+        )
     return min(int(row["n"] or 1), MAX_ALIAS_TOKENS_CAP)
 
 

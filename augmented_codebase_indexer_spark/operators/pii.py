@@ -17,9 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# (name, pattern, placeholder) — order matters, see module docstring
+# (name, pattern, placeholder) — order matters, see module docstring.
+# Character classes carry BOTH cases (ADVICE r3: Spark/DuckDB regex
+# matching is case-sensitive, so a lowercase-only email rule silently
+# passed John.Doe@Example.COM through unredacted); uppercase classes are
+# in the Java∩RE2 subset this module restricts itself to.
 PII_RULES = [
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
 ]

@@ -285,10 +285,12 @@ def curation_funnel(
     contam = contaminated_ids(cands, eval_docs, n=decontam_n).withColumn(
         "is_contam", F.lit(True)
     )
+    from ..operators.guards import guarded_broadcast
+
     flags = (
         cands.withColumn("g_pass", gopher_flag_cols(F.col("text"), **gopher)["passes"])
         .withColumn("is_en", lang_id_col(F.col("text")) == "en")
-        .join(F.broadcast(contam), "doc_id", "left")
+        .join(guarded_broadcast(contam), "doc_id", "left")
         .withColumn("clean", F.coalesce("is_contam", F.lit(False)) == False)  # noqa: E712
     )
     base = cleaned_all.agg(
@@ -367,20 +369,29 @@ def curation_pipeline_v4(
     gopher: dict | None = None,
     near_threshold: float = 0.5,
     near_max_bucket: int = 200,
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """v3 with cluster-level NEAR-dedup in place of the exact-hash winner:
     after the hygiene filters, MinHash-LSH pairs close into connected
     components and only the min-id member of each cluster is chunked —
     identical docs land in the same cluster (estimated Jaccard 1), so the
     exact tier is subsumed. The loser set is bounded by the number of
-    near-dups, so dropping it is a broadcast anti-join; the corpus-wide
-    exact-dedup shuffle of v3 is replaced by the signature-only band
-    exchanges of the LSH join (no document text in any exchange)."""
+    near-dups — small on a clean corpus but 20-50% of the corpus at
+    published web dup rates — so dropping it broadcasts only under the
+    counted guard (``operators/guards.py``; ``None`` = module default)
+    and otherwise degrades to a shuffled anti-join of slim ids; the
+    corpus-wide exact-dedup shuffle of v3 is replaced by the
+    signature-only band exchanges of the LSH join (no document text in
+    any exchange)."""
     from ..operators.curation_filters import boilerplate_prune
     from ..operators.decontam import decontaminate_filter
     from ..operators.dedup import near_dup_losers
+    from ..operators.guards import DEFAULT_BROADCAST_MAX_ROWS, guarded_broadcast
     from ..operators.pii import redact_pii
     from ..operators.textstats import gopher_flag_cols, lang_id_col
+
+    if broadcast_max_rows is None:
+        broadcast_max_rows = DEFAULT_BROADCAST_MAX_ROWS
 
     gopher = V3_GOPHER if gopher is None else gopher
     cleaned = boilerplate_prune(docs, min_df=boiler_min_df).filter(
@@ -393,7 +404,8 @@ def curation_pipeline_v4(
     cands = cleaned.filter(F.col("doc_id") % eval_mod != 0)
     gophered = cands.filter(gopher_flag_cols(F.col("text"), **gopher)["passes"])
     eligible = (
-        decontaminate_filter(gophered, eval_docs, n=decontam_n)
+        decontaminate_filter(gophered, eval_docs, n=decontam_n,
+                             broadcast_max_rows=broadcast_max_rows)
         .filter(lang_id_col(F.col("text")).isin(*allowed_langs))
         .withColumn("quality", F.round(quality_score_col(F.col("text")), 6))
         .persist()
@@ -401,7 +413,8 @@ def curation_pipeline_v4(
     losers = near_dup_losers(
         eligible, threshold=near_threshold, max_bucket_size=near_max_bucket
     )
-    kept = eligible.join(F.broadcast(losers), "doc_id", "left_anti")
+    kept = eligible.join(guarded_broadcast(losers, broadcast_max_rows),
+                         "doc_id", "left_anti")
     chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
     return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
         "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens", "quality"

@@ -63,12 +63,17 @@ def _split_gzip_members(data: bytes) -> Iterator[bytes]:
     yield out.getvalue()
 
 
-def parse_warc_bytes(data: bytes) -> list[dict]:
+def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
     """All response records of one WARC file →
-    [{url, warc_ts, html}] (headers parsed leniently, truncated tail
-    records dropped, oversized payloads skipped like the scanner's 10 MB
-    guard)."""
+    ([{url, warc_ts, html}], n_skipped). Headers are parsed leniently;
+    ``n_skipped`` counts every record DROPPED for a reason other than its
+    type (malformed Content-Length, truncated tail, oversized payload,
+    missing target URI) — the JSONL reader's no-silent-drops policy
+    (ADVICE r3: a malformed header used to abort the remainder of the
+    file; now the parser resyncs at the next ``WARC/`` marker, and the
+    type/size guards run BEFORE the payload is sliced)."""
     out: list[dict] = []
+    skipped = 0
     for chunk in _split_gzip_members(data):
         pos = 0
         while True:
@@ -77,6 +82,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
                 break
             hdr_end = chunk.find(b"\r\n\r\n", head)
             if hdr_end < 0:
+                skipped += 1  # header block never terminates
                 break
             headers: dict[str, str] = {}
             for line in chunk[head:hdr_end].split(b"\r\n")[1:]:
@@ -85,19 +91,29 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
                     headers[k.strip().decode("ascii", "replace").lower()] = (
                         v.strip().decode("utf-8", "replace")
                     )
+            body_start = hdr_end + 4
             try:
                 length = int(headers.get("content-length", ""))
             except ValueError:
-                break  # malformed record: cannot find the payload bound
-            body_start = hdr_end + 4
-            body = chunk[body_start : body_start + length]
+                # malformed header: the payload bound is unknowable for THIS
+                # record only — resync at the next record marker instead of
+                # dropping the rest of the file
+                skipped += 1
+                nxt = chunk.find(b"WARC/", body_start)
+                if nxt < 0:
+                    break
+                pos = nxt
+                continue
             pos = body_start + length
-            if len(body) < length:
-                break  # truncated tail record
+            if body_start + length > len(chunk):
+                skipped += 1  # truncated tail record
+                break
             if headers.get("warc-type") != "response":
                 continue  # warcinfo/request/metadata records carry no page
             if length > _MAX_RECORD_BYTES:
+                skipped += 1  # the scanner's 10 MB guard — counted, not silent
                 continue
+            body = chunk[body_start : body_start + length]
             # payload = HTTP response; the html starts after its header block
             http_end = body.find(b"\r\n\r\n")
             html = body[http_end + 4 :] if http_end >= 0 else body
@@ -105,19 +121,24 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             ts = headers.get("warc-date")  # ISO-8601 per spec
             if url:
                 out.append({"url": url, "warc_ts": ts, "html": html})
-    return out
+            else:
+                skipped += 1  # response record without a target URI
+    return out, skipped
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """→ pages DataFrame in the input_hint schema. One task per WARC file
-    (see module docstring for why that is the right parallelism unit)."""
+    (see module docstring for why that is the right parallelism unit).
+    Per-file skip counts are a separate scan — ``warc_skip_counts`` —
+    so the hot ingest path stays a single narrow stage."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                for rec in parse_warc_bytes(bytes(content)):
+                recs, _ = parse_warc_bytes(bytes(content))
+                for rec in recs:
                     ts = None
                     if rec["warc_ts"]:
                         t = pd.Timestamp(rec["warc_ts"])
@@ -127,6 +148,23 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("content")
     return files.mapInPandas(fn, PAGES_SCHEMA)
+
+
+def warc_skip_counts(spark: SparkSession, path: str) -> DataFrame:
+    """Quarantine/alerting side output: (path, n_pages, n_skipped) per WARC
+    file, where ``n_skipped`` is ``parse_warc_bytes``'s dropped-record
+    count — the WARC analog of the JSONL reader's corrupt side output."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                recs, skipped = parse_warc_bytes(bytes(content))
+                rows.append((p, len(recs), skipped))
+            yield pd.DataFrame(rows, columns=["path", "n_pages", "n_skipped"])
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(fn, "path string, n_pages long, n_skipped long")
 
 
 def write_warc(pages: list[dict], path: str, gzip_members: bool = True) -> None:

@@ -118,6 +118,23 @@ def test_sentence_chunking_snaps_and_covers(spark, corpus):
     assert snapped > 50  # the corpus really exercises the snap rule
 
 
+def test_sentence_chunking_rejects_oversized_doc(spark):
+    """ADVICE r3: the min-encode snap wraps at _ENC tokens, silently
+    corrupting boundaries — oversized docs must raise, not corrupt."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from augmented_codebase_indexer_spark.operators.chunking import (
+        _ENC,
+        chunk_documents_sentence,
+    )
+
+    big = " ".join(["tok"] * _ENC)
+    docs = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="exceeds"):
+        chunk_documents_sentence(docs, size=40, overlap=10).collect()
+
+
 def test_chunking_tokenizer_hook(spark):
     """A custom tokenizer column drives boundaries/counts/ids; the default
     whitespace path is unchanged (hermetic, oracle-gated)."""

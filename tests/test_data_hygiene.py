@@ -134,3 +134,21 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[2]["clean_text"] == "server <IP> and <IP> call <PHONE>"
     assert out[3]["clean_text"] == out[3]["text"]
     assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+
+
+def test_redact_pii_mixed_case_email(spark):
+    """ADVICE r3: mixed-case emails must not slip through a privacy pass —
+    Spark AND the DuckDB oracle replay the same both-case rule."""
+    import duckdb
+
+    from augmented_codebase_indexer_spark.operators.pii import redacted_text_expr
+
+    text = "Contact John.Doe@Example.COM or ADMIN@SUB.Example.org now"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = redact_pii(df).collect()[0]
+    assert row["n_email"] == 2
+    assert row["clean_text"] == "Contact <EMAIL> or <EMAIL> now"
+    ora = duckdb.sql(
+        f"SELECT {redacted_text_expr(repr(text))} AS t"
+    ).fetchone()[0]
+    assert ora == row["clean_text"]

@@ -149,3 +149,26 @@ def test_incremental_update_join_tier_equals_broadcast(
     )
     ea, eb = _edge_set(spark, wh_a), _edge_set(spark, wh_b)
     assert len(ea) > 0 and ea == eb
+
+
+def test_join_tier_rejects_over_cap_alias(spark):
+    """ADVICE r3: an alias longer than MAX_ALIAS_TOKENS_CAP would be
+    silently unmatchable by the join tier (the broadcast tiers match it) —
+    it must raise, not truncate."""
+    import pytest
+
+    from augmented_codebase_indexer_spark.operators.mentions_joins import (
+        mention_stage_joins,
+    )
+
+    long_alias = " ".join(["very"] * 9) + " long entity"
+    gaz = spark.createDataFrame(
+        [("Entity0", "e0", "Entity0", "org"), (long_alias, "e1", "L", "org")],
+        "alias string, ent_id string, canonical_name string, entity_type string",
+    )
+    extracted = spark.createDataFrame(
+        [("u1", "Entity0 acquired something.")],
+        "url string, extracted_text string",
+    )
+    with pytest.raises(ValueError, match="MAX_ALIAS_TOKENS_CAP"):
+        mention_stage_joins(extracted, gaz).collect()

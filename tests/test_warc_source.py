@@ -44,13 +44,40 @@ def test_warc_skips_non_response_and_truncated_tail():
     truncated = (b"WARC/1.0\r\nWARC-Type: response\r\n"
                  b"WARC-Target-URI: https://a.example/cut\r\n"
                  b"Content-Length: 99999\r\n\r\nonly a little")
-    recs = parse_warc_bytes(info + req + resp + truncated)
+    recs, skipped = parse_warc_bytes(info + req + resp + truncated)
     assert [r["url"] for r in recs] == ["https://a.example/ok"]
     assert recs[0]["html"] == b"<html>ok</html>"
+    assert skipped == 1  # the truncated tail; info/req are type-skips
     # truncated gzip tail: parsed members survive
     data = gzip.compress(resp) + gzip.compress(resp)[:20]
-    recs2 = parse_warc_bytes(data)
+    recs2, _ = parse_warc_bytes(data)
     assert [r["url"] for r in recs2] == ["https://a.example/ok"]
+
+
+def test_warc_malformed_header_resyncs(spark, tmp_path):
+    """ADVICE r3: a malformed Content-Length must not drop the REST of the
+    file — the parser resyncs at the next WARC/ marker and counts the
+    skip."""
+    from augmented_codebase_indexer_spark.sources.warc import warc_skip_counts
+
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://a.example/bad\r\n"
+           b"Content-Length: NOT-A-NUMBER\r\n\r\ngarbage bytes here")
+    http = b"HTTP/1.1 200 OK\r\n\r\n<html>later</html>"
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://a.example/later\r\n"
+            b"WARC-Date: 2026-02-02T00:00:00Z\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n" + http + b"\r\n\r\n")
+    recs, skipped = parse_warc_bytes(bad + b"\r\n\r\n" + good)
+    assert [r["url"] for r in recs] == ["https://a.example/later"]
+    assert skipped == 1
+    p = str(tmp_path / "resync.warc")
+    with open(p, "wb") as f:
+        f.write(bad + b"\r\n\r\n" + good)
+    stats = warc_skip_counts(spark, p).collect()
+    assert len(stats) == 1
+    assert stats[0]["n_pages"] == 1 and stats[0]["n_skipped"] == 1
 
 
 def test_warc_feeds_the_kg_pipeline(spark, tmp_path):
