@@ -202,11 +202,13 @@ def decontaminate_spans_oracle_sql(n: int, eval_pred: str, cand_pred: str,
       FROM posh JOIN eval_grams USING (gram_h) GROUP BY doc_id
     )
     SELECT b.doc_id,
-           array_to_string(
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join([]) is '' — fully-excised docs must agree
+           coalesce(array_to_string(
              [b.toks[CAST(j AS INT)] FOR j IN range(1, b.nt + 1)
               IF len(list_filter(coalesce(s.starts, []),
                                  st -> st <= j AND j <= st + {n - 1})) = 0],
-             ' ') AS clean_text,
+             ' '), '') AS clean_text,
            CAST(b.nt - len(
              [b.toks[CAST(j AS INT)] FOR j IN range(1, b.nt + 1)
               IF len(list_filter(coalesce(s.starts, []),

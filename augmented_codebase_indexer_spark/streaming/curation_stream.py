@@ -25,8 +25,10 @@ Scale notes: per-trigger work is O(batch + affected + touched-hash
 docs), never O(corpus) — the state tables advance in DELTA form (only
 the batch's segments/ids are read, merged, and written back through
 bucket-level ``upsert_buckets``; untouched buckets are never scanned).
-Deletes go through ``retract_docs`` (same reconcile in reverse); the
-stream path itself is insert-only (file sources don't retract).
+Deletes go through ``retract_docs`` (same reconcile in reverse). A
+re-ingested doc_id is an UPDATE: the old text's segment counts retract
+before the new text's are added (insert+retract in one pass), so
+re-crawled pages converge exactly like fresh ones.
 """
 
 from __future__ import annotations
@@ -81,31 +83,55 @@ def curate_increment(
     warehouse — bucket discovery and assignment share it."""
     spark = batch_df.sparkSession
     batch_df = batch_df.dropDuplicates(["doc_id"]).persist()
+    batch_ids = batch_df.select("doc_id")
+
+    # 0. re-ingested ids: a batch doc_id already in docs_raw is an UPDATE —
+    #    its OLD text's segment counts must retract before the new text's
+    #    are added, or the state diverges from a batch recompute and a
+    #    stale segment row lingers forever (ADVICE r3). ``old_versions``
+    #    is O(batch) by construction (semi-join on the batch's own ids).
+    raw_old = (wh.read(spark, "docs_raw").select("doc_id", "text")
+               if wh.exists("docs_raw") else None)
+    old_versions = (
+        raw_old.join(F.broadcast(batch_ids), "doc_id", "left_semi").persist()
+        if raw_old is not None else None
+    )
 
     # 1. frequency state forward — DELTA form: only the batch's own
-    #    segments are read from, merged with, and written back to the
-    #    state table; untouched segments are never scanned or rewritten
+    #    segments (NEW text + the retracted OLD text of updated ids) are
+    #    read from, merged with, and written back to the state table;
+    #    untouched segments are never scanned or rewritten
     state1 = (wh.read(spark, "segment_df").select("seg", "df")
               if wh.exists("segment_df") else None)
-    touched_segs = segment_doc_counts(batch_df).select("seg").persist()
+    touched_segs = segment_doc_counts(batch_df).select("seg")
+    if old_versions is not None:
+        touched_segs = touched_segs.unionByName(
+            segment_doc_counts(old_versions).select("seg")
+        ).distinct()
+    touched_segs = touched_segs.persist()
     if state1 is not None:
         seg_before = state1.join(F.broadcast(touched_segs), "seg", "left_semi")
     else:
         seg_before = None
-    seg_after = update_segment_df(seg_before, added=batch_df).persist()
+    seg_after = update_segment_df(
+        seg_before, added=batch_df, removed=old_versions
+    ).persist()
     seg_after.count()  # pin before the state table is upserted underneath it
     state2 = seg_after if state1 is None else (
         state1.join(F.broadcast(touched_segs), "seg", "left_anti")
         .unionByName(seg_after)
     )
 
-    # 2. stale docs from verdict flips (only touched segments can flip)
-    raw_old = (wh.read(spark, "docs_raw").select("doc_id", "text")
-               if wh.exists("docs_raw") else None)
+    # 2. stale docs from verdict flips (only touched segments can flip).
+    #    Batch ids are EXCLUDED from the redo pull: they re-process with
+    #    their new text anyway, and unioning their old text here would
+    #    feed two texts for one doc_id into the prune's groupBy(doc_id),
+    #    merging both versions into one corrupt document (ADVICE r3).
     if raw_old is not None and seg_before is not None:
+        raw_rest = raw_old.join(F.broadcast(batch_ids), "doc_id", "left_anti")
         crossed = crossed_segments(seg_before, seg_after, min_df)
-        redo_ids = affected_doc_ids(raw_old, crossed)
-        redo = raw_old.join(F.broadcast(redo_ids), "doc_id", "left_semi")
+        redo_ids = affected_doc_ids(raw_rest, crossed)
+        redo = raw_rest.join(F.broadcast(redo_ids), "doc_id", "left_semi")
     else:
         redo = None
     to_process = (
@@ -184,6 +210,7 @@ def curate_increment(
     eligible.count()
     counters = {
         "batch_docs": batch_df.count(),
+        "updated_docs": 0 if old_versions is None else old_versions.count(),
         "recleaned_docs": 0 if redo is None else redo.count(),
         "touched_hashes": touched_shas.count(),
     }
@@ -208,6 +235,8 @@ def curate_increment(
     for df in (batch_df, touched_segs, seg_after, to_process, eligible,
                doc_hash, winners):
         df.unpersist()
+    if old_versions is not None:
+        old_versions.unpersist()
     return counters
 
 

@@ -80,6 +80,46 @@ def test_curation_increments_converge_to_batch(spark, tmp_path_factory):
     assert 5 in final_ids and 20 not in final_ids
 
 
+def test_reingest_update_converges_to_batch(spark, tmp_path_factory):
+    """ADVICE r3: a re-ingested (updated) doc_id must behave as
+    retract-old + insert-new, not as a pure insert — the old text's
+    segment counts retract (no stale segment rows; a banner carried only
+    by the OLD version can drop below min_df), and the old text must
+    never co-exist with the new one inside the prune's groupBy."""
+    b1 = [(10, f"{BANNER}. {BODY_A}"),
+          (20, f"{BANNER}. {BODY_B}"),
+          (30, f"{BANNER}. {BODY_A} with its own calm tail here")]
+    # update 10 and 30: both drop the banner → banner df falls 3 → 1,
+    # crossing min_df downward, so doc 20 must re-clean and GROW the
+    # banner back; doc 10's new text duplicates BODY_B → dedup contest
+    b2 = [(10, f"{BODY_B}"),
+          (30, f"{BODY_A} rewritten with another quiet ending now")]
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_upd")), "upd")
+    curate_increment(wh, spark.createDataFrame(b1, "doc_id long, text string"), **KW)
+    c2 = curate_increment(
+        wh, spark.createDataFrame(b2, "doc_id long, text string"), **KW)
+    assert c2["updated_docs"] == 2
+    assert c2["recleaned_docs"] == 1  # doc 20 re-cleans; 10/30 are in-batch
+
+    # state table matches a from-scratch frequency pass over LATEST texts
+    latest = [(10, b2[0][1]), (20, b1[1][1]), (30, b2[1][1])]
+    from augmented_codebase_indexer_spark.operators.curation_filters import (
+        segment_doc_counts,
+    )
+    got_state = {(r["seg"], r["df"]) for r in spark.read.parquet(
+        f"{wh.root}/segment_df").select("seg", "df").collect()}
+    want_state = {(r["seg"], r["df"]) for r in segment_doc_counts(
+        spark.createDataFrame(latest, "doc_id long, text string")).collect()}
+    assert got_state == want_state
+
+    got = _chunks(spark, wh.root)
+    want = _batch_reference(spark, latest)
+    assert got == want and len(got) > 0
+    # dedup after the update: 10 and 20's latest texts differ (20 kept the
+    # banner), so both survive; the winner set is exactly the batch one
+    assert {r[0] for r in got} == {r[0] for r in want}
+
+
 def test_retraction_converges_to_batch_over_remaining(spark, tmp_path_factory):
     """Deleting docs must converge to a fresh batch run over the survivors:
     the banner drops below min_df and GROWS BACK into the remaining docs'
