@@ -168,6 +168,32 @@ def main() -> None:
         ),
     }
 
+    from augmented_codebase_indexer_spark.operators.domains import with_domain
+    from augmented_codebase_indexer_spark.operators.exactsubstr import (
+        exact_substr_spans,
+    )
+    from augmented_codebase_indexer_spark.operators.sampling import domain_cap
+
+    queries["exactsubstr_spans (cross-doc substring excision)"] = (
+        exact_substr_spans(docs.select("doc_id", "text"), n=8, min_df=2),
+        "r4: per-position window hashes narrow; the ONE frequency shuffle "
+        "carries (doc_id, gram_h) pairs with partial agg; hit starts come "
+        "back through the counted broadcast guard — text never shuffles.",
+    )
+    queries["domain_cap_url (normalize + quota)"] = (
+        domain_cap(
+            with_domain(docs.select(
+                "doc_id",
+                F.concat(F.lit("https://sub"), (F.col("doc_id") % 7).cast("string"),
+                         F.lit(".example.com/"), F.col("doc_id").cast("string"))
+                .alias("url"))),
+            k=3, domain_col="domain",
+        ),
+        "r4: host/eTLD+1 normalization folds into the scan (literal "
+        "IN-lists, no join); the quota pays exactly ONE exchange keyed by "
+        "registered domain.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
