@@ -730,6 +730,21 @@ def q_decontam_spans(spark, sf_dir):
     )
 
 
+def q_contam_report(spark, sf_dir):
+    # eval-integrity report: per eval doc, how many corpus docs share an
+    # n-gram with it and how many of its grams leaked (zeros included)
+    from augmented_codebase_indexer_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_report(
+        d.filter(F.col("doc_id") % 53 != 0),
+        d.filter(F.col("doc_id") % 53 == 0),
+        n=3,
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     # Gopher-style per-rule quality verdicts, all JVM exprs, zero shuffle
     from augmented_codebase_indexer_spark.operators.textstats import gopher_quality_flags
@@ -921,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "decontam": q_decontam,
         "decontam_spans": q_decontam_spans,
+        "contam_report": q_contam_report,
         "gopher_quality": q_gopher_quality,
         "pii_redact": q_pii_redact,
         "training_mix": q_training_mix,
@@ -1628,6 +1644,13 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["decontam_spans"] = decontaminate_spans_oracle_sql(
+        n=3, eval_pred="doc_id % 53 = 0", cand_pred="doc_id % 53 <> 0"
+    )
+    from augmented_codebase_indexer_spark.operators.decontam import (
+        contamination_report_oracle_sql,
+    )
+
+    sql["contam_report"] = contamination_report_oracle_sql(
         n=3, eval_pred="doc_id % 53 = 0", cand_pred="doc_id % 53 <> 0"
     )
     sql["gopher_quality"] = gopher_oracle_sql()

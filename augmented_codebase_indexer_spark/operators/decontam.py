@@ -115,6 +115,79 @@ def decontaminate_filter(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     return docs.join(guarded_broadcast(contam, broadcast_max_rows), id_col, "left_anti")
 
 
+def contamination_report(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """The reporting side of decontamination: per EVAL document, how
+    widely did it leak into the training corpus — (eval_id,
+    n_contaminated_docs, n_leaked_grams) for every eval doc (zeros for
+    clean ones). This is what an eval-integrity review reads: a benchmark
+    item quoted by ten thousand pages is memorized-by-construction and
+    should be retired, one quoted by a single mirror just needs that page
+    dropped.
+
+    Shape: eval grams keyed BY EVAL DOC broadcast (the eval set is MBs);
+    the corpus explode is narrow into the broadcast join; the one
+    aggregation carries only matching (eval_id, doc_id, gram_h) rows —
+    ~zero on a clean corpus."""
+    eg = (
+        eval_docs.select(
+            F.col(id_col).alias("eval_id"),
+            F.explode(F.expr(_gram_hashes(text_col, n))).alias("gram_h"),
+        ).distinct()
+    )
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_gram_hashes(text_col, n))).alias("gram_h"),
+    )
+    hits = (
+        dg.join(F.broadcast(eg), "gram_h")
+        .groupBy("eval_id")
+        .agg(
+            F.count_distinct("doc_id").alias("n_contaminated_docs"),
+            F.count_distinct("gram_h").alias("n_leaked_grams"),
+        )
+    )
+    return (
+        eval_docs.select(F.col(id_col).alias("eval_id"))
+        .join(guarded_broadcast(hits), "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_contaminated_docs", F.lit(0)).cast("long")
+            .alias("n_contaminated_docs"),
+            F.coalesce("n_leaked_grams", F.lit(0)).cast("long")
+            .alias("n_leaked_grams"),
+        )
+    )
+
+
+def contamination_report_oracle_sql(n: int, eval_pred: str, cand_pred: str,
+                                    table: str = "documents") -> str:
+    """DuckDB mirror of ``contamination_report``."""
+    grams = word_shingles_expr("text", "duckdb", n=n)
+    h = h60_expr("g", "duckdb")
+    return f"""
+    WITH eg AS (
+      SELECT DISTINCT doc_id AS eval_id, {h} AS gram_h
+      FROM (SELECT doc_id, unnest({grams}) AS g FROM {table} WHERE {eval_pred})
+    ),
+    dg AS (
+      SELECT doc_id, {h} AS gram_h
+      FROM (SELECT doc_id, unnest({grams}) AS g FROM {table} WHERE {cand_pred})
+    ),
+    hits AS (
+      SELECT eval_id, count(DISTINCT doc_id) AS n_docs,
+             count(DISTINCT gram_h) AS n_grams
+      FROM dg JOIN eg USING (gram_h) GROUP BY eval_id
+    )
+    SELECT e.doc_id AS eval_id,
+           CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_contaminated_docs,
+           CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_leaked_grams
+    FROM (SELECT doc_id FROM {table} WHERE {eval_pred}) e
+    LEFT JOIN hits h ON h.eval_id = e.doc_id
+    """
+
+
 def decontaminate_spans(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
                         id_col: str = "doc_id", text_col: str = "text",
                         broadcast_max_rows: int | None = DEFAULT_BROADCAST_MAX_ROWS,

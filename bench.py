@@ -495,7 +495,23 @@ def stream_probe(spark) -> dict:
         curate_increment,
     )
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # the synthetic corpus has NO cross-document repeated segments (every
+    # '. '-split segment is unique), so the re-clean path would be
+    # trivially idle — inject two deterministic banners whose copies
+    # arrive ONE PER TRIGGER (ids 0,11,...,99 land in batches 0..9; ids
+    # 555..999 in batches 5..9), so each banner crosses min_df=3
+    # MID-STREAM and the docs cleaned before the crossing must re-clean
+    b1 = "subscribe to the newsletter and accept all cookies now please"
+    b2 = "this site uses tracking banners on every single page today"
+    docs = raw.select(
+        "doc_id",
+        F.when(F.col("doc_id").isin(*[11 * i for i in range(10)]),
+               F.concat(F.lit(b1 + ". "), F.col("text")))
+        .when(F.col("doc_id").isin(555, 666, 777, 888, 999),
+              F.concat(F.lit(b2 + ". "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"),
+    )
     wh = Warehouse(tempfile.mkdtemp(prefix="aci_stream_probe_"), "probe")
     kw = dict(min_df=3, min_quality=0.1, allowed_langs=("en",),
               max_dup_2gram=0.6, size=40, overlap=10, n_buckets=8)
@@ -675,7 +691,12 @@ def main() -> None:
                     "prediction, and the final table equals the one-shot "
                     "batch pipeline "
                     f"(converged={probe['converged']}, "
-                    f"{probe['final_chunks']} chunks).\n\n"
+                    f"{probe['final_chunks']} chunks). The synthetic "
+                    "corpus has no cross-doc repeated segments, so two "
+                    "banners are injected whose copies arrive one per "
+                    "trigger — each crosses min_df mid-stream and forces "
+                    "the docs cleaned earlier to re-clean (the non-zero "
+                    "re-clean rows below).\n\n"
                     "| trigger | batch docs | re-cleaned (= predicted) | "
                     "touched hashes | wall (s) |\n|---|---|---|---|---|\n"
                     + "".join(

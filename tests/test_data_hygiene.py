@@ -136,6 +136,33 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
 
 
+def test_contamination_report_counts_leaks_per_eval_doc(spark):
+    """Planted: eval doc 100 leaked into two corpus docs, eval doc 200
+    into none — the report keys by EVAL doc with zeros included."""
+    from augmented_codebase_indexer_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    leak = "the secret benchmark answer is forty two exactly"
+    rows = [
+        (1, f"some page quoting {leak} verbatim in the middle of text"),
+        (2, f"another mirror with {leak} pasted at the end"),
+        (3, "a clean page about rivers and valleys with no quoted text"),
+    ]
+    cands = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, leak), (200, "an unleaked question nobody ever copied here")],
+        "doc_id long, text string",
+    )
+    out = {r["eval_id"]: r for r in
+           contamination_report(cands, evals, n=5).collect()}
+    assert set(out) == {100, 200}
+    assert out[100]["n_contaminated_docs"] == 2
+    assert out[100]["n_leaked_grams"] == 4  # 8 tokens → four 5-gram windows
+    assert out[200]["n_contaminated_docs"] == 0
+    assert out[200]["n_leaked_grams"] == 0
+
+
 def test_redact_pii_mixed_case_email(spark):
     """ADVICE r3: mixed-case emails must not slip through a privacy pass —
     Spark AND the DuckDB oracle replay the same both-case rule."""
