@@ -134,9 +134,11 @@ def q_kg_mentions(spark, sf_dir):
 def q_kg_mentions_joins(spark, sf_dir):
     """Same result as kg_mentions through the NO-MATERIALIZATION tier:
     token-ngram candidates equi-join the gazetteer TABLE
-    (operators/mentions_joins.py) — nothing driver-collected, nothing
-    broadcast. Gated against the SAME independent DuckDB oracle, so the
-    driver verifies the huge-gazetteer path end-to-end, not just pytest."""
+    (operators/mentions_joins.py) — no alias ROWS are ever collected or
+    broadcast; only the vocab-bounded set of distinct alias FIRST tokens
+    ships (size-guarded) to prune candidate starts ~12×. Gated against
+    the SAME independent DuckDB oracle, so the driver verifies the
+    huge-gazetteer path end-to-end, not just pytest."""
     from augmented_codebase_indexer_spark.operators.extraction import extract_stage
     from augmented_codebase_indexer_spark.operators.mentions_joins import (
         mention_stage_joins,

@@ -8,6 +8,12 @@ not per executor. This module re-expresses mention detection relationally:
 
     extracted text ──(narrow mapInPandas)──▶ token n-gram candidates
                                               (url, start, end, surface)
+                                              [start positions pruned by
+                                               the vocab-bounded alias
+                                               FIRST-token set, the one
+                                               thing small enough to ship
+                                               even at 10^8 aliases —
+                                               size-guarded, r4]
     candidates ⋈ gazetteer ON surface = alias   (sort-merge; Catalyst may
                                                  still broadcast small sides)
     ∪ NER-fallback spans (computed in the same narrow stage, no gazetteer)
@@ -61,18 +67,46 @@ _TRIM = ".,;:!?"
 # hard cap on n-gram length: real entity names rarely exceed 8 tokens, and
 # candidate volume is linear in this
 MAX_ALIAS_TOKENS_CAP = 8
+# distinct alias FIRST tokens collected for candidate pruning when ≤ this
+# many: the first-word vocabulary is language-bounded (≈10^6) even when
+# the alias set itself is 10^8, which is exactly why this prune works
+# where broadcasting the full alias set does not. Above the cap the tier
+# falls back to unpruned candidates (still correct, just more join input).
+FIRST_TOKEN_BROADCAST_MAX = 1_000_000
 
 CANDIDATE_SCHEMA = "url string, start int, end int, surface string, kind string"
 
 
-def _candidates_for_text(url: str, text: str, max_tokens: int) -> list[tuple]:
+def _first_token_matches(tok: str, first_tokens) -> bool:
+    """Can an alias occurrence start at this token? A valid candidate
+    surface starting here begins with the RAW token (multi-token grams)
+    or one of its trailing-trim variants (single-token grams), so the
+    prune is exact-conservative: it never skips a position a gazetteer
+    hit could start at."""
+    if tok in first_tokens:
+        return True
+    while tok and tok[-1] in _TRIM:
+        tok = tok[:-1]
+        if tok in first_tokens:
+            return True
+    return False
+
+
+def _candidates_for_text(url: str, text: str, max_tokens: int,
+                         first_tokens=None) -> list[tuple]:
     """All boundary-valid token n-grams (kind='cand') + NER spans
-    (kind='ner') for one document."""
+    (kind='ner') for one document. ``first_tokens`` (a set of distinct
+    alias first words) prunes start positions that cannot begin any
+    alias — candidate volume drops from O(tokens·max_n) to
+    O(matching starts·max_n), the dominant cost of this tier."""
     rows: list[tuple] = []
     toks = [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
     seen: set[tuple[int, int]] = set()
     for i in range(len(toks)):
         s = toks[i][0]
+        if first_tokens is not None and not _first_token_matches(
+                text[s:toks[i][1]], first_tokens):
+            continue
         if not _start_boundary_ok(text, s):
             continue
         for n in range(1, max_tokens + 1):
@@ -95,20 +129,36 @@ def _candidates_for_text(url: str, text: str, max_tokens: int) -> list[tuple]:
     return rows
 
 
-def mention_candidate_stage(extracted: DataFrame, max_tokens: int) -> DataFrame:
+def mention_candidate_stage(extracted: DataFrame, max_tokens: int,
+                            first_tokens_bc=None) -> DataFrame:
     """Narrow 1→N stage: (url, extracted_text) → candidate spans. No
-    gazetteer anywhere — this is the side that scales with the corpus."""
+    gazetteer rows anywhere — only the (vocab-bounded) set of alias
+    FIRST tokens ships as an optional broadcast prune; this is the side
+    that scales with the corpus."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "start", "end", "surface", "kind"]
+        ft = first_tokens_bc.value if first_tokens_bc is not None else None
         for pdf in batches:
             rows: list[tuple] = []
             for url, text in zip(pdf["url"], pdf["extracted_text"]):
                 if text:
-                    rows.extend(_candidates_for_text(url, text, max_tokens))
+                    rows.extend(_candidates_for_text(url, text, max_tokens, ft))
             yield pd.DataFrame(rows, columns=cols)
 
     return extracted.select("url", "extracted_text").mapInPandas(fn, CANDIDATE_SCHEMA)
+
+
+def _collect_first_tokens(gazetteer: DataFrame, cap: int):
+    """Distinct alias first words as a python set, or None when the
+    vocabulary exceeds ``cap`` (fall back to unpruned candidates). One
+    distributed distinct + a bounded collect — never the aliases."""
+    ft = gazetteer.select(
+        F.split(F.col("alias"), " ").getItem(0).alias("ft")
+    ).distinct()
+    if ft.limit(cap + 1).count() > cap:
+        return None
+    return {r["ft"] for r in ft.collect()}
 
 
 def _max_alias_tokens(gazetteer: DataFrame) -> int:
@@ -142,7 +192,10 @@ def _matched_spans(extracted: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """Candidate spans with gazetteer hits marked: the ONE distributed join
     of this tier. Only slim (url, offsets, surface) rows meet the alias
     table; NER spans bypass the join."""
-    cands = mention_candidate_stage(extracted, _max_alias_tokens(gazetteer))
+    ft = _collect_first_tokens(gazetteer, FIRST_TOKEN_BROADCAST_MAX)
+    ft_bc = (extracted.sparkSession.sparkContext.broadcast(ft)
+             if ft is not None else None)
+    cands = mention_candidate_stage(extracted, _max_alias_tokens(gazetteer), ft_bc)
     gaz_surf = gazetteer.select(F.col("alias").alias("surface")).distinct()
     hits = (
         cands.filter(F.col("kind") == "cand")

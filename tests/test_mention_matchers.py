@@ -172,3 +172,40 @@ def test_join_tier_rejects_over_cap_alias(spark):
     )
     with pytest.raises(ValueError, match="MAX_ALIAS_TOKENS_CAP"):
         mention_stage_joins(extracted, gaz).collect()
+
+
+def test_join_tier_first_token_prune_equality_punctuated(spark):
+    """r4 candidate prune: positions are skipped by alias FIRST-token
+    membership including trailing-trim variants — aliases whose first
+    word carries punctuation ('Corp.') and doc tokens with extra
+    trailing punctuation must still match exactly like the broadcast
+    tier."""
+    from augmented_codebase_indexer_spark.operators.extraction import (
+        broadcast_aliases,
+        mention_stage,
+    )
+    from augmented_codebase_indexer_spark.operators.mentions_joins import (
+        mention_stage_joins,
+    )
+
+    aliases = ["Acme Corp.", "Corp. Holdings", "Entity0"]
+    gaz = spark.createDataFrame(
+        [(a, f"e{i}", a, "org") for i, a in enumerate(aliases)],
+        "alias string, ent_id string, canonical_name string, entity_type string",
+    )
+    extracted = spark.createDataFrame(
+        [("u1", "we met Acme Corp., then Corp. Holdings and Entity0 today."),
+         ("u2", "nothing relevant here at all")],
+        "url string, extracted_text string",
+    )
+    alias_bc = broadcast_aliases(spark, aliases)
+    cols = ["url", "surface", "start", "end", "kind"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    a = rows(mention_stage(extracted, alias_bc))
+    b = rows(mention_stage_joins(extracted, gaz))
+    assert a == b
+    assert any(r[1] == "Acme Corp." for r in b)
+    assert any(r[1] == "Corp. Holdings" for r in b)
