@@ -831,6 +831,30 @@ def q_data_split(spark, sf_dir):
     )
 
 
+def q_lm_quality(spark, sf_dir):
+    # CCNet-style perplexity scoring: add-one unigram LM trained on the
+    # doc_id%10 reference slice, per-doc cross-entropy in exact integer
+    # micro-nats, head/middle/tail buckets. Narrow explode → guarded
+    # broadcast vocab join → one combined row per doc over the exchange.
+    from augmented_codebase_indexer_spark.operators.lmquality import lm_cross_entropy
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_cross_entropy(d, d.filter(F.col("doc_id") % 10 == 0))
+
+
+def q_dsir_weights(spark, sf_dir):
+    # DSIR importance weights: per-doc log-likelihood ratio between a
+    # target-domain LM (source=src0) and the raw-pool LM — positive
+    # avg_llr = "looks like the target domain". Exact BIGINT sums.
+    from augmented_codebase_indexer_spark.operators.lmquality import dsir_log_ratio
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dsir_log_ratio(
+        d.select("doc_id", "text"),
+        d.filter(F.col("source") == "src0").select("doc_id", "text"),
+    )
+
+
 def q_exactsubstr_spans(spark, sf_dir):
     # ExactSubstr cross-document substring excision (Lee et al. 2021):
     # n-token windows repeated verbatim in ≥2 distinct docs are excised
@@ -928,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ALL of them."""
     return {
         # --- round 4: never driver-checked ---
+        "lm_quality": q_lm_quality,
+        "dsir_weights": q_dsir_weights,
         "exactsubstr_spans": q_exactsubstr_spans,
         "domain_normalize": q_domain_normalize,
         "domain_cap_url": q_domain_cap_url,
@@ -1684,6 +1710,14 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.exactsubstr import (
         exact_substr_oracle_sql,
     )
+
+    from augmented_codebase_indexer_spark.operators.lmquality import (
+        dsir_oracle_sql,
+        lm_quality_oracle_sql,
+    )
+
+    sql["lm_quality"] = lm_quality_oracle_sql()
+    sql["dsir_weights"] = dsir_oracle_sql()
 
     sql["exactsubstr_spans"] = exact_substr_oracle_sql(n=8, min_df=2)
     _h = host_sql_expr("url")

@@ -1,0 +1,272 @@
+"""Language-model quality scoring for training-data curation.
+
+Two published web-pipeline operators the suite lacked:
+
+* **CCNet-style perplexity filtering** (Wenzek et al. 2020, "CCNet:
+  Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+  score every document by its cross-entropy under a unigram LM trained on
+  a trusted reference slice; junk pages (gibberish, navigation soup,
+  keyword stuffing) score high, prose scores low. CCNet uses a KenLM
+  5-gram model; the sandbox has no KenLM, so the LM here is an add-one
+  unigram model built relationally from the corpus itself — the operator
+  SHAPE (train counts → per-token log-probs → per-doc entropy → bucket)
+  is the real thing and a KenLM scorer would slot into the same frames.
+* **DSIR importance weights** (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): per-document
+  log-likelihood ratio between a *target-domain* LM and a *raw-pool* LM;
+  documents whose token distribution resembles the target get positive
+  weights and are preferentially selected.
+
+Cross-engine exactness (the repo's oracle discipline): per-token
+log-probs are quantized ONCE per vocabulary entry to integer micro-nats
+(``CAST(round(ln(p) * 1e6) AS BIGINT)``), so every per-document score is
+a BIGINT sum — exact, order-independent, and byte-identical between
+Spark and the DuckDB oracle. The only floats cross the engine boundary
+as ``round(x, 6)`` conveniences derived from those exact integers (the
+1-ulp/rounding-tie caveat documented at ``textstats.quality_score_col``
+applies, measured-rare).
+
+Scale shape at 10^12 docs: the vocab build is one token-keyed shuffle
+over the (much smaller) reference slice; scoring is a narrow
+explode → broadcast-join → partial-agg chain — a document's exploded
+tokens never leave its input partition, so the final ``groupBy(doc_id)``
+exchanges ONE combined row per document, not token-level rows. The
+vocab broadcast goes through ``guards.guarded_broadcast`` (CCNet prunes
+its vocab anyway — ``max_vocab_rows`` mirrors that); above the cap the
+join degrades to a token-keyed shuffle of fixed-width rows, never text.
+
+Reference anchors: quality gating per scanned file
+(`src/aci/core/scanner.py:283` caps what enters the index); the
+reference's ranked retrieval normalizes scores before thresholding
+(`src/aci/services/search_service.py:188-204`) — same
+score-then-threshold shape, applied here at ingest time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .guards import guarded_broadcast
+
+# default head/middle/tail cross-entropy cut points (nats/token), tuned
+# to the synthetic corpus (entropies cluster at 3.35-3.96 nats across
+# sf0.001-0.1) so all three buckets are populated. CCNet derives its cuts
+# from reference-corpus percentiles; fixed constants keep the operator
+# free of any global-order pass (approx_percentile is the production path
+# for data-driven cuts and is deliberately NOT in the oracle-gated output).
+DEFAULT_BUCKETS = (3.40, 3.42)
+
+_MICRO = 1_000_000.0
+
+
+def token_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, tok) — whitespace tokens, empties dropped. Narrow."""
+    return (
+        docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+def unigram_logprobs(
+    ref_tokens: DataFrame, max_vocab_rows: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Add-one unigram LM from a (doc_id, tok) reference slice.
+
+    Returns ``(vocab, totals)``: vocab is (tok, lp_micro BIGINT) with
+    lp = ln((c+1)/(T+V+1)) quantized to micro-nats; totals is the 1-row
+    (T, V, oov_lp_micro) frame (OOV mass = 1/(T+V+1)). ``max_vocab_rows``
+    keeps the top-K tokens by (count desc, tok) — CCNet-style pruning
+    that guarantees the vocab broadcasts; pruned tokens fall into OOV on
+    BOTH engines, so the oracle stays exact.
+    """
+    counts = ref_tokens.groupBy("tok").agg(F.count("*").alias("c"))
+    if max_vocab_rows is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("c"), F.asc("tok"))
+        # global top-K: rank over a single ordered partition — acceptable
+        # because K is the (small) vocab cap, and the input is already
+        # one row per distinct token, not per occurrence
+        counts = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_vocab_rows)
+            .drop("rn")
+        )
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("T"), F.count("*").cast("long").alias("V")
+    ).withColumn(
+        "oov_lp_micro",
+        F.round(F.log(F.lit(1.0) / (F.col("T") + F.col("V") + F.lit(1.0))) * _MICRO)
+        .cast("long"),
+    )
+    vocab = counts.crossJoin(F.broadcast(totals.select("T", "V"))).select(
+        "tok",
+        F.round(
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("T") + F.col("V") + F.lit(1.0)))
+            * _MICRO
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return vocab, totals
+
+
+def _doc_lp_sums(
+    docs: DataFrame,
+    vocab: DataFrame,
+    totals: DataFrame,
+    text_col: str,
+    lp_alias: str,
+    broadcast_max_rows: int | None,
+) -> DataFrame:
+    """(doc_id, n_tokens, <lp_alias> BIGINT) — exact micro-nat sums."""
+    toks = token_frame(docs, text_col)
+    scored = (
+        toks.join(guarded_broadcast(vocab, broadcast_max_rows), "tok", "left")
+        .crossJoin(F.broadcast(totals.select("oov_lp_micro")))
+        .select(
+            "doc_id", F.coalesce("lp_micro", "oov_lp_micro").alias("lp")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lp").cast("long").alias(lp_alias),
+    )
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    buckets: tuple[float, float] = DEFAULT_BUCKETS,
+    max_vocab_rows: int | None = None,
+    broadcast_max_rows: int | None = None,
+) -> DataFrame:
+    """Score ``docs`` under an add-one unigram LM trained on ``ref_docs``.
+
+    Returns (doc_id, n_tokens, sum_lp_micro, cross_entropy, ppl_bucket):
+    cross_entropy = -sum_lp_micro / 1e6 / n_tokens (nats/token, rounded
+    to 6 dp for display — the BIGINT column is the exact value), bucket
+    head/middle/tail by the fixed ``buckets`` cuts (CCNet keeps head,
+    samples middle, drops tail). Documents with no tokens are absent
+    (nothing to score — callers union them back as 'tail' if desired).
+    """
+    vocab, totals = unigram_logprobs(
+        token_frame(ref_docs, text_col), max_vocab_rows=max_vocab_rows
+    )
+    sums = _doc_lp_sums(
+        docs, vocab, totals, text_col, "sum_lp_micro", broadcast_max_rows
+    )
+    ce = (-F.col("sum_lp_micro") / F.lit(_MICRO)) / F.col("n_tokens")
+    lo, hi = buckets
+    return sums.select(
+        "doc_id",
+        "n_tokens",
+        "sum_lp_micro",
+        F.round(ce, 6).alias("cross_entropy"),
+        F.when(ce < F.lit(lo), F.lit("head"))
+        .when(ce < F.lit(hi), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+def dsir_log_ratio(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    raw_docs: DataFrame | None = None,
+    text_col: str = "text",
+    max_vocab_rows: int | None = None,
+    broadcast_max_rows: int | None = None,
+) -> DataFrame:
+    """DSIR importance weights: per-doc Σ[ln p_target(tok) − ln p_raw(tok)].
+
+    ``raw_docs`` defaults to ``docs`` (the pool being selected from).
+    Returns (doc_id, n_tokens, sum_llr_micro BIGINT, avg_llr): positive
+    avg_llr = looks more like the target domain than the raw pool —
+    DSIR resamples with probability ∝ exp(weight). Both LMs use the same
+    add-one estimator, so the BIGINT difference is exact.
+    """
+    raw_docs = docs if raw_docs is None else raw_docs
+    t_vocab, t_tot = unigram_logprobs(
+        token_frame(target_docs, text_col), max_vocab_rows=max_vocab_rows
+    )
+    r_vocab, r_tot = unigram_logprobs(
+        token_frame(raw_docs, text_col), max_vocab_rows=max_vocab_rows
+    )
+    t = _doc_lp_sums(docs, t_vocab, t_tot, text_col, "lp_t", broadcast_max_rows)
+    r = _doc_lp_sums(docs, r_vocab, r_tot, text_col, "lp_r", broadcast_max_rows)
+    joined = t.join(r.select("doc_id", "lp_r"), "doc_id")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("lp_t") - F.col("lp_r")).cast("long").alias("sum_llr_micro"),
+        F.round(
+            ((F.col("lp_t") - F.col("lp_r")) / F.lit(_MICRO)) / F.col("n_tokens"), 6
+        ).alias("avg_llr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors (exact: the same micro-nat quantization)
+# ---------------------------------------------------------------------------
+
+def _vocab_ctes(prefix: str, src_pred: str) -> str:
+    """CTE block building (tok, lp BIGINT) + 1-row OOV for one LM."""
+    return f"""
+    {prefix}vocab AS (
+      SELECT tok, count(*) AS c FROM tf WHERE {src_pred} GROUP BY tok),
+    {prefix}tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS T, CAST(count(*) AS DOUBLE) AS V
+      FROM {prefix}vocab),
+    {prefix}lp AS (
+      SELECT tok,
+             CAST(round(ln((c + 1.0) / (T + V + 1.0)) * 1000000) AS BIGINT) AS lp
+      FROM {prefix}vocab, {prefix}tot),
+    {prefix}oov AS (
+      SELECT CAST(round(ln(1.0 / (T + V + 1.0)) * 1000000) AS BIGINT) AS lp
+      FROM {prefix}tot)"""
+
+
+_TF_CTE = """
+    WITH tk AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, source, tok FROM tk WHERE tok <> '')"""
+
+
+def lm_quality_oracle_sql(
+    ref_pred: str = "doc_id % 10 = 0", buckets: tuple[float, float] = DEFAULT_BUCKETS
+) -> str:
+    lo, hi = buckets
+    ce = "-(CAST(sum(lp) AS DOUBLE) / 1000000.0) / count(*)"
+    return f"""{_TF_CTE},{_vocab_ctes("u", ref_pred)},
+    scored AS (
+      SELECT tf.doc_id, coalesce(ulp.lp, uoov.lp) AS lp
+      FROM tf LEFT JOIN ulp USING (tok) CROSS JOIN uoov)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           sum(lp) AS sum_lp_micro,
+           round({ce}, 6) AS cross_entropy,
+           CASE WHEN {ce} < {lo} THEN 'head'
+                WHEN {ce} < {hi} THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored GROUP BY doc_id
+    """
+
+
+def dsir_oracle_sql(target_pred: str = "source = 'src0'") -> str:
+    return f"""{_TF_CTE},{_vocab_ctes("t", target_pred)},{_vocab_ctes("r", "TRUE")},
+    scored AS (
+      SELECT tf.doc_id,
+             coalesce(tlp.lp, toov.lp) AS lt,
+             coalesce(rlp.lp, roov.lp) AS lr
+      FROM tf LEFT JOIN tlp USING (tok) LEFT JOIN rlp USING (tok)
+      CROSS JOIN toov CROSS JOIN roov)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lt) - sum(lr) AS BIGINT) AS sum_llr_micro,
+           round((CAST(sum(lt) - sum(lr) AS DOUBLE) / 1000000.0) / count(*), 6)
+             AS avg_llr
+    FROM scored GROUP BY doc_id
+    """

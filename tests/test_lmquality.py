@@ -1,0 +1,144 @@
+"""LM-quality gates: CCNet-style cross-entropy and DSIR importance
+weights against a pure-python mirror, planted-document semantics, and the
+vocab-cap (pruned-token → OOV) contract."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from augmented_codebase_indexer_spark.operators.lmquality import (
+    dsir_log_ratio,
+    lm_cross_entropy,
+    token_frame,
+    unigram_logprobs,
+)
+
+
+def _py_unigram(ref_texts, max_vocab=None):
+    counts = {}
+    for t in ref_texts:
+        for tok in t.split(" "):
+            if tok:
+                counts[tok] = counts.get(tok, 0) + 1
+    if max_vocab is not None:
+        keep = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+        counts = dict(keep)
+    T = sum(counts.values())
+    V = len(counts)
+    lp = {
+        tok: int(round(math.log((c + 1.0) / (T + V + 1.0)) * 1e6))
+        for tok, c in counts.items()
+    }
+    oov = int(round(math.log(1.0 / (T + V + 1.0)) * 1e6))
+    return lp, oov
+
+
+def _py_doc_sum(text, lp, oov):
+    toks = [t for t in text.split(" ") if t]
+    return len(toks), sum(lp.get(t, oov) for t in toks)
+
+
+DOCS = [
+    (0, "the cat sat on the mat and the dog sat too"),
+    (1, "the dog ran to the cat and the mat stayed"),
+    (2, "qzxv blorp wibble snarf qzxv gromp flib"),  # gibberish: all-OOV
+    (3, "the the the the the the the the"),  # degenerate repetition
+    (4, ""),  # empty: no tokens, absent from output
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_cross_entropy_matches_python_mirror(spark, docs):
+    ref = docs.filter(F.col("doc_id") < 2)
+    out = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy(docs, ref, buckets=(3.0, 4.0)).collect()
+    }
+    lp, oov = _py_unigram([t for _, t in DOCS[:2]])
+    for doc_id, text in DOCS:
+        n, s = _py_doc_sum(text, lp, oov)
+        if n == 0:
+            assert doc_id not in out  # empty doc: nothing to score
+            continue
+        row = out[doc_id]
+        assert row["n_tokens"] == n
+        assert row["sum_lp_micro"] == s  # exact integer parity
+        assert row["cross_entropy"] == pytest.approx(-s / 1e6 / n, abs=1e-6)
+
+
+def test_gibberish_scores_worse_than_prose(spark, docs):
+    ref = docs.filter(F.col("doc_id") < 2)
+    out = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_cross_entropy(docs, ref).collect()
+    }
+    # all-OOV gibberish must be the worst; pure-stopword repetition the best
+    assert out[2] == max(out.values())
+    assert out[3] == min(out.values())
+
+
+def test_bucket_assignment_uses_cuts(spark, docs):
+    ref = docs.filter(F.col("doc_id") < 2)
+    rows = lm_cross_entropy(docs, ref, buckets=(2.0, 5.0)).collect()
+    for r in rows:
+        want = (
+            "head" if r["cross_entropy"] < 2.0
+            else "middle" if r["cross_entropy"] < 5.0
+            else "tail"
+        )
+        assert r["ppl_bucket"] == want, r
+
+
+def test_vocab_cap_prunes_to_oov(spark, docs):
+    """max_vocab_rows keeps top-K by (count desc, tok); pruned tokens score
+    as OOV — mirrored exactly by the python model with the same cap."""
+    ref = docs.filter(F.col("doc_id") < 2)
+    out = {
+        r["doc_id"]: r["sum_lp_micro"]
+        for r in lm_cross_entropy(docs, ref, max_vocab_rows=3).collect()
+    }
+    lp, oov = _py_unigram([t for _, t in DOCS[:2]], max_vocab=3)
+    assert len(lp) == 3
+    for doc_id, text in DOCS:
+        n, s = _py_doc_sum(text, lp, oov)
+        if n:
+            assert out[doc_id] == s
+
+
+def test_dsir_matches_python_and_separates_domains(spark):
+    target = [(i, "alpha beta gamma delta alpha beta") for i in range(3)]
+    offdom = [(10 + i, "omega sigma tau rho omega sigma") for i in range(3)]
+    mixed = [(20, "alpha beta omega sigma")]
+    all_docs = target + offdom + mixed
+    docs = spark.createDataFrame(all_docs, ["doc_id", "text"])
+    tgt = docs.filter(F.col("doc_id") < 3)
+    out = {r["doc_id"]: r for r in dsir_log_ratio(docs, tgt).collect()}
+
+    t_lp, t_oov = _py_unigram([t for _, t in target])
+    r_lp, r_oov = _py_unigram([t for _, t in all_docs])
+    for doc_id, text in all_docs:
+        n, st = _py_doc_sum(text, t_lp, t_oov)
+        _, sr = _py_doc_sum(text, r_lp, r_oov)
+        assert out[doc_id]["sum_llr_micro"] == st - sr
+        assert out[doc_id]["n_tokens"] == n
+    # target-domain docs get positive weights, off-domain negative
+    for i in range(3):
+        assert out[i]["avg_llr"] > 0
+        assert out[10 + i]["avg_llr"] < 0
+    # the mixed doc sits strictly between the two blocks
+    assert out[10]["avg_llr"] < out[20]["avg_llr"] < out[0]["avg_llr"]
+
+
+def test_unigram_logprobs_shapes(spark, docs):
+    ref = token_frame(docs.filter(F.col("doc_id") < 2))
+    vocab, totals = unigram_logprobs(ref)
+    tot = totals.collect()[0]
+    assert tot["V"] == vocab.count()
+    assert tot["T"] == ref.count()
+    assert tot["oov_lp_micro"] < 0
+    assert set(vocab.columns) == {"tok", "lp_micro"}
