@@ -855,6 +855,57 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+_TEMPORAL_PRED_CASE = """CASE doc_id % 6
+      WHEN 0 THEN 'acquired' WHEN 1 THEN 'founded_by' WHEN 2 THEN 'located_in'
+      WHEN 3 THEN 'partnered_with' WHEN 4 THEN 'subsidiary_of' ELSE 'works_for'
+    END"""
+
+# epoch-second crawl times: doc_id-monotone, int64 end-to-end. The object
+# steps every ~2 observations per (subj, pred) class so SCD2 produces
+# real multi-version histories (runs of ~2) rather than one run per key.
+_TEMPORAL_FACTS_SQL = f"""
+    SELECT 'Entity' || CAST(doc_id % 50 AS VARCHAR) AS subj,
+           {_TEMPORAL_PRED_CASE} AS pred,
+           'V' || CAST((doc_id % 50 + doc_id // 300) % 7 AS VARCHAR) AS obj,
+           CAST(1700000000 + doc_id * 37 AS BIGINT) AS ts
+    FROM documents"""
+
+_TEMPORAL_AS_OF = 1700000000 + 37 * 250  # mid-history at the driver's sf
+
+
+def _temporal_facts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("Entity"), (did % 50).cast("string")).alias("subj"),
+        F.expr(_TEMPORAL_PRED_CASE).alias("pred"),
+        F.concat(
+            F.lit("V"), ((did % 50 + F.floor(did / 300)) % 7).cast("string")
+        ).alias("obj"),
+        (F.lit(1700000000) + did * 37).cast("long").alias("ts"),
+    )
+
+
+def q_triples_scd2(spark, sf_dir):
+    # temporal KG: SCD2 validity intervals per (subj, pred) over
+    # crawl-timestamped facts — gaps-and-islands, ONE entity-key shuffle
+    from augmented_codebase_indexer_spark.operators.temporal import scd2_intervals
+
+    return scd2_intervals(_temporal_facts(spark, sf_dir))
+
+
+def q_kg_snapshot(spark, sf_dir):
+    # "the graph as of T": narrow filter over the SCD2 frame
+    from augmented_codebase_indexer_spark.operators.temporal import (
+        scd2_intervals,
+        snapshot_asof,
+    )
+
+    return snapshot_asof(
+        scd2_intervals(_temporal_facts(spark, sf_dir)), _TEMPORAL_AS_OF
+    )
+
+
 def q_exactsubstr_spans(spark, sf_dir):
     # ExactSubstr cross-document substring excision (Lee et al. 2021):
     # n-token windows repeated verbatim in ≥2 distinct docs are excised
@@ -954,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 4: never driver-checked ---
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
+        "triples_scd2": q_triples_scd2,
+        "kg_snapshot": q_kg_snapshot,
         "exactsubstr_spans": q_exactsubstr_spans,
         "domain_normalize": q_domain_normalize,
         "domain_cap_url": q_domain_cap_url,
@@ -1718,6 +1771,11 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lm_quality"] = lm_quality_oracle_sql()
     sql["dsir_weights"] = dsir_oracle_sql()
+
+    from augmented_codebase_indexer_spark.operators.temporal import scd2_oracle_sql
+
+    sql["triples_scd2"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL)
+    sql["kg_snapshot"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL, as_of=_TEMPORAL_AS_OF)
 
     sql["exactsubstr_spans"] = exact_substr_oracle_sql(n=8, min_df=2)
     _h = host_sql_expr("url")

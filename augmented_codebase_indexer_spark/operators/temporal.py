@@ -1,0 +1,148 @@
+"""Temporal knowledge-graph versioning: SCD2 validity intervals and
+point-in-time snapshots over crawl-timestamped triples.
+
+A web-scale KG is built from repeated crawls: the same (subj, pred) is
+asserted at many ``warc_ts`` with possibly different objects ("CEO of X"
+changes over crawls). The reference keeps only latest-write-wins rows
+(its index upsert replaces a file's symbols wholesale on re-index,
+`src/aci/services/indexing_service.py:118-150`); a temporal KG instead
+keeps every version with its validity window — the standard
+slowly-changing-dimension type-2 (SCD2) shape — and answers "the graph
+as of T" with a filter instead of a rebuild.
+
+Relational formulation (gaps-and-islands, no UDF, SQL-mirrorable):
+
+1. one fact per (key, ts): deterministic ``min(val)`` collapse;
+2. change flag: ``lag(val)`` differs → 1;
+3. island id: running sum of flags per key;
+4. per-island collapse: ``valid_from = min(ts)``, ``n_obs = count``;
+5. ``valid_to = lead(valid_from)`` per key; NULL ⇒ current version.
+
+Scale: every window and groupBy is keyed by (subj, pred) or a superset,
+so the whole operator is ONE hash exchange on the entity key — Catalyst
+reuses the (subj, pred) partitioning for the island groupBy (subset
+clustering satisfies it) and both lead/lag windows. No global window,
+no text in the shuffle (keys + object ids + int64 timestamps). Hot-key
+skew (a celebrity entity re-asserted every crawl) stays bounded because
+rows per (subj, pred) ≈ number of crawls, not corpus size; AQE skew
+split covers the pathological tail.
+
+Timestamps are int64 epoch seconds end-to-end (the repo's cross-engine
+exactness discipline — no float, no timezone semantics in the gate).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def scd2_intervals(
+    facts: DataFrame,
+    key_cols: Sequence[str] = ("subj", "pred"),
+    ts_col: str = "ts",
+    val_col: str = "obj",
+) -> DataFrame:
+    """Collapse timestamped facts into SCD2 version rows.
+
+    Returns one row per maximal run of consecutive identical values per
+    key: (*key_cols, val_col, valid_from, valid_to, is_current, n_obs).
+    ``valid_to`` is exclusive and NULL for the live version. Facts that
+    collide on (key, ts) collapse to ``min(val)`` first so the island
+    scan has a deterministic total order.
+    """
+    keys = [F.col(k) for k in key_cols]
+    dedup = facts.groupBy(*key_cols, ts_col).agg(F.min(val_col).alias(val_col))
+
+    w_ts = Window.partitionBy(*keys).orderBy(ts_col)
+    flagged = dedup.withColumn(
+        "_chg",
+        F.when(
+            F.lag(val_col).over(w_ts).isNull()
+            | (F.lag(val_col).over(w_ts) != F.col(val_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_chg").over(w_ts.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = islands.groupBy(*key_cols, val_col, "_island").agg(
+        F.min(ts_col).cast("long").alias("valid_from"),
+        F.count("*").cast("long").alias("n_obs"),
+    )
+    w_runs = Window.partitionBy(*keys).orderBy("valid_from")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w_runs))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_island")
+        .select(*key_cols, val_col, "valid_from", "valid_to", "is_current", "n_obs")
+    )
+
+
+def snapshot_asof(
+    scd2: DataFrame, as_of: int
+) -> DataFrame:
+    """The graph as of ``as_of`` (epoch seconds): the version row whose
+    [valid_from, valid_to) window contains it. Narrow filter over the
+    SCD2 frame — no recompute, no shuffle."""
+    return scd2.filter(
+        (F.col("valid_from") <= F.lit(as_of))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of)))
+    ).drop("is_current")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirror
+# ---------------------------------------------------------------------------
+
+def scd2_oracle_sql(
+    facts_sql: str,
+    key_cols: Sequence[str] = ("subj", "pred"),
+    ts_col: str = "ts",
+    val_col: str = "obj",
+    as_of: int | None = None,
+) -> str:
+    """Exact mirror of :func:`scd2_intervals` (and, with ``as_of``, of
+    :func:`snapshot_asof`) over a ``facts_sql`` relation."""
+    k = ", ".join(key_cols)
+    base = f"""
+    WITH facts AS ({facts_sql}),
+    dedup AS (
+      SELECT {k}, {ts_col}, min({val_col}) AS {val_col}
+      FROM facts GROUP BY {k}, {ts_col}),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag({val_col}) OVER w IS NULL
+                       OR lag({val_col}) OVER w <> {val_col}
+                  THEN 1 ELSE 0 END AS chg
+      FROM dedup
+      WINDOW w AS (PARTITION BY {k} ORDER BY {ts_col})),
+    isl AS (
+      SELECT *, sum(chg) OVER (PARTITION BY {k} ORDER BY {ts_col}
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    runs AS (
+      SELECT {k}, {val_col}, island,
+             CAST(min({ts_col}) AS BIGINT) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM isl GROUP BY {k}, {val_col}, island),
+    scd AS (
+      SELECT {k}, {val_col}, valid_from,
+             lead(valid_from) OVER (PARTITION BY {k} ORDER BY valid_from)
+               AS valid_to,
+             n_obs
+      FROM runs)"""
+    if as_of is None:
+        return base + f"""
+    SELECT {k}, {val_col}, valid_from, valid_to,
+           valid_to IS NULL AS is_current, n_obs
+    FROM scd
+    """
+    return base + f"""
+    SELECT {k}, {val_col}, valid_from, valid_to, n_obs
+    FROM scd
+    WHERE valid_from <= {as_of}
+      AND (valid_to IS NULL OR valid_to > {as_of})
+    """

@@ -1,0 +1,91 @@
+"""SCD2 temporal-KG gates: pure-python mirror on a planted history,
+snapshot semantics at interval edges, and the one-entity-key-exchange
+plan property the module docstring promises."""
+
+import pyspark.sql.functions as F
+
+from augmented_codebase_indexer_spark.operators.temporal import (
+    scd2_intervals,
+    snapshot_asof,
+)
+
+# (subj, pred, obj, ts) — one key with runs [a,a | b | a,a,a], a second
+# key with a single run, plus a (key, ts) collision that must collapse
+# to min(obj) deterministically
+FACTS = [
+    ("E1", "ceo_of", "alice", 100),
+    ("E1", "ceo_of", "alice", 200),
+    ("E1", "ceo_of", "bob", 300),
+    ("E1", "ceo_of", "alice", 400),
+    ("E1", "ceo_of", "alice", 500),
+    ("E1", "ceo_of", "alice", 600),
+    ("E2", "hq_in", "paris", 150),
+    ("E2", "hq_in", "zurich", 150),  # collision: min() keeps 'paris'
+]
+
+EXPECTED = [
+    # subj, pred, obj, valid_from, valid_to, is_current, n_obs
+    ("E1", "ceo_of", "alice", 100, 300, False, 2),
+    ("E1", "ceo_of", "bob", 300, 400, False, 1),
+    ("E1", "ceo_of", "alice", 400, None, True, 3),
+    ("E2", "hq_in", "paris", 150, None, True, 1),
+]
+
+
+def _scd2(spark):
+    return scd2_intervals(spark.createDataFrame(FACTS, ["subj", "pred", "obj", "ts"]))
+
+
+def test_scd2_planted_history(spark):
+    got = sorted(
+        tuple(r) for r in _scd2(spark).collect()
+    )
+    assert got == sorted(EXPECTED)
+
+
+def test_snapshot_edges(spark):
+    scd2 = _scd2(spark).persist()
+    # valid_from inclusive, valid_to exclusive
+    at = lambda t: {
+        (r["subj"], r["obj"]) for r in snapshot_asof(scd2, t).collect()
+    }
+    assert at(99) == set()
+    assert at(100) == {("E1", "alice")}
+    assert at(299) == {("E1", "alice"), ("E2", "paris")}
+    assert at(300) == {("E1", "bob"), ("E2", "paris")}
+    assert at(400) == {("E1", "alice"), ("E2", "paris")}
+    assert at(10_000) == {("E1", "alice"), ("E2", "paris")}
+    scd2.unpersist()
+
+
+def test_scd2_single_entity_key_exchange(spark):
+    """All windows/groupBys key on (subj, pred) or a superset, so the
+    whole operator costs ONE hash exchange (plus AQE reads)."""
+    df = scd2_intervals(
+        spark.range(1000).select(
+            (F.col("id") % 20).cast("string").alias("subj"),
+            F.lit("p").alias("pred"),
+            (F.col("id") % 3).cast("string").alias("obj"),
+            F.col("id").alias("ts"),
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_scd2_run_compression_bounds(spark):
+    """n_obs sums back to the deduped observation count and versions per
+    key are ordered, non-overlapping, and gap-free."""
+    rows = _scd2(spark).collect()
+    assert sum(r["n_obs"] for r in rows) == len(FACTS) - 1  # one collision
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r["subj"], r["pred"], r["valid_from"])):
+        by_key.setdefault((r["subj"], r["pred"]), []).append(r)
+    for versions in by_key.values():
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]  # gap-free chain
+            assert a["obj"] != b["obj"]  # maximal runs: no same-value split
+        assert versions[-1]["is_current"]
+        assert all(not v["is_current"] for v in versions[:-1])
