@@ -855,6 +855,44 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def _entity_graph_sql(dialect: str) -> str:
+    """Deterministic entity graph from doc_ids over 151 nodes: an affine
+    family plus an integer-division family whose edge set GROWS with the
+    corpus (doc_id//3 sweeps new residues as ids climb), so the graph
+    densifies with SF instead of collapsing to a fixed modular pattern."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    SELECT CAST(doc_id % 151 AS {s}) AS src,
+           CAST((doc_id * 13 + 5) % 151 AS {s}) AS dst
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id % 151 AS {s}),
+           CAST((doc_id {div} 3) % 151 AS {s})
+    FROM documents"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    # degree-ordered triangle counting (Suri-Vassilvitskii orientation:
+    # O(sqrt(m)) out-degree, hub-safe wedge join); the DuckDB oracle
+    # closes wedges over the raw canonical edge list — an independent
+    # enumeration of the same triangles
+    from augmented_codebase_indexer_spark.operators.graphalgs import triangle_counts
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return triangle_counts(spark.sql(_entity_graph_sql("spark")))
+
+
+def q_graph_jaccard(spark, sf_dir):
+    # neighborhood Jaccard for pairs sharing >=2 neighbors — the
+    # entity-resolution validation signal (duplicate entities have
+    # near-identical neighborhoods)
+    from augmented_codebase_indexer_spark.operators.graphalgs import jaccard_similarity
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return jaccard_similarity(spark.sql(_entity_graph_sql("spark")), min_common=2)
+
+
 _TEMPORAL_PRED_CASE = """CASE doc_id % 6
       WHEN 0 THEN 'acquired' WHEN 1 THEN 'founded_by' WHEN 2 THEN 'located_in'
       WHEN 3 THEN 'partnered_with' WHEN 4 THEN 'subsidiary_of' ELSE 'works_for'
@@ -1007,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "triples_scd2": q_triples_scd2,
         "kg_snapshot": q_kg_snapshot,
+        "graph_triangles": q_graph_triangles,
+        "graph_jaccard": q_graph_jaccard,
         "exactsubstr_spans": q_exactsubstr_spans,
         "domain_normalize": q_domain_normalize,
         "domain_cap_url": q_domain_cap_url,
@@ -1776,6 +1816,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["triples_scd2"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL)
     sql["kg_snapshot"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL, as_of=_TEMPORAL_AS_OF)
+
+    from augmented_codebase_indexer_spark.operators.graphalgs import (
+        jaccard_oracle_sql,
+        triangle_oracle_sql,
+    )
+
+    sql["graph_triangles"] = triangle_oracle_sql(_entity_graph_sql("duckdb"))
+    sql["graph_jaccard"] = jaccard_oracle_sql(_entity_graph_sql("duckdb"), min_common=2)
 
     sql["exactsubstr_spans"] = exact_substr_oracle_sql(n=8, min_df=2)
     _h = host_sql_expr("url")

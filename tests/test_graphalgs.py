@@ -1,0 +1,112 @@
+"""Triangle / Jaccard gates: planted graphs with hand-checked answers, a
+brute-force python cross-check on a seeded random graph, and the
+hub-exclusion contract of the Jaccard wedge."""
+
+import itertools
+import random
+
+import pyspark.sql.functions as F
+
+from augmented_codebase_indexer_spark.operators.graphalgs import (
+    jaccard_similarity,
+    triangle_counts,
+    undirected_edges,
+)
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(edges, ["src", "dst"])
+
+
+def test_k4_triangles(spark):
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(_df(spark, k4)).collect()}
+    # K4 has 4 triangles; each node sits in C(3,2)=3 of them
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_path_has_no_triangles(spark):
+    assert triangle_counts(_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])).count() == 0
+
+
+def test_messy_input_canonicalized(spark):
+    """Self-loops, duplicates, and reversed duplicates must not create or
+    multiply triangles."""
+    messy = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "b"),
+             ("a", "c"), ("a", "c")]
+    und = undirected_edges(_df(spark, messy))
+    assert sorted(tuple(r) for r in und.collect()) == [("a", "b"), ("a", "c"), ("b", "c")]
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(_df(spark, messy)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def _py_triangles(edges):
+    und = set()
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        und.add((a, b))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts, adj
+
+
+def test_random_graph_matches_bruteforce(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    want, adj = _py_triangles(edges)
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(_df(spark, edges)).collect()}
+    assert got == want
+
+    jac = jaccard_similarity(_df(spark, edges), min_common=1).collect()
+    for r in jac:
+        common = adj[r["a"]] & adj[r["b"]]
+        union = adj[r["a"]] | adj[r["b"]]
+        assert r["n_common"] == len(common)
+        assert r["deg_a"] == len(adj[r["a"]])
+        assert r["deg_b"] == len(adj[r["b"]])
+        assert abs(r["jaccard"] - len(common) / len(union)) < 1e-6
+    # every qualifying pair is present
+    want_pairs = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(adj), 2)
+        if adj[a] & adj[b]
+    }
+    assert {(r["a"], r["b"]) for r in jac} == want_pairs
+
+
+def test_jaccard_square_plus_diagonal(spark):
+    sq = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    got = {(r["a"], r["b"]): r for r in jaccard_similarity(_df(spark, sq)).collect()}
+    # b and d: N(b)={a,c}=N(d) → jaccard 1.0
+    assert got[("b", "d")]["jaccard"] == 1.0
+    # a and c: N(a)={b,c,d}, N(c)={a,b,d} → common {b,d}, union {a,b,c,d}
+    assert got[("a", "c")]["n_common"] == 2
+    assert abs(got[("a", "c")]["jaccard"] - 2 / 4) < 1e-6
+
+
+def test_jaccard_hub_cap_excludes_center(spark):
+    """A hub above max_degree must not generate pairs as a wedge center,
+    but still counts in the true degrees of its neighbors."""
+    star = [("hub", f"x{i}") for i in range(5)] + [("x0", "x1")]
+    full = jaccard_similarity(_df(spark, star), min_common=1)
+    assert full.filter((F.col("a") == "x2") & (F.col("b") == "x3")).count() == 1
+    capped = jaccard_similarity(_df(spark, star), min_common=1, max_degree=3)
+    rows = capped.collect()
+    # pairs through the hub are gone; the x0-x1 edge still wedges via
+    # hub-degree... no: x0,x1's only shared neighbor IS the hub → only
+    # pairs with a sub-cap center survive: (hub, x1) via x0 and (hub, x0)
+    # via x1 — and their deg columns keep the hub's true degree 5
+    for r in rows:
+        assert "hub" in (r["a"], r["b"])
+        assert r["deg_a"] == 5 or r["deg_b"] == 5
+    assert capped.filter((F.col("a") == "x2") & (F.col("b") == "x3")).count() == 0
