@@ -1,0 +1,85 @@
+"""CLI wiring gates: each subcommand drives the same library functions
+the other tests already verify, so these assert arg→function→JSON
+plumbing — index then search/graph/stats/export against the built
+warehouse, plus the F4/F5 modifier grammar reaching the search filter."""
+
+import json
+import os
+
+import pytest
+
+from augmented_codebase_indexer_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("cli_wh"))
+    res = main([
+        "index",
+        "--pages", os.path.join(corpus_dir, "pages.parquet"),
+        "--gazetteer", os.path.join(corpus_dir, "gazetteer.parquet"),
+        "--warehouse", wh,
+        "--run-id", "cli-run",
+    ])
+    return wh, res
+
+
+def test_index_builds_warehouse(built):
+    wh, res = built
+    assert res["edges"] > 0 and res["nodes"] > 0
+    assert os.path.isdir(os.path.join(wh, "edges"))
+
+
+def test_search_hybrid_and_modifiers(built, capsys):
+    wh, _ = built
+    res = main(["search", "--warehouse", wh, "-k", "5", "cluster data"])
+    assert 0 < len(res["results"]) <= 5
+    assert res["query"] == "cluster data"
+    for r in res["results"]:
+        assert set(r) == {"url", "score", "backend"}
+    # printed line is the same JSON (machine-readable contract)
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == res
+
+    # F5 exclusion must drop every excluded url
+    excl = main(["search", "--warehouse", wh, "-k", "5",
+                 "cluster data -exclude:.example"])
+    assert excl["results"] == []  # every corpus url is under *.example
+    assert excl["query"] == "cluster data"
+
+
+def test_search_rerank_mode(built):
+    wh, _ = built
+    res = main(["search", "--warehouse", wh, "--mode", "rerank", "-k", "3",
+                "cluster data"])
+    assert 0 < len(res["results"]) <= 3
+    for r in res["results"]:
+        assert {"url", "rerank_score", "retrieval_score"} <= set(r)
+
+
+def test_graph_neighborhood(built):
+    wh, res = built
+    # pick a real edge endpoint deterministically via stats-free path:
+    # the export JSON carries edges; use stats to assert counts first
+    stats = main(["stats", "--warehouse", wh])
+    assert stats["tables"]["edges"] == res["edges"]
+    assert any(l["stage"] == "edges" for l in stats["lineage"])
+
+
+def test_graph_traversal_from_real_node(built, spark):
+    wh, _ = built
+    edges = spark.read.parquet(os.path.join(wh, "edges"))
+    start = edges.select("subj_id").orderBy("subj_id").first()["subj_id"]
+    res = main(["graph", "--warehouse", wh, "--entity", start, "--depth", "2"])
+    hops = {n["node_id"]: n["hops"] for n in res["neighbors"]}
+    assert hops[start] == 0
+    assert any(h == 1 for h in hops.values())
+    assert all(h <= 2 for h in hops.values())
+
+
+def test_export_graphml(built, tmp_path):
+    wh, res = built
+    out = str(tmp_path / "g.xml")
+    r = main(["export", "--warehouse", wh, "--format", "graphml", "--out", out])
+    assert r["nodes"] == res["nodes"] and r["edges"] == res["edges"]
+    body = open(out).read()
+    assert body.count("<node ") == res["nodes"]
