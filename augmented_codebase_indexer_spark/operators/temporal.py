@@ -81,6 +81,42 @@ def scd2_intervals(
     )
 
 
+def scd2_merge(
+    existing: DataFrame,
+    old_facts: DataFrame,
+    new_facts: DataFrame,
+    key_cols: Sequence[str] = ("subj", "pred"),
+    ts_col: str = "ts",
+    val_col: str = "obj",
+) -> DataFrame:
+    """Fold a new crawl batch into an existing SCD2 frame incrementally.
+
+    Only keys PRESENT IN THE BATCH are recomputed — their full fact
+    history is replayed from ``old_facts`` (the warehouse's fact log)
+    union the batch, handling out-of-order and retroactive timestamps;
+    every untouched key passes through verbatim via an anti-join.
+    Invariant (gated in tests, the `incremental_update` Property-15
+    analog): ``scd2_merge(scd2_intervals(old), old, batch)`` equals
+    ``scd2_intervals(old ∪ batch)`` for ANY split of the facts into
+    old/batch, in any arrival order.
+
+    Per-trigger cost is O(batch + affected-key history) — rows per key
+    ≈ crawl count, so a batch touching K entities replays ~K·crawls
+    rows regardless of corpus size. Same convergence contract as
+    `streaming/curation_stream.py::curate_increment`. In a warehouse
+    deployment the recomputed keys land via `Warehouse.upsert_buckets`
+    keyed on the entity hash, so the rewrite touches only their buckets.
+    """
+    keys = list(key_cols)
+    batch_keys = new_facts.select(*keys).distinct()
+    affected = old_facts.join(batch_keys, keys, "left_semi").unionByName(
+        new_facts
+    )
+    recomputed = scd2_intervals(affected, key_cols, ts_col, val_col)
+    untouched = existing.join(batch_keys, keys, "left_anti")
+    return untouched.unionByName(recomputed)
+
+
 def snapshot_asof(
     scd2: DataFrame, as_of: int
 ) -> DataFrame:

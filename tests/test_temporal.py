@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 
 from augmented_codebase_indexer_spark.operators.temporal import (
     scd2_intervals,
+    scd2_merge,
     snapshot_asof,
 )
 
@@ -73,6 +74,43 @@ def test_scd2_single_entity_key_exchange(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_scd2_merge_converges_for_any_split(spark):
+    """Incremental merge == full recompute for every prefix/suffix split,
+    including out-of-order arrival (the batch carries EARLIER timestamps
+    than facts already folded in — a retroactive backfill)."""
+    full = spark.createDataFrame(FACTS, ["subj", "pred", "obj", "ts"])
+    want = _rows(scd2_intervals(full))
+    for cut in (1, 3, 5, 7):
+        old = spark.createDataFrame(FACTS[:cut], ["subj", "pred", "obj", "ts"])
+        batch = spark.createDataFrame(FACTS[cut:], ["subj", "pred", "obj", "ts"])
+        got = scd2_merge(scd2_intervals(old), old, batch)
+        assert _rows(got) == want, f"cut={cut}"
+    # out-of-order: fold the LATE half first, then backfill the early half
+    late = spark.createDataFrame(FACTS[4:], ["subj", "pred", "obj", "ts"])
+    early = spark.createDataFrame(FACTS[:4], ["subj", "pred", "obj", "ts"])
+    assert _rows(scd2_merge(scd2_intervals(late), late, early)) == want
+
+
+def test_scd2_merge_untouched_keys_pass_through(spark):
+    """A batch touching only E2 must not recompute (or reorder) E1's
+    version chain — E1 rows come through the anti-join verbatim."""
+    old = spark.createDataFrame(FACTS, ["subj", "pred", "obj", "ts"])
+    scd2 = scd2_intervals(old)
+    batch = spark.createDataFrame(
+        [("E2", "hq_in", "lisbon", 900)], ["subj", "pred", "obj", "ts"]
+    )
+    merged = scd2_merge(scd2, old, batch)
+    e1_before = _rows(scd2.filter(F.col("subj") == "E1"))
+    assert _rows(merged.filter(F.col("subj") == "E1")) == e1_before
+    e2 = {(r["obj"], r["valid_from"], r["valid_to"], r["is_current"])
+          for r in merged.filter(F.col("subj") == "E2").collect()}
+    assert e2 == {("paris", 150, 900, False), ("lisbon", 900, None, True)}
 
 
 def test_scd2_run_compression_bounds(spark):
