@@ -893,6 +893,15 @@ def q_graph_jaccard(spark, sf_dir):
     return jaccard_similarity(spark.sql(_entity_graph_sql("spark")), min_common=2)
 
 
+def q_graph_adamic_adar(spark, sf_dir):
+    # Adamic-Adar link prediction: shared-neighbor sum of 1/ln(degree),
+    # per-node weights quantized once to exact integer micro units
+    from augmented_codebase_indexer_spark.operators.graphalgs import adamic_adar
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return adamic_adar(spark.sql(_entity_graph_sql("spark")), min_common=2)
+
+
 _TEMPORAL_PRED_CASE = """CASE doc_id % 6
       WHEN 0 THEN 'acquired' WHEN 1 THEN 'founded_by' WHEN 2 THEN 'located_in'
       WHEN 3 THEN 'partnered_with' WHEN 4 THEN 'subsidiary_of' ELSE 'works_for'
@@ -1047,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot": q_kg_snapshot,
         "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
+        "graph_adamic_adar": q_graph_adamic_adar,
         "exactsubstr_spans": q_exactsubstr_spans,
         "domain_normalize": q_domain_normalize,
         "domain_cap_url": q_domain_cap_url,
@@ -1818,12 +1828,16 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_snapshot"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL, as_of=_TEMPORAL_AS_OF)
 
     from augmented_codebase_indexer_spark.operators.graphalgs import (
+        adamic_adar_oracle_sql,
         jaccard_oracle_sql,
         triangle_oracle_sql,
     )
 
     sql["graph_triangles"] = triangle_oracle_sql(_entity_graph_sql("duckdb"))
     sql["graph_jaccard"] = jaccard_oracle_sql(_entity_graph_sql("duckdb"), min_common=2)
+    sql["graph_adamic_adar"] = adamic_adar_oracle_sql(
+        _entity_graph_sql("duckdb"), min_common=2
+    )
 
     sql["exactsubstr_spans"] = exact_substr_oracle_sql(n=8, min_df=2)
     _h = host_sql_expr("url")

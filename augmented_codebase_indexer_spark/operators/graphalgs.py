@@ -138,6 +138,57 @@ def jaccard_similarity(
     )
 
 
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar link prediction: for node pairs sharing neighbors,
+    score = Σ over shared neighbors n of 1/ln(deg(n)) — rare shared
+    neighbors count more than hubs. The classic KG missing-edge ranker
+    (Adamic & Adar 2003, public).
+
+    Returns (a, b, n_common, aa_micro, aa_score) with a < b. Following
+    the repo's cross-engine exactness discipline, each center's weight
+    is quantized ONCE to micro units (``round(1e6/ln(deg))`` as BIGINT,
+    per node), so ``aa_micro`` is an exact integer sum; ``aa_score`` is
+    the rounded float convenience. A shared neighbor always has
+    deg ≥ 2, so ln(deg) > 0. ``max_degree`` caps wedge centers exactly
+    as in :func:`jaccard_similarity` (hubs carry ~no signal and cost
+    Θ(deg²)).
+    """
+    und = undirected_edges(edges, src, dst)
+    deg = _degrees(und)
+    w = deg.select(
+        F.col("node").alias("n"),
+        F.round(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double")))
+        .cast("long")
+        .alias("w_micro"),
+        "deg",
+    )
+    if max_degree is not None:
+        w = w.filter(F.col("deg") <= max_degree)
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("x")).unionAll(
+        und.select(F.col("b").alias("n"), F.col("a").alias("x"))
+    )
+    centers = adj.join(w.select("n", "w_micro"), "n")
+    p1 = centers.select("n", "w_micro", F.col("x").alias("pa"))
+    p2 = centers.select("n", F.col("x").alias("pb"))
+    return (
+        p1.join(p2, "n")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("w_micro").cast("long").alias("aa_micro"),
+        )
+        .filter(F.col("n_common") >= min_common)
+        .withColumn("aa_score", F.round(F.col("aa_micro") / F.lit(1_000_000.0), 6))
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ---------------------------------------------------------------------------
@@ -170,6 +221,26 @@ def triangle_oracle_sql(edges_sql: str) -> str:
       UNION ALL SELECT z FROM tris)
     SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
     FROM corners GROUP BY node
+    """
+
+
+def adamic_adar_oracle_sql(edges_sql: str, min_common: int = 1) -> str:
+    return _und_ctes(edges_sql) + f""",
+    w AS (
+      SELECT node AS n,
+             CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)
+               AS w_micro
+      FROM deg),
+    adj AS (
+      SELECT a AS n, b AS x FROM und UNION ALL SELECT b, a FROM und),
+    centers AS (SELECT adj.n, w.w_micro, adj.x FROM adj JOIN w ON w.n = adj.n)
+    SELECT p1.x AS a, p2.x AS b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(p1.w_micro) AS BIGINT) AS aa_micro,
+           round(CAST(sum(p1.w_micro) AS DOUBLE) / 1000000.0, 6) AS aa_score
+    FROM centers p1 JOIN centers p2 ON p1.n = p2.n AND p1.x < p2.x
+    GROUP BY p1.x, p2.x
+    HAVING count(*) >= {min_common}
     """
 
 

@@ -7,7 +7,10 @@ import random
 
 import pyspark.sql.functions as F
 
+import math
+
 from augmented_codebase_indexer_spark.operators.graphalgs import (
+    adamic_adar,
     jaccard_similarity,
     triangle_counts,
     undirected_edges,
@@ -92,6 +95,29 @@ def test_jaccard_square_plus_diagonal(spark):
     # a and c: N(a)={b,c,d}, N(c)={a,b,d} → common {b,d}, union {a,b,c,d}
     assert got[("a", "c")]["n_common"] == 2
     assert abs(got[("a", "c")]["jaccard"] - 2 / 4) < 1e-6
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    _, adj = _py_triangles(edges)
+    got = {(r["a"], r["b"]): r for r in adamic_adar(_df(spark, edges)).collect()}
+    want_pairs = set()
+    for a, b in itertools.combinations(sorted(adj), 2):
+        common = adj[a] & adj[b]
+        if not common:
+            continue
+        want_pairs.add((a, b))
+        micro = sum(int(round(1e6 / math.log(len(adj[n])))) for n in common)
+        r = got[(a, b)]
+        assert r["aa_micro"] == micro  # exact integer parity
+        assert r["n_common"] == len(common)
+        assert abs(r["aa_score"] - micro / 1e6) < 1e-6
+    assert set(got) == want_pairs
+    # rare shared neighbors outrank hubs: a pair sharing one degree-2
+    # neighbor scores above a pair sharing one higher-degree neighbor
+    # (checked implicitly by the exact parity above)
 
 
 def test_jaccard_hub_cap_excludes_center(spark):
