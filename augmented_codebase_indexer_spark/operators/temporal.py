@@ -53,7 +53,17 @@ def scd2_intervals(
     scan has a deterministic total order.
     """
     keys = [F.col(k) for k in key_cols]
-    dedup = facts.groupBy(*key_cols, ts_col).agg(F.min(val_col).alias(val_col))
+    # One explicit entity-key exchange up front: the (key, ts) dedup agg,
+    # both windows and the run groupBy are all satisfied by it (subset /
+    # superset clustering), so no further shuffle appears. Without the
+    # explicit hint Spark sometimes hashes the dedup agg on the full
+    # (key, ts) grouping and pays a second exchange for the windows —
+    # observed plan-dependent (constant-folding of pred decides it).
+    dedup = (
+        facts.repartition(*keys)
+        .groupBy(*key_cols, ts_col)
+        .agg(F.min(val_col).alias(val_col))
+    )
 
     w_ts = Window.partitionBy(*keys).orderBy(ts_col)
     flagged = dedup.withColumn(

@@ -194,6 +194,44 @@ def main() -> None:
         "registered domain.",
     )
 
+    from augmented_codebase_indexer_spark.operators.graphalgs import triangle_counts
+    from augmented_codebase_indexer_spark.operators.lmquality import lm_cross_entropy
+    from augmented_codebase_indexer_spark.operators.temporal import scd2_intervals
+
+    queries["lm_quality (CCNet perplexity)"] = (
+        lm_cross_entropy(
+            docs.select("doc_id", "text"),
+            docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
+        ),
+        "r4: vocab build shuffles only the reference slice's tokens; corpus "
+        "scoring is explode → broadcast vocab join → partial agg — a doc's "
+        "tokens stay in their input partition, so the doc_id exchange "
+        "carries ONE combined row per document.",
+    )
+    queries["triples_scd2 (temporal intervals)"] = (
+        scd2_intervals(
+            docs.select(
+                (F.col("doc_id") % 50).cast("string").alias("subj"),
+                (F.col("doc_id") % 6).cast("string").alias("pred"),
+                (F.col("doc_id") % 7).cast("string").alias("obj"),
+                F.col("doc_id").alias("ts"),
+            )
+        ),
+        "r4: the island windows, run groupBy (superset key) and lead() all "
+        "reuse ONE (subj, pred) hash exchange — asserted in "
+        "test_temporal.py.",
+    )
+    queries["graph_triangles (degree-ordered)"] = (
+        triangle_counts(
+            docs.select(
+                (F.col("doc_id") % 151).cast("string").alias("src"),
+                ((F.col("doc_id") * 13 + 5) % 151).cast("string").alias("dst"),
+            )
+        ),
+        "r4: degree orientation caps out-degree at O(sqrt(m)) before the "
+        "wedge self-join — exchanges carry node-id pairs only.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"

@@ -62,10 +62,12 @@ def test_snapshot_edges(spark):
 def test_scd2_single_entity_key_exchange(spark):
     """All windows/groupBys key on (subj, pred) or a superset, so the
     whole operator costs ONE hash exchange (plus AQE reads)."""
+    # pred must be a REAL column: a literal constant-folds out of every
+    # partitioning expression and fakes a cheaper plan than production gets
     df = scd2_intervals(
         spark.range(1000).select(
             (F.col("id") % 20).cast("string").alias("subj"),
-            F.lit("p").alias("pred"),
+            (F.col("id") % 3 == 0).cast("string").alias("pred"),
             (F.col("id") % 3).cast("string").alias("obj"),
             F.col("id").alias("ts"),
         )
