@@ -902,6 +902,16 @@ def q_graph_adamic_adar(spark, sf_dir):
     return adamic_adar(spark.sql(_entity_graph_sql("spark")), min_common=2)
 
 
+def q_graph_kcore(spark, sf_dir):
+    # k-core backbone: iterative degree-< k peeling to the unique
+    # fixpoint; the oracle peels with 20 unrolled fixed rounds — same
+    # fixpoint, independently iterated
+    from augmented_codebase_indexer_spark.operators.graphalgs import k_core
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return k_core(spark.sql(_entity_graph_sql("spark")), k=6)
+
+
 _TEMPORAL_PRED_CASE = """CASE doc_id % 6
       WHEN 0 THEN 'acquired' WHEN 1 THEN 'founded_by' WHEN 2 THEN 'located_in'
       WHEN 3 THEN 'partnered_with' WHEN 4 THEN 'subsidiary_of' ELSE 'works_for'
@@ -1057,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_kcore": q_graph_kcore,
         "exactsubstr_spans": q_exactsubstr_spans,
         "domain_normalize": q_domain_normalize,
         "domain_cap_url": q_domain_cap_url,
@@ -1838,6 +1849,10 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_adamic_adar"] = adamic_adar_oracle_sql(
         _entity_graph_sql("duckdb"), min_common=2
     )
+
+    from augmented_codebase_indexer_spark.operators.graphalgs import k_core_oracle_sql
+
+    sql["graph_kcore"] = k_core_oracle_sql(_entity_graph_sql("duckdb"), k=6)
 
     sql["exactsubstr_spans"] = exact_substr_oracle_sql(n=8, min_df=2)
     _h = host_sql_expr("url")

@@ -189,6 +189,49 @@ def adamic_adar(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree ≥ k —
+    the standard dense-backbone extraction for a noisy web KG (peripheral
+    one-off entities peel away, the reliable core remains).
+
+    Iterative peeling: drop nodes with current degree < k, recompute,
+    repeat to fixpoint. The k-core is a UNIQUE fixpoint (peeling is
+    confluent — order and batching don't matter), which is what makes an
+    independently-iterated oracle exact. Each round is one degree
+    aggregation + two semi-joins on node ids; lineage is cut per round
+    with localCheckpoint and the loop exits on the first round that
+    removes nothing (edge count stable). Rounds needed ≈ peel depth of
+    the graph (small in practice); each round's exchanges carry node ids
+    and counts only. Returns (node, core_deg) for k-core members.
+    """
+    cur = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_edges = cur.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = _degrees(cur)
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:  # fixpoint: nothing peeled this round
+            break
+        n_edges = n_next
+    return _degrees(cur).filter(F.col("deg") >= k).select(
+        "node", F.col("deg").alias("core_deg")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ---------------------------------------------------------------------------
@@ -242,6 +285,36 @@ def adamic_adar_oracle_sql(edges_sql: str, min_common: int = 1) -> str:
     GROUP BY p1.x, p2.x
     HAVING count(*) >= {min_common}
     """
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, rounds: int = 20) -> str:
+    """Unrolled peeling: ``rounds`` fixed rounds of drop-degree-<k. The
+    k-core is a unique fixpoint and extra rounds are no-ops, so this
+    matches the convergence-driven Spark loop exactly provided the graph
+    peels within ``rounds`` (20 covers any graph whose peel depth is
+    < 20 — planted tests cover the deep-peel case explicitly)."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # reference, and each round references the previous ~3×, so 20
+    # unrolled rounds would inline 3^20 scans of the base table
+    parts = [_und_ctes(edges_sql), ",\n    e0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for i in range(rounds):
+        parts.append(f""",
+    k{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, count(*) AS c FROM (
+          SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+        GROUP BY node)
+      WHERE c >= {k}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e{i}.a, e{i}.b FROM e{i}
+      JOIN k{i} x ON x.node = e{i}.a
+      JOIN k{i} y ON y.node = e{i}.b)""")
+    parts.append(f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+      SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+    GROUP BY node HAVING count(*) >= {k}
+    """)
+    return "".join(parts)
 
 
 def jaccard_oracle_sql(edges_sql: str, min_common: int = 1) -> str:

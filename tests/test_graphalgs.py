@@ -12,6 +12,7 @@ import math
 from augmented_codebase_indexer_spark.operators.graphalgs import (
     adamic_adar,
     jaccard_similarity,
+    k_core,
     triangle_counts,
     undirected_edges,
 )
@@ -118,6 +119,47 @@ def test_adamic_adar_matches_bruteforce(spark):
     # rare shared neighbors outrank hubs: a pair sharing one degree-2
     # neighbor scores above a pair sharing one higher-degree neighbor
     # (checked implicitly by the exact parity above)
+
+
+def _py_kcore(edges, k):
+    _, adj = _py_triangles(edges)
+    adj = {n: set(xs) for n, xs in adj.items()}
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(xs) for n, xs in adj.items()}
+
+
+def test_kcore_cascading_peel(spark):
+    """A chain hung off a triangle peels node-by-node: each removal drops
+    the next node below k=2 — the deep-peel case the unrolled oracle must
+    also converge on."""
+    g = [("a", "b"), ("b", "c"), ("c", "a"),  # the 2-core
+         ("c", "d"), ("d", "e"), ("e", "f")]  # cascading tail
+    got = {r["node"]: r["core_deg"] for r in k_core(_df(spark, g), k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_when_k_too_high(spark):
+    g = [("a", "b"), ("b", "c"), ("c", "a")]
+    assert k_core(_df(spark, g), k=3).count() == 0
+
+
+def test_kcore_matches_bruteforce(spark):
+    rng = random.Random(13)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(140)]
+    for k in (2, 4, 6):
+        want = _py_kcore(edges, k)
+        got = {r["node"]: r["core_deg"]
+               for r in k_core(_df(spark, edges), k=k).collect()}
+        assert got == want, f"k={k}"
 
 
 def test_jaccard_hub_cap_excludes_center(spark):
