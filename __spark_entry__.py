@@ -547,6 +547,32 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node_id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def q_ppr(spark, sf_dir):
+    # personalized PageRank: teleport restricted to the first three
+    # source pages — rank mass concentrates in their neighborhoods (the
+    # seed-conditional context ranker). Distributed tier pinned; oracle =
+    # frozen numpy fixture with the identical seed choice.
+    from augmented_codebase_indexer_spark.functions.textextract import outlink_edges
+    from augmented_codebase_indexer_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+    from augmented_codebase_indexer_spark.sources.pages import derive_pages_from_documents
+
+    pages = derive_pages_from_documents(spark, sf_dir)
+    seeds = [
+        f"https://docs.example/{r['source']}/{r['doc_id']}"
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 2)
+        .select("doc_id", "source")
+        .collect()
+    ]
+    pr = personalized_pagerank(
+        outlink_edges(pages), seeds, max_iters=30,
+        src_col="src_url", dst_col="href", local_threshold=0,
+    )
+    return pr.select("node_id", F.round("pagerank", 6).alias("pagerank"))
+
+
 def q_chunking(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.chunking import chunk_documents
 
@@ -1068,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_jaccard": q_graph_jaccard,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_kcore": q_graph_kcore,
+        "ppr": q_ppr,
         "exactsubstr_spans": q_exactsubstr_spans,
         "domain_normalize": q_domain_normalize,
         "domain_cap_url": q_domain_cap_url,
@@ -1651,6 +1678,11 @@ def oracle_sql() -> dict[str, str]:
     sql["pagerank"] = f"""
     SELECT node_id, pagerank
     FROM read_parquet('{os.path.join(_FIXTURES, "pagerank_sf0_01.parquet")}')
+    """
+
+    sql["ppr"] = f"""
+    SELECT node_id, pagerank
+    FROM read_parquet('{os.path.join(_FIXTURES, "ppr_sf0_01.parquet")}')
     """
 
     sql["hybrid_search"] = _hybrid_search_oracle_sql("spark window join", k=10)

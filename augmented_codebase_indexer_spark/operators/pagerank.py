@@ -203,3 +203,172 @@ def pagerank_numpy_mirror(
         if np.abs(r - prev).sum() < tol:
             break
     return {v: float(r[idx[v]]) for v in nodes}
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (teleport to a seed set)
+# ---------------------------------------------------------------------------
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    damping: float = DAMPING,
+    max_iters: int = MAX_ITERS,
+    tol: float = TOL,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+    check_every: int = CHECK_EVERY,
+    local_threshold: int = LOCAL_THRESHOLD,
+) -> DataFrame:
+    """PageRank with teleport restricted to ``seeds``: the random surfer
+    restarts at a seed instead of anywhere, so rank mass concentrates in
+    the seeds' neighborhoods — the standard "context of entity X" ranker
+    (the reference orders assembled context by global pagerank,
+    `context_assembler.py:418-454`; PPR is the seed-conditional version).
+
+        rank' = (1−d)·reset + d·(contribs + dangling_mass·reset)
+
+    where reset is uniform over the seeds present in the graph (absent
+    seeds are dropped, weights renormalized — deterministic, mirrored by
+    the numpy tier). Same tiered execution, blocked driver-action
+    hygiene, and stopping rule as :func:`pagerank`; the only structural
+    change is a broadcast reset FRAME where global PageRank has the
+    scalar 1/N, so the iteration cost is identical.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+
+    m = e.count()
+    if m <= local_threshold:
+        pairs = [(r["src"], r["dst"]) for r in e.collect()]
+        pr = ppr_numpy_mirror(pairs, seeds, damping, max_iters, tol, check_every)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType([
+            StructField("node_id", edges.schema[src_col].dataType),
+            StructField("pagerank", DoubleType()),
+        ])
+        return spark.createDataFrame(sorted(pr.items()), schema)
+
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank", F.lit(0.0))
+
+    seed_df = spark.createDataFrame(
+        [(s,) for s in sorted(set(seeds))], schema=nodes.schema
+    ).join(nodes, "node_id", "left_semi").localCheckpoint(eager=True)
+    n_seeds = seed_df.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is present in the graph")
+    reset = F.broadcast(
+        seed_df.withColumn("reset", F.lit(1.0 / n_seeds)).localCheckpoint(eager=True)
+    )
+
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e_deg = e.join(out_deg, "src").select("src", "dst", "deg").localCheckpoint(eager=True)
+
+    ranks = (
+        nodes.join(reset, "node_id", "left")
+        .select("node_id", F.coalesce("reset", F.lit(0.0)).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+
+    i = 0
+    while i < max_iters:
+        block = min(check_every, max_iters - i)
+        prev = ranks
+        to_unpersist = []
+        for _ in range(block):
+            contribs = (
+                e_deg.join(ranks.withColumnRenamed("node_id", "src"), "src")
+                .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("node_id")
+                .agg(F.sum("c").alias("contrib"))
+                .cache()
+            )
+            to_unpersist.append(contribs)
+            tot = contribs.agg(F.sum("contrib").alias("__t"))
+            ranks = (
+                nodes.join(contribs, "node_id", "left")
+                .join(reset, "node_id", "left")
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "node_id",
+                    (
+                        F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + (
+                            F.lit(1.0 - damping)
+                            + F.lit(damping)
+                            * (F.lit(1.0) - F.coalesce(F.col("__t"), F.lit(0.0)))
+                        )
+                        * F.coalesce(F.col("reset"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+        ranks = ranks.localCheckpoint(eager=True)
+        delta = (
+            ranks.withColumnRenamed("rank", "r2")
+            .join(prev, "node_id")
+            .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))))
+            .collect()[0][0]
+        )
+        for df in to_unpersist:
+            df.unpersist()
+        i += block
+        if delta is not None and delta < tol:
+            break
+    return ranks.select("node_id", F.col("rank").alias("pagerank"))
+
+
+def ppr_numpy_mirror(
+    edge_list: list,
+    seeds: list,
+    damping: float = DAMPING,
+    max_iters: int = MAX_ITERS,
+    tol: float = TOL,
+    check_every: int = CHECK_EVERY,
+) -> dict:
+    """Independent numpy implementation of the same PPR definition
+    (blocked stopping rule; dangling mass teleports to the seeds)."""
+    import numpy as np
+
+    el = [(s, d) for s, d in edge_list]
+    seen = set()
+    pairs = [p for p in el if not (p in seen or seen.add(p))]
+    nodes = sorted({x for e in pairs for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return {}
+    present = sorted({s for s in seeds if s in idx})
+    if not present:
+        raise ValueError("ppr_numpy_mirror: no seed is present in the graph")
+    reset = np.zeros(n)
+    for s in present:
+        reset[idx[s]] = 1.0 / len(present)
+
+    src_idx = np.array([idx[s] for s, _ in pairs], dtype=np.int64)
+    dst_idx = np.array([idx[d] for _, d in pairs], dtype=np.int64)
+    out_deg = np.zeros(n)
+    np.add.at(out_deg, src_idx, 1.0)
+    r = reset.copy()
+    i = 0
+    while i < max_iters:
+        block = min(check_every, max_iters - i)
+        prev = r.copy()
+        for _ in range(block):
+            contrib = np.zeros(n)
+            np.add.at(contrib, dst_idx, r[src_idx] / out_deg[src_idx])
+            dangling = 1.0 - contrib.sum()
+            r = damping * contrib + ((1.0 - damping) + damping * dangling) * reset
+        i += block
+        if np.abs(r - prev).sum() < tol:
+            break
+    return {v: float(r[idx[v]]) for v in nodes}

@@ -62,6 +62,26 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     print(f"pagerank fixture: {len(nodes)} nodes")
 
+    # --- personalized pagerank: teleport to the first three source pages
+    #     (seed choice mirrored in __spark_entry__.q_ppr) ---
+    from augmented_codebase_indexer_spark.operators.pagerank import ppr_numpy_mirror
+
+    seeds = [
+        f"https://docs.example/{source}/{doc_id}"
+        for doc_id, source, _ in docs
+        if doc_id in (0, 1, 2)
+    ]
+    ppr = ppr_numpy_mirror(edges, seeds, max_iters=30)
+    pnodes = sorted(ppr)
+    pq.write_table(
+        pa.table({
+            "node_id": pa.array(pnodes, type=pa.string()),
+            "pagerank": pa.array([round(ppr[v], 6) for v in pnodes], type=pa.float64()),
+        }),
+        os.path.join(FIXTURE_DIR, "ppr_sf0_01.parquet"),
+    )
+    print(f"ppr fixture: {len(pnodes)} nodes")
+
     # --- hash embeddings of document texts (float32, = Spark's
     #     ArrayType(FloatType()) cast of the same float64 values) ---
     ids = [d for d, _, _ in docs]

@@ -84,6 +84,65 @@ def test_pagerank_matches_numpy(spark, edges_df):
         assert abs(local[node] - got[node]) < 1e-9, node
 
 
+def test_ppr_matches_inline_oracle_and_concentrates(spark, edges_df):
+    """Distributed PPR == inline numpy with EXPLICIT dangling mass
+    teleported to the seeds; the local tier agrees; rank concentrates on
+    the seed's neighborhood vs global pagerank; absent seeds are dropped
+    with renormalization and an all-absent seed set raises."""
+    from augmented_codebase_indexer_spark.operators.pagerank import (
+        personalized_pagerank,
+        ppr_numpy_mirror,
+    )
+
+    el = _edge_list(edges_df)
+    nodes = sorted({x for e in el for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    seeds = [nodes[0]]
+    out_deg = np.zeros(n)
+    for s, d in el:
+        out_deg[idx[s]] += 1
+    reset = np.zeros(n)
+    reset[idx[seeds[0]]] = 1.0
+    damping = 0.85
+    r = reset.copy()
+    i = 0
+    while i < 30:
+        block = min(5, 30 - i)
+        prev = r.copy()
+        for _ in range(block):
+            contrib = np.zeros(n)
+            for s, d in el:
+                contrib[idx[d]] += r[idx[s]] / out_deg[idx[s]]
+            dangling = r[out_deg == 0].sum()  # explicit, not 1 - sum
+            r = damping * contrib + ((1 - damping) + damping * dangling) * reset
+        i += block
+        if np.abs(r - prev).sum() < 1e-6:
+            break
+
+    got = {row["node_id"]: row["pagerank"]
+           for row in personalized_pagerank(
+               edges_df, seeds, max_iters=30, local_threshold=0).collect()}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-6, node
+    # local tier (numpy mirror) agrees with the distributed loop
+    local = {row["node_id"]: row["pagerank"]
+             for row in personalized_pagerank(edges_df, seeds, max_iters=30).collect()}
+    for node in nodes:
+        assert abs(local[node] - got[node]) < 1e-6, node
+    # concentration: the seed holds more mass under PPR than under global
+    pr = {row["node_id"]: row["pagerank"]
+          for row in pagerank(edges_df, max_iters=30).collect()}
+    assert got[seeds[0]] > pr[seeds[0]]
+    # absent seeds: renormalized over the present ones == present-only run
+    with_ghost = ppr_numpy_mirror(el, seeds + ["__not_a_node__"], max_iters=30)
+    for node in nodes:
+        assert abs(with_ghost[node] - local[node]) < 1e-12
+    with pytest.raises(ValueError):
+        ppr_numpy_mirror(el, ["__not_a_node__"], max_iters=30)
+
+
 def test_neighborhood_matches_bfs(spark, edges_df):
     el = _edge_list(edges_df)
     adj = {}
