@@ -989,6 +989,24 @@ def q_kg_snapshot(spark, sf_dir):
     )
 
 
+_TEMPORAL_T2 = 1700000000 + 37 * 450
+
+
+def q_kg_snapshot_diff(spark, sf_dir):
+    # time-travel diff: what changed between two snapshots — the J1
+    # incremental-diff shape applied to the temporal dimension
+    from augmented_codebase_indexer_spark.operators.temporal import (
+        scd2_intervals,
+        snapshot_diff,
+    )
+
+    return snapshot_diff(
+        scd2_intervals(_temporal_facts(spark, sf_dir)),
+        _TEMPORAL_AS_OF,
+        _TEMPORAL_T2,
+    )
+
+
 def q_exactsubstr_spans(spark, sf_dir):
     # ExactSubstr cross-document substring excision (Lee et al. 2021):
     # n-token windows repeated verbatim in ≥2 distinct docs are excised
@@ -1090,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "triples_scd2": q_triples_scd2,
         "kg_snapshot": q_kg_snapshot,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
         "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
         "graph_adamic_adar": q_graph_adamic_adar,
@@ -1869,6 +1888,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["triples_scd2"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL)
     sql["kg_snapshot"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL, as_of=_TEMPORAL_AS_OF)
+
+    from augmented_codebase_indexer_spark.operators.temporal import (
+        snapshot_diff_oracle_sql,
+    )
+
+    sql["kg_snapshot_diff"] = snapshot_diff_oracle_sql(
+        _TEMPORAL_FACTS_SQL, _TEMPORAL_AS_OF, _TEMPORAL_T2
+    )
 
     from augmented_codebase_indexer_spark.operators.graphalgs import (
         adamic_adar_oracle_sql,

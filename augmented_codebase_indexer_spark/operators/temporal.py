@@ -139,6 +139,36 @@ def snapshot_asof(
     ).drop("is_current")
 
 
+def snapshot_diff(
+    scd2: DataFrame,
+    t1: int,
+    t2: int,
+    key_cols: Sequence[str] = ("subj", "pred"),
+    val_col: str = "obj",
+) -> DataFrame:
+    """What changed in the graph between ``t1`` and ``t2``: per key,
+    'added' (no version at t1), 'removed' (no version at t2), 'changed'
+    (different values), or absent from the output if unchanged. Returns
+    (*key_cols, old_<val>, new_<val>, change) — a full-outer join of two
+    narrow snapshot filters over the same materialized SCD2 frame (the
+    J1 incremental-diff shape applied to time travel)."""
+    keys = list(key_cols)
+    s1 = snapshot_asof(scd2, t1).select(*keys, F.col(val_col).alias("old_" + val_col))
+    s2 = snapshot_asof(scd2, t2).select(*keys, F.col(val_col).alias("new_" + val_col))
+    old_c, new_c = F.col("old_" + val_col), F.col("new_" + val_col)
+    return (
+        s1.join(s2, keys, "full_outer")
+        .withColumn(
+            "change",
+            F.when(old_c.isNull(), F.lit("added"))
+            .when(new_c.isNull(), F.lit("removed"))
+            .when(old_c != new_c, F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .filter(F.col("change") != "unchanged")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirror
 # ---------------------------------------------------------------------------
@@ -191,4 +221,39 @@ def scd2_oracle_sql(
     FROM scd
     WHERE valid_from <= {as_of}
       AND (valid_to IS NULL OR valid_to > {as_of})
+    """
+
+
+def snapshot_diff_oracle_sql(
+    facts_sql: str,
+    t1: int,
+    t2: int,
+    key_cols: Sequence[str] = ("subj", "pred"),
+    ts_col: str = "ts",
+    val_col: str = "obj",
+) -> str:
+    """Exact mirror of :func:`snapshot_diff` over the same facts."""
+    k = ", ".join(key_cols)
+    base = scd2_oracle_sql(facts_sql, key_cols, ts_col, val_col)
+    snap = (
+        "SELECT {k}, {v} FROM ({base}) WHERE valid_from <= {t} "
+        "AND (valid_to IS NULL OR valid_to > {t})"
+    )
+    s1 = snap.format(k=k, v=val_col, base=base, t=t1)
+    s2 = snap.format(k=k, v=val_col, base=base, t=t2)
+    on = " AND ".join(f"s1.{c} = s2.{c}" for c in key_cols)
+    key_sel = ",\n           ".join(
+        f"COALESCE(s1.{c}, s2.{c}) AS {c}" for c in key_cols
+    )
+    return f"""
+    SELECT {key_sel},
+           s1.{val_col} AS old_{val_col},
+           s2.{val_col} AS new_{val_col},
+           CASE WHEN s1.{val_col} IS NULL THEN 'added'
+                WHEN s2.{val_col} IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM ({s1}) s1
+    FULL OUTER JOIN ({s2}) s2 ON {on}
+    WHERE s1.{val_col} IS NULL OR s2.{val_col} IS NULL
+       OR s1.{val_col} <> s2.{val_col}
     """

@@ -3,11 +3,14 @@ snapshot semantics at interval edges, and the one-entity-key-exchange
 plan property the module docstring promises."""
 
 import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from augmented_codebase_indexer_spark.operators.temporal import (
     scd2_intervals,
     scd2_merge,
     snapshot_asof,
+    snapshot_diff,
 )
 
 # (subj, pred, obj, ts) — one key with runs [a,a | b | a,a,a], a second
@@ -113,6 +116,123 @@ def test_scd2_merge_untouched_keys_pass_through(spark):
     e2 = {(r["obj"], r["valid_from"], r["valid_to"], r["is_current"])
           for r in merged.filter(F.col("subj") == "E2").collect()}
     assert e2 == {("paris", 150, 900, False), ("lisbon", 900, None, True)}
+
+
+def _py_scd2(facts):
+    """Pure-python mirror: dedup (key, ts) by min(val), then run-length
+    collapse per key ordered by ts."""
+    dedup = {}
+    for subj, pred, obj, ts in facts:
+        k = (subj, pred, ts)
+        dedup[k] = obj if k not in dedup else min(dedup[k], obj)
+    by_key = {}
+    for (subj, pred, ts), obj in sorted(dedup.items()):
+        by_key.setdefault((subj, pred), []).append((ts, obj))
+    out = []
+    for (subj, pred), obs in by_key.items():
+        runs = []
+        for ts, obj in sorted(obs):
+            if runs and runs[-1][0] == obj:
+                runs[-1][2] += 1
+            else:
+                runs.append([obj, ts, 1])
+        for i, (obj, vf, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.append((subj, pred, obj, vf, vt, vt is None, n))
+    return sorted(out)
+
+
+facts_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["E1", "E2", "E3"]),
+        st.sampled_from(["p", "q"]),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(0, 20),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(facts_strategy, st.integers(0, 39))
+@settings(max_examples=12, deadline=None)
+def test_scd2_property_vs_python_and_merge(spark, facts, cut):
+    """Random histories (colliding timestamps, repeated values, several
+    keys): SCD2 == the pure-python mirror, and the incremental merge of
+    any split equals the full recompute."""
+    cut = min(cut, len(facts) - 1)
+    full = spark.createDataFrame(facts, ["subj", "pred", "obj", "ts"])
+    got = _rows(scd2_intervals(full))
+    assert got == _py_scd2(facts)
+    old_f, batch_f = facts[:cut], facts[cut:]
+    if old_f and batch_f:
+        old = spark.createDataFrame(old_f, ["subj", "pred", "obj", "ts"])
+        batch = spark.createDataFrame(batch_f, ["subj", "pred", "obj", "ts"])
+        assert _rows(scd2_merge(scd2_intervals(old), old, batch)) == got
+
+
+def test_snapshot_diff_planted(spark):
+    """Between t=250 (E1→alice, E2→paris) and t=350 (E1→bob, E2→paris):
+    E1 changed, E2 unchanged (absent). Across a boundary where a key has
+    no version yet → 'added'; the reverse direction reports 'removed'."""
+    scd2 = _scd2(spark).persist()
+    d = {(r["subj"], r["pred"]): (r["old_obj"], r["new_obj"], r["change"])
+         for r in snapshot_diff(scd2, 250, 350).collect()}
+    assert d == {("E1", "ceo_of"): ("alice", "bob", "changed")}
+    d2 = {(r["subj"], r["pred"]): r["change"]
+          for r in snapshot_diff(scd2, 120, 200).collect()}
+    assert d2 == {("E2", "hq_in"): "added"}
+    d3 = {(r["subj"], r["pred"]): r["change"]
+          for r in snapshot_diff(scd2, 200, 120).collect()}
+    assert d3 == {("E2", "hq_in"): "removed"}
+    scd2.unpersist()
+
+
+def test_scd2_over_extracted_triples(spark, corpus_dir):
+    """The real composition: pages → extract → OpenIE → link, then SCD2
+    over the resolved triples keyed by (subj_id, pred) with the page's
+    crawl timestamp — the temporal KG the input_hint's warc_ts exists
+    for. Structural gates: version chains are gap-free with exactly one
+    live version per key, and n_obs conserves the deduped fact count."""
+    from augmented_codebase_indexer_spark.operators.extraction import (
+        broadcast_aliases,
+        extract_stage,
+        triple_stage,
+    )
+    from augmented_codebase_indexer_spark.operators.linking import (
+        broadcast_gazetteer,
+        linking_stage,
+    )
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    gaz = [r.asDict() for r in
+           spark.read.parquet(f"{corpus_dir}/gazetteer.parquet").collect()]
+    kg = linking_stage(
+        triple_stage(
+            extract_stage(pages).filter(
+                (F.col("lang") == "en") & (F.length("extracted_text") > 0)
+            ),
+            broadcast_aliases(spark, [g["alias"] for g in gaz]),
+        ),
+        broadcast_gazetteer(spark, gaz),
+    ).filter(F.col("resolved"))
+    facts = kg.join(
+        pages.select("url", F.col("warc_ts").cast("long").alias("ts")), "url"
+    ).select("subj_id", "pred", F.col("obj_id").alias("obj"), "ts")
+    facts.cache()
+    n_dedup = facts.groupBy("subj_id", "pred", "ts").count().count()
+    scd2 = scd2_intervals(facts, key_cols=("subj_id", "pred"))
+    rows = scd2.collect()
+    assert rows, "no triples extracted"
+    assert sum(r["n_obs"] for r in rows) == n_dedup
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r["subj_id"], r["pred"], r["valid_from"])):
+        by_key.setdefault((r["subj_id"], r["pred"]), []).append(r)
+    for versions in by_key.values():
+        assert sum(v["is_current"] for v in versions) == 1
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"] and a["obj"] != b["obj"]
+    facts.unpersist()
 
 
 def test_scd2_run_compression_bounds(spark):
