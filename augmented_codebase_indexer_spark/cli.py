@@ -113,6 +113,35 @@ def cmd_graph(args) -> dict:
             "neighbors": [{"node_id": n, "hops": h} for n, h in rows]}
 
 
+def cmd_context(args) -> dict:
+    """query_graph analog (SURVEY §3.3): seed neighborhood → PageRank
+    enrich → token-budget truncation ordered by rank. PageRank is solved
+    once per process per warehouse (module-level cache) — the ≤100k-edge
+    local tier makes that milliseconds on served graphs."""
+    from .operators.pagerank import pagerank
+    from .plans.context import assemble_context
+    from .sources.catalog import Warehouse
+
+    spark = _spark("aci-context")
+    wh = Warehouse(args.warehouse)
+    edges = wh.read(spark, "edges")
+    nodes = wh.read(spark, "nodes")
+    ranks = _RANK_CACHE.get(args.warehouse)
+    if ranks is None:
+        ranks = pagerank(edges).localCheckpoint(eager=True)
+        _RANK_CACHE[args.warehouse] = ranks
+    ctx = assemble_context(
+        edges, nodes, ranks, list(args.entity),
+        depth=args.depth, token_budget=args.budget,
+    )
+    rows = [r.asDict() for r in ctx.collect()]
+    return {"seeds": list(args.entity), "budget": args.budget,
+            "n_nodes": len(rows), "context": rows}
+
+
+_RANK_CACHE: dict = {}
+
+
 def cmd_stats(args) -> dict:
     from .sources.catalog import Warehouse
 
@@ -180,6 +209,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=2)
     p.add_argument("--direction", choices=["out", "in"], default="out")
     p.set_defaults(fn=cmd_graph)
+
+    p = sub.add_parser("context", help="token-budgeted context package for seeds")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--entity", action="append", required=True,
+                   help="seed node id (repeatable)")
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--budget", type=int, default=2000)
+    p.set_defaults(fn=cmd_context)
 
     p = sub.add_parser("stats", help="table counts + lineage summary")
     p.add_argument("--warehouse", required=True)

@@ -26,3 +26,22 @@ def corpus_dir(corpus, tmp_path_factory):
     d = tmp_path_factory.mktemp("corpus")
     write_corpus(corpus, str(d))
     return str(d)
+
+
+@pytest.fixture(scope="session")
+def cli_warehouse(spark, corpus_dir, tmp_path_factory):
+    """A warehouse built once through the CLI's index verb — shared by the
+    CLI and HTTP wiring tests. Returns (warehouse_root, build summary)."""
+    import os
+
+    from augmented_codebase_indexer_spark.cli import main
+
+    wh = str(tmp_path_factory.mktemp("cli_wh"))
+    res = main([
+        "index",
+        "--pages", os.path.join(corpus_dir, "pages.parquet"),
+        "--gazetteer", os.path.join(corpus_dir, "gazetteer.parquet"),
+        "--warehouse", wh,
+        "--run-id", "cli-run",
+    ])
+    return wh, res

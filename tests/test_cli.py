@@ -12,16 +12,8 @@ from augmented_codebase_indexer_spark.cli import main
 
 
 @pytest.fixture(scope="module")
-def built(spark, corpus_dir, tmp_path_factory):
-    wh = str(tmp_path_factory.mktemp("cli_wh"))
-    res = main([
-        "index",
-        "--pages", os.path.join(corpus_dir, "pages.parquet"),
-        "--gazetteer", os.path.join(corpus_dir, "gazetteer.parquet"),
-        "--warehouse", wh,
-        "--run-id", "cli-run",
-    ])
-    return wh, res
+def built(cli_warehouse):
+    return cli_warehouse
 
 
 def test_index_builds_warehouse(built):
@@ -74,6 +66,23 @@ def test_graph_traversal_from_real_node(built, spark):
     assert hops[start] == 0
     assert any(h == 1 for h in hops.values())
     assert all(h <= 2 for h in hops.values())
+
+
+def test_context_command(built, spark):
+    """query_graph analog: the budgeted package contains the seed at
+    hops 0, respects the running-token budget, and orders by rank."""
+    wh, _ = built
+    edges = spark.read.parquet(os.path.join(wh, "edges"))
+    seed = edges.select("subj_id").orderBy("subj_id").first()["subj_id"]
+    res = main(["context", "--warehouse", wh, "--entity", seed,
+                "--budget", "300"])
+    ctx = res["context"]
+    assert ctx and res["n_nodes"] == len(ctx)
+    assert ctx[0]["node_id"] == seed and ctx[0]["hops"] == 0
+    assert all(r["cum_tokens"] <= 300 for r in ctx)
+    bigger = main(["context", "--warehouse", wh, "--entity", seed,
+                   "--budget", "100000"])
+    assert bigger["n_nodes"] >= res["n_nodes"]
 
 
 def test_export_graphml(built, tmp_path):
