@@ -724,6 +724,17 @@ def q_curation_v4(spark, sf_dir):
     return curation_pipeline_v4(_t(spark, sf_dir, "documents"), decontam_n=3)
 
 
+def q_curation_v5(spark, sf_dir):
+    # v4 + the CCNet stage: cleaned-corpus LM scores every doc, tail
+    # bucket drops before dedup. decontam_n=3 matches the tiny synthetic
+    # vocab (v3/v4 precedent).
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v5
+
+    return curation_pipeline_v5(
+        _t(spark, sf_dir, "documents"), decontam_n=3
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -1121,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v2": q_curation_v2,
         "curation_v3": q_curation_v3,
         "curation_v4": q_curation_v4,
+        "curation_v5": q_curation_v5,
         "curation_funnel": q_curation_funnel,
         "decontam": q_decontam,
         "decontam_spans": q_decontam_spans,
@@ -1821,6 +1833,9 @@ def oracle_sql() -> dict[str, str]:
     sql["curation_v2"] = curation_v2_oracle_sql()
     sql["curation_v3"] = curation_v3_oracle_sql(decontam_n=3)
     sql["curation_v4"] = curation_v4_oracle_sql(decontam_n=3)
+    from augmented_codebase_indexer_spark.plans.curation import curation_v5_oracle_sql
+
+    sql["curation_v5"] = curation_v5_oracle_sql(decontam_n=3)
     sql["curation_funnel"] = curation_funnel_oracle_sql(decontam_n=3)
 
     from augmented_codebase_indexer_spark.operators.decontam import (

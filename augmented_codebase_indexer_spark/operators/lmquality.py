@@ -228,19 +228,26 @@ def _vocab_ctes(prefix: str, src_pred: str) -> str:
       FROM {prefix}tot)"""
 
 
-_TF_CTE = """
+def _tf_cte(table: str, with_source: bool) -> str:
+    src = "source, " if with_source else ""
+    return f"""
     WITH tk AS (
-      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
-      FROM documents),
-    tf AS (SELECT doc_id, source, tok FROM tk WHERE tok <> '')"""
+      SELECT doc_id, {src}unnest(string_split(text, ' ')) AS tok
+      FROM {table}),
+    tf AS (SELECT doc_id, {src}tok FROM tk WHERE tok <> '')"""
+
+
+_TF_CTE = _tf_cte("documents", with_source=True)
 
 
 def lm_quality_oracle_sql(
-    ref_pred: str = "doc_id % 10 = 0", buckets: tuple[float, float] = DEFAULT_BUCKETS
+    ref_pred: str = "doc_id % 10 = 0",
+    buckets: tuple[float, float] = DEFAULT_BUCKETS,
+    table: str = "documents",
 ) -> str:
     lo, hi = buckets
     ce = "-(CAST(sum(lp) AS DOUBLE) / 1000000.0) / count(*)"
-    return f"""{_TF_CTE},{_vocab_ctes("u", ref_pred)},
+    return f"""{_tf_cte(table, with_source=False)},{_vocab_ctes("u", ref_pred)},
     scored AS (
       SELECT tf.doc_id, coalesce(ulp.lp, uoov.lp) AS lp
       FROM tf LEFT JOIN ulp USING (tok) CROSS JOIN uoov)

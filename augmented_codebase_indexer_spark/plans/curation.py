@@ -485,6 +485,152 @@ def curation_v4_oracle_sql(
     """
 
 
+def curation_pipeline_v5(
+    docs: DataFrame,
+    size: int = 40,
+    overlap: int = 10,
+    boiler_min_df: int = 3,
+    decontam_n: int = 13,
+    eval_mod: int = 53,
+    allowed_langs: tuple = ("en",),
+    gopher: dict | None = None,
+    near_threshold: float = 0.5,
+    near_max_bucket: int = 200,
+    lm_ref_mod: int = 10,
+    lm_buckets: tuple = (3.40, 3.43),
+    broadcast_max_rows: int | None = None,
+) -> DataFrame:
+    """v4 plus the CCNet stage: an add-one unigram LM trained on the
+    cleaned corpus' ``doc_id % lm_ref_mod == 0`` reference slice scores
+    every cleaned doc, and candidates whose cross-entropy lands in the
+    'tail' bucket are dropped before dedup (CCNet keeps head, samples
+    middle, drops tail — we implement the deterministic keep/drop form).
+
+    Scale: the LM keep-set is 75-90% of the corpus — NEVER broadcast; it
+    joins back as a doc_id-keyed inner join of slim (doc_id) rows
+    co-keyed with the rest of the chain. The tail set is dropped by NOT
+    being in the keep-set, so no anti-join of a big side exists either.
+    """
+    from ..operators.curation_filters import boilerplate_prune
+    from ..operators.decontam import decontaminate_filter
+    from ..operators.dedup import near_dup_losers
+    from ..operators.guards import DEFAULT_BROADCAST_MAX_ROWS, guarded_broadcast
+    from ..operators.lmquality import lm_cross_entropy
+    from ..operators.pii import redact_pii
+    from ..operators.textstats import gopher_flag_cols, lang_id_col
+
+    if broadcast_max_rows is None:
+        broadcast_max_rows = DEFAULT_BROADCAST_MAX_ROWS
+
+    gopher = V3_GOPHER if gopher is None else gopher
+    cleaned = boilerplate_prune(docs, min_df=boiler_min_df).filter(
+        F.length("clean_text") > 0
+    )
+    cleaned = redact_pii(cleaned, text_col="clean_text", out_col="text").select(
+        "doc_id", "text"
+    ).persist()
+    # CCNet stage: score the whole cleaned corpus under the reference-slice
+    # LM; survivors = docs outside the tail bucket
+    lm_keep = (
+        lm_cross_entropy(
+            cleaned,
+            cleaned.filter(F.col("doc_id") % lm_ref_mod == 0),
+            buckets=lm_buckets,
+        )
+        .filter(F.col("ppl_bucket") != "tail")
+        .select("doc_id")
+    )
+    eval_docs = cleaned.filter(F.col("doc_id") % eval_mod == 0)
+    cands = cleaned.filter(F.col("doc_id") % eval_mod != 0).join(lm_keep, "doc_id")
+    gophered = cands.filter(gopher_flag_cols(F.col("text"), **gopher)["passes"])
+    eligible = (
+        decontaminate_filter(gophered, eval_docs, n=decontam_n,
+                             broadcast_max_rows=broadcast_max_rows)
+        .filter(lang_id_col(F.col("text")).isin(*allowed_langs))
+        .withColumn("quality", F.round(quality_score_col(F.col("text")), 6))
+        .persist()
+    )
+    losers = near_dup_losers(
+        eligible, threshold=near_threshold, max_bucket_size=near_max_bucket
+    )
+    kept = eligible.join(guarded_broadcast(losers, broadcast_max_rows),
+                         "doc_id", "left_anti")
+    chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
+    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
+        "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens", "quality"
+    )
+
+
+def curation_v5_oracle_sql(
+    size: int = 40,
+    overlap: int = 10,
+    boiler_min_df: int = 3,
+    decontam_n: int = 13,
+    eval_mod: int = 53,
+    gopher: dict | None = None,
+    near_threshold: float = 0.5,
+    near_max_bucket: int = 200,
+    lm_ref_mod: int = 10,
+    lm_buckets: tuple = (3.40, 3.43),
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``curation_pipeline_v5`` — the v4 mirror with the
+    LM keep-set membership folded into the eligible CTE."""
+    from ..operators.curation_filters import boilerplate_oracle_sql
+    from ..operators.decontam import decontaminate_oracle_sql
+    from ..operators.dedup import minhash_oracle_sql
+    from ..operators.lmquality import lm_quality_oracle_sql
+    from ..operators.pii import redacted_text_expr
+    from ..operators.textstats import gopher_passes_sql
+
+    gopher = V3_GOPHER if gopher is None else gopher
+    boiler = boilerplate_oracle_sql(min_df=boiler_min_df, table=table)
+    cleaned = (
+        f"(SELECT doc_id, {redacted_text_expr('clean_text')} AS text"
+        f" FROM ({boiler}) WHERE length(clean_text) > 0)"
+    )
+    lm = lm_quality_oracle_sql(
+        ref_pred=f"doc_id % {lm_ref_mod} = 0", buckets=lm_buckets, table=cleaned
+    )
+    decontam = decontaminate_oracle_sql(
+        n=decontam_n,
+        eval_pred=f"doc_id % {eval_mod} = 0",
+        cand_pred=f"doc_id % {eval_mod} <> 0",
+        table=cleaned,
+    )
+    pairs = minhash_oracle_sql(
+        threshold=near_threshold, max_bucket_size=near_max_bucket,
+        table="eligible",
+    )
+    chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
+    return f"""
+    WITH RECURSIVE eligible AS (
+      SELECT doc_id, text, {QUALITY_SQL} AS quality FROM {cleaned}
+      WHERE doc_id % {eval_mod} <> 0
+        AND doc_id IN (SELECT doc_id FROM ({lm}) WHERE ppl_bucket <> 'tail')
+        AND {gopher_passes_sql('text', **gopher)}
+        AND doc_id NOT IN (SELECT doc_id FROM ({decontam}) WHERE NOT kept)
+        AND ({LANG_EN_SQL})),
+    np AS (SELECT ida, idb FROM ({pairs})),
+    nedges AS (SELECT ida AS src, idb AS dst FROM np
+               UNION SELECT idb, ida FROM np),
+    ncc AS (
+      SELECT src AS id, src AS label FROM nedges
+      UNION
+      SELECT e.dst AS id, c.label FROM ncc c JOIN nedges e ON e.src = c.id
+    ),
+    ncomp AS (SELECT id, min(label) AS component FROM ncc GROUP BY id),
+    kept AS (
+      SELECT e.doc_id, e.text, e.quality FROM eligible e
+      LEFT JOIN ncomp c ON c.id = e.doc_id
+      WHERE coalesce(c.component, e.doc_id) = e.doc_id),
+    chunks AS ({chunks})
+    SELECT c.doc_id, c.chunk_id, c.part_index, c.total_parts, c.n_tokens,
+           k.quality
+    FROM chunks c JOIN kept k USING (doc_id)
+    """
+
+
 def curation_oracle_sql(
     min_quality: float = 0.3,
     size: int = 40,

@@ -248,6 +248,42 @@ def test_curation_v4_drops_near_dups_v3_keeps(spark):
     assert v4_ids == {8, 10}      # cluster tier keeps the min id only
 
 
+def test_curation_v5_drops_lm_tail_v4_keeps(spark):
+    """v5's CCNet stage drops a doc that PASSES every v4 filter (enough
+    words, stopwords, alphabetic, low repetition) but whose tokens are
+    all OOV under the reference-slice LM — keyword-stuffing-style junk
+    that rule-based filters cannot see. v4 keeps it; v5 drops it."""
+    from augmented_codebase_indexer_spark.plans.curation import (
+        curation_pipeline_v4,
+        curation_pipeline_v5,
+    )
+
+    prose = ("the quick brown fox jumps over a lazy dog and then it runs to "
+             "the old river bank where the other animals wait for it in the "
+             "morning sun with a calm mood")
+    prose2 = ("a small boat drifts down the wide green valley while birds "
+              "sing in the tall trees and the warm wind moves over the "
+              "quiet fields of corn near the farm")
+    junk = ("the blorp zixy wub qorv menth trale oskit dravle pum yeft "
+            "cruldo vemp askarn tilvo brase quint melgor sovand plik "
+            "marzen dilf orkast pevin strule gamor hexit varn welpid "
+            "costrun ablit fenor")  # ≥30 words, has 'the', all alpha
+    # doc_ids chosen so 10 and 20 seed the LM (ref slice % 10 == 0) and
+    # none hits the eval holdout (% 53)
+    df = spark.createDataFrame(
+        [(10, prose), (20, prose2), (21, junk)], "doc_id long, text string"
+    )
+    kw = dict(size=10, overlap=0, boiler_min_df=3, decontam_n=5, eval_mod=53,
+              gopher=dict(min_words=20, min_stopwords=1, min_frac_alpha=0.5,
+                          max_dup_2gram=0.6))
+    v4_ids = {r["doc_id"] for r in curation_pipeline_v4(df, **kw).collect()}
+    assert v4_ids == {10, 20, 21}  # rule filters can't see the junk
+    # tail cut between the prose entropies (~3.3) and the all-OOV junk
+    v5_ids = {r["doc_id"] for r in curation_pipeline_v5(
+        df, lm_buckets=(3.0, 4.0), **kw).collect()}
+    assert v5_ids == {10, 20}
+
+
 def test_repetition_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
