@@ -591,6 +591,10 @@ def main() -> None:
         # the relational mention tier's cost story at bench scale, and the
         # two new round-4 operators
         "kg_mentions_joins", "exactsubstr_spans", "domain_cap_url",
+        # r4 second batch: LM quality scoring, temporal SCD2, graph
+        # analytics (all same method — deltas stay comparable)
+        "lm_quality", "dsir_weights", "triples_scd2", "graph_triangles",
+        "graph_jaccard", "curation_v5",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every
