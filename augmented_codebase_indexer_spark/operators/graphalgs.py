@@ -80,10 +80,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     tris = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
-    corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("v1").alias("node")))
-        .unionAll(tris.select(F.col("v2").alias("node")))
+    # one narrow explode over the triangle list — a union of three selects
+    # would re-evaluate the whole wedge join per branch
+    corners = tris.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
 

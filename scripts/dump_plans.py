@@ -198,6 +198,14 @@ def main() -> None:
     from augmented_codebase_indexer_spark.operators.lmquality import lm_cross_entropy
     from augmented_codebase_indexer_spark.operators.temporal import scd2_intervals
 
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v5
+
+    queries["curation_v5 (hygiene chain + CCNet LM stage)"] = (
+        curation_pipeline_v5(docs, decontam_n=3),
+        "r4: v4's shape plus the LM stage — one reference-slice token "
+        "shuffle, per-doc combined rows over the doc_id exchange, and the "
+        "75-90% keep-set joined back as slim ids (never broadcast).",
+    )
     queries["lm_quality (CCNet perplexity)"] = (
         lm_cross_entropy(
             docs.select("doc_id", "text"),
