@@ -172,6 +172,8 @@ def cmd_export(args) -> dict:
         graph_io.export_graphml(nodes, edges, args.out)
     elif args.format == "jsonld":
         graph_io.export_jsonld(nodes, edges, args.out)
+    elif args.format == "ntriples":
+        graph_io.export_ntriples(nodes, edges, args.out)
     else:
         graph_io.export_graph(nodes, edges, args.out)
     return {"format": args.format, "out": args.out,
@@ -224,7 +226,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("export", help="export nodes/edges")
     p.add_argument("--warehouse", required=True)
-    p.add_argument("--format", choices=["json", "jsonld", "graphml"],
+    p.add_argument("--format", choices=["json", "jsonld", "graphml", "ntriples"],
                    default="json")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_export)

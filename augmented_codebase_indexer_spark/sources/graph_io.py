@@ -157,3 +157,101 @@ def import_graphml(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
             row[keys[d.get("key")]] = d.text
         erows.append(row)
     return spark.createDataFrame(nrows), spark.createDataFrame(erows)
+
+
+# ---------------------------------------------------------------------------
+# N-Triples (W3C RDF line format; distributed, line-oriented)
+# ---------------------------------------------------------------------------
+
+NT_BASE = "https://kg.example/"
+
+
+def _nt_escape(col):
+    """N-Triples string escaping (W3C spec §canonical): backslash, quote,
+    and the control characters with dedicated escapes."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', r'\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    return F.regexp_replace(out, "\t", r"\\t")
+
+
+def _iri(kind: str, col):
+    # url-encode the id into the IRI path (space and angle brackets are
+    # illegal inside IRIs; url_encode covers them and more)
+    return F.concat(
+        F.lit("<" + NT_BASE + kind + "/"), F.url_encode(col), F.lit(">")
+    )
+
+
+def export_ntriples(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """W3C N-Triples: one ``<s> <p> <o> .`` statement per line — the RDF
+    interchange format every triple store loads natively. Entity-entity
+    edges become IRI triples; node metadata (canonical_name, entity_type)
+    become literal triples. Line-oriented ⇒ a plain distributed text
+    write, same scale path as JSON/JSON-LD (GraphML remains the one
+    single-writer format)."""
+    stmts = edges.select(
+        F.concat_ws(
+            " ", _iri("entity", F.col("subj_id")), _iri("rel", F.col("pred")),
+            _iri("entity", F.col("obj_id")), F.lit("."),
+        ).alias("value")
+    )
+    name = nodes.filter(F.col("canonical_name").isNotNull()).select(
+        F.concat_ws(
+            " ", _iri("entity", F.col("node_id")),
+            F.lit("<" + NT_BASE + "prop/canonical_name>"),
+            F.concat(F.lit('"'), _nt_escape(F.col("canonical_name")), F.lit('"')),
+            F.lit("."),
+        ).alias("value")
+    )
+    typ = nodes.filter(F.col("entity_type").isNotNull()).select(
+        F.concat_ws(
+            " ", _iri("entity", F.col("node_id")),
+            F.lit("<" + NT_BASE + "prop/entity_type>"),
+            F.concat(F.lit('"'), _nt_escape(F.col("entity_type")), F.lit('"')),
+            F.lit("."),
+        ).alias("value")
+    )
+    stmts.unionAll(name).unionAll(typ).write.mode("overwrite").text(out_dir)
+
+
+def import_ntriples(spark: SparkSession, in_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Parse the subset :func:`export_ntriples` emits back into (nodes,
+    edges): IRI-object lines → edges, literal-object lines → node
+    properties pivoted to (node_id, canonical_name, entity_type)."""
+    ent = NT_BASE + "entity/"
+    lines = spark.read.text(in_dir).filter(F.length("value") > 0)
+    parts = lines.select(
+        F.regexp_extract("value", r"^<([^>]*)> <([^>]*)> (.*) \.$", 1).alias("s"),
+        F.regexp_extract("value", r"^<([^>]*)> <([^>]*)> (.*) \.$", 2).alias("p"),
+        F.regexp_extract("value", r"^<([^>]*)> <([^>]*)> (.*) \.$", 3).alias("o"),
+    )
+    subj = F.url_decode(F.expr(f"substring(s, {len(ent) + 1})"))
+    edges = parts.filter(F.col("o").startswith("<" + ent)).select(
+        subj.alias("subj_id"),
+        F.url_decode(F.expr(f"substring(p, {len(NT_BASE + 'rel/') + 1})")).alias("pred"),
+        F.url_decode(
+            F.regexp_extract("o", r"^<(.*)>$", 1).substr(F.lit(len(ent) + 1), F.lit(1 << 20))
+        ).alias("obj_id"),
+    )
+    lit_val = F.regexp_extract("o", r'^"(.*)"$', 1)
+    # single-pass-correct unescape: park escaped backslashes behind a NUL
+    # sentinel FIRST (NUL cannot appear in our literals — the extraction
+    # guards drop NUL-bearing pages), else "\\n" (backslash + n) would be
+    # misread as a newline escape
+    unescaped = F.regexp_replace(lit_val, r"\\\\", "\x00")
+    for esc, ch in ((r"\\n", "\n"), (r"\\r", "\r"), (r"\\t", "\t"), (r"\\\"", '"')):
+        unescaped = F.regexp_replace(unescaped, esc, ch)
+    unescaped = F.regexp_replace(unescaped, "\x00", r"\\")
+    props = parts.filter(~F.col("o").startswith("<")).select(
+        subj.alias("node_id"),
+        F.regexp_extract("p", r"prop/(.*)$", 1).alias("prop"),
+        unescaped.alias("val"),
+    )
+    nodes = (
+        props.groupBy("node_id")
+        .pivot("prop", ["canonical_name", "entity_type"])
+        .agg(F.first("val"))
+    )
+    return nodes, edges

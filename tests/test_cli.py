@@ -92,3 +92,14 @@ def test_export_graphml(built, tmp_path):
     assert r["nodes"] == res["nodes"] and r["edges"] == res["edges"]
     body = open(out).read()
     assert body.count("<node ") == res["nodes"]
+
+
+def test_export_ntriples(built, tmp_path, spark):
+    import glob
+
+    wh, res = built
+    out = str(tmp_path / "nt")
+    r = main(["export", "--warehouse", wh, "--format", "ntriples", "--out", out])
+    assert r["edges"] == res["edges"]
+    lines = [ln for p in glob.glob(f"{out}/part-*") for ln in open(p) if ln.strip()]
+    assert sum(1 for ln in lines if "/rel/" in ln) == res["edges"]

@@ -74,6 +74,46 @@ def test_graph_export_import_roundtrip(spark, tmp_path):
     assert n3.count() == 1 and e3.count() == 1
 
 
+def test_ntriples_roundtrip(spark, tmp_path):
+    """RDF N-Triples: IRIs url-encoded (spaces, angle brackets), literals
+    escaped per the W3C grammar INCLUDING the pathological
+    backslash-then-n case that a naive ordered unescape corrupts."""
+    from augmented_codebase_indexer_spark.sources.graph_io import (
+        export_ntriples,
+        import_ntriples,
+    )
+
+    nodes = spark.createDataFrame(
+        [("n one", 'Say "hi"\tok', "org"),
+         ("n2", r"back\slash" + r"\n literal", "place"),  # \n as TEXT, not newline
+         ("n3", None, "thing")],
+        ["node_id", "canonical_name", "entity_type"],
+    )
+    edges = spark.createDataFrame(
+        [("n one", "acquired <fast>", "n2"), ("n2", "located_in", "n3")],
+        ["subj_id", "pred", "obj_id"],
+    )
+    out = str(tmp_path / "nt")
+    export_ntriples(nodes, edges, out)
+
+    # every emitted line is a syntactically plain one-statement line
+    import glob as _glob
+    lines = [ln.rstrip("\n") for p in sorted(_glob.glob(f"{out}/part-*"))
+             for ln in open(p) if ln.strip()]
+    assert all(ln.endswith(" .") and ln.startswith("<") for ln in lines)
+    assert len(lines) == 2 + 2 + 3  # edges + names(2 non-null) + types(3)
+
+    n2, e2 = import_ntriples(spark, out)
+    assert {(r["subj_id"], r["pred"], r["obj_id"]) for r in e2.collect()} == {
+        ("n one", "acquired <fast>", "n2"), ("n2", "located_in", "n3")
+    }
+    got = {r["node_id"]: (r["canonical_name"], r["entity_type"])
+           for r in n2.collect()}
+    assert got["n one"] == ('Say "hi"\tok', "org")
+    assert got["n2"] == (r"back\slash" + r"\n literal", "place")
+    assert got["n3"] == (None, "thing")
+
+
 def test_graphml_and_jsonld_roundtrip(spark, tmp_path):
     from augmented_codebase_indexer_spark.sources.graph_io import (
         export_graphml,
