@@ -31,3 +31,30 @@ def test_curate_corpus_job_runs_and_resumes(tmp_path):
     # resume with the same run id: committed stages skip, counters identical
     c2 = _run(wh)
     assert c2 == c1
+
+
+def _run_temporal(wh_dir, corpus_dir, as_of):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "temporal_kg.py"),
+         "--pages", os.path.join(corpus_dir, "pages.parquet"),
+         "--gazetteer", os.path.join(corpus_dir, "gazetteer.parquet"),
+         "--warehouse", wh_dir, "--run-id", "t-temp",
+         "--as-of", str(as_of)],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_temporal_kg_job_runs_and_resumes(tmp_path, corpus_dir):
+    as_of = 2_000_000_000  # far future: snapshot == current versions
+    wh = str(tmp_path / "wh_t")
+    c1 = _run_temporal(wh, corpus_dir, as_of)
+    assert c1["facts"] > 0
+    assert c1["current"] == c1["keys"]  # exactly one live version per key
+    assert c1["versions"] >= c1["keys"]
+    assert c1["snapshot_rows"] == c1["current"]
+    for t in ("temporal_facts", "scd2", f"snapshot_{as_of}", "_lineage"):
+        assert os.path.isdir(os.path.join(wh, t)), t
+    c2 = _run_temporal(wh, corpus_dir, as_of)
+    assert c2 == c1
