@@ -6,6 +6,8 @@ import math
 
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from augmented_codebase_indexer_spark.operators.lmquality import (
     dsir_log_ratio,
@@ -132,6 +134,39 @@ def test_dsir_matches_python_and_separates_domains(spark):
         assert out[10 + i]["avg_llr"] < 0
     # the mixed doc sits strictly between the two blocks
     assert out[10]["avg_llr"] < out[20]["avg_llr"] < out[0]["avg_llr"]
+
+
+_tok = st.sampled_from(["alpha", "beta", "gamma", "zz", "qq", "x"])
+_doc = st.lists(_tok, min_size=0, max_size=12).map(" ".join)
+docs_strategy = st.lists(_doc, min_size=2, max_size=12)
+
+
+@given(docs_strategy, st.integers(1, 3), st.integers(0, 5))
+@settings(max_examples=12, deadline=None)
+def test_lm_property_vs_python(spark, texts, ref_mod, cap):
+    """Random corpora (empty docs, OOV-heavy docs, tiny vocabs), random
+    reference slices and vocab caps: exact integer parity with the
+    python mirror on every document."""
+    rows = list(enumerate(texts))
+    ref_texts = [t for i, t in rows if i % ref_mod == 0]
+    if not any(tok for t in ref_texts for tok in t.split()):
+        return  # empty reference LM: operator has nothing to train on
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    max_vocab = cap if cap > 0 else None
+    out = {
+        r["doc_id"]: r
+        for r in lm_cross_entropy(
+            df, df.filter(F.col("doc_id") % ref_mod == 0),
+            max_vocab_rows=max_vocab,
+        ).collect()
+    }
+    lp, oov = _py_unigram(ref_texts, max_vocab=max_vocab)
+    for i, t in rows:
+        n, s = _py_doc_sum(t, lp, oov)
+        if n == 0:
+            assert i not in out
+        else:
+            assert (out[i]["n_tokens"], out[i]["sum_lp_micro"]) == (n, s)
 
 
 def test_unigram_logprobs_shapes(spark, docs):
