@@ -353,6 +353,24 @@ def q_near_dedup_winners(spark, sf_dir):
     )
 
 
+def q_cluster_cap(spark, sf_dir):
+    # soft dedup: at most k members per near-dup CLUSTER (cap-k instead
+    # of keep-one) — keeps bounded natural variation of templated pages
+    # for the training mix; composition of the cluster labeling with the
+    # per-domain quota machinery (cluster_id as the quota key)
+    from augmented_codebase_indexer_spark.operators.dedup import near_dedup_winners
+    from augmented_codebase_indexer_spark.operators.sampling import domain_cap
+
+    labels = near_dedup_winners(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_bucket_size=200
+    )
+    return domain_cap(
+        labels.select("doc_id", "cluster_id"), k=2, domain_col="cluster_id"
+    ).select(
+        "doc_id", "cluster_id", F.col("domain_rank").alias("cluster_rank")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.dedup import simhash_near_duplicates
 
@@ -1161,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunking": q_chunking,
         "chunking_sentence": q_chunking_sentence,
         "near_dedup_winners": q_near_dedup_winners,
+        "cluster_cap": q_cluster_cap,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_exact": q_dedup_exact,
@@ -1554,6 +1573,32 @@ def oracle_sql() -> dict[str, str]:
            coalesce(c.component, d.doc_id) = d.doc_id AS is_winner
     FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     """
+    from augmented_codebase_indexer_spark.functions.sqlhash import h60_expr
+
+    _h60_doc = h60_expr("CAST(doc_id AS VARCHAR)", "duckdb")
+    sql["cluster_cap"] = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT ida, idb FROM ({_minhash_oracle_sql(threshold=0.5, max_bucket_size=200)})
+    ),
+    edges AS (SELECT ida AS src, idb AS dst FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    cc AS (
+      SELECT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS id, c.label FROM cc c JOIN edges e ON e.src = c.id
+    ),
+    comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+    labels AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, cluster_id, cluster_rank FROM (
+      SELECT doc_id, cluster_id,
+             CAST(row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY {_h60_doc} ASC, doc_id ASC) AS BIGINT) AS cluster_rank
+      FROM labels)
+    WHERE cluster_rank <= 2
+    """
+
     sql["dedup_simhash"] = _simhash_oracle_sql(max_hamming=10)
     sql["dedup_embedding_lsh"] = _embedding_lsh_oracle_sql(threshold=0.5)
     sql["ann_lsh"] = _ann_lsh_oracle_sql(query_ids=(0, 1, 2, 3, 4), k=3)

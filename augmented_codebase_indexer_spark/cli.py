@@ -142,6 +142,32 @@ def cmd_context(args) -> dict:
 _RANK_CACHE: dict = {}
 
 
+def cmd_watch(args) -> dict:
+    """Watch-service verb: drain (or follow) a directory of page parquet
+    files into the warehouse through the streaming upsert path. With
+    --drain (default) the stream stops once pending input is processed —
+    the backfill/cron mode; --follow keeps a 2 s trigger running."""
+    from .operators.extraction import broadcast_aliases
+    from .operators.linking import broadcast_gazetteer
+    from .sources.catalog import Warehouse
+    from .streaming.watch import run_watch
+
+    spark = _spark("aci-watch")
+    wh = Warehouse(args.warehouse)
+    gaz_rows = [r.asDict() for r in spark.read.parquet(args.gazetteer).collect()]
+    alias_bc = broadcast_aliases(spark, [g["alias"] for g in gaz_rows])
+    gaz_bc = broadcast_gazetteer(spark, gaz_rows)
+    canon = wh.read(spark, "canon_map")
+    q = run_watch(spark, args.input, wh, alias_bc, gaz_bc, canon,
+                  args.checkpoint, available_now=not args.follow)
+    if args.follow:
+        q.awaitTermination()
+    else:
+        q.awaitTermination(600)
+    return {"edges": wh.read(spark, "edges").count(),
+            "nodes": wh.read(spark, "nodes").count()}
+
+
 def cmd_stats(args) -> dict:
     from .sources.catalog import Warehouse
 
@@ -211,6 +237,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=2)
     p.add_argument("--direction", choices=["out", "in"], default="out")
     p.set_defaults(fn=cmd_graph)
+
+    p = sub.add_parser("watch", help="stream a directory of page files into the KG")
+    p.add_argument("--input", required=True)
+    p.add_argument("--gazetteer", required=True)
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--follow", action="store_true",
+                   help="keep running (default: drain pending input and stop)")
+    p.set_defaults(fn=cmd_watch)
 
     p = sub.add_parser("context", help="token-budgeted context package for seeds")
     p.add_argument("--warehouse", required=True)

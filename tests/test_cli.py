@@ -94,6 +94,29 @@ def test_export_graphml(built, tmp_path):
     assert body.count("<node ") == res["nodes"]
 
 
+def test_watch_verb_drains_pages(built, spark, corpus_dir, tmp_path):
+    """`watch` (drain mode) folds a directory of page files into the
+    warehouse through the streaming upsert path: re-streaming the build's
+    own pages reconverges to the batch edge/node counts, and re-draining
+    with the same checkpoint is exactly-once."""
+    import shutil
+
+    src_wh, res = built
+    wh = str(tmp_path / "wh_copy")  # don't mutate the shared fixture
+    shutil.copytree(src_wh, wh)
+    stream_in = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    argv = ["watch", "--input", stream_in,
+            "--gazetteer", os.path.join(corpus_dir, "gazetteer.parquet"),
+            "--warehouse", wh, "--checkpoint", ckpt]
+    spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))\
+        .write.mode("overwrite").parquet(stream_in)
+    r1 = main(argv)
+    assert r1["edges"] == res["edges"] and r1["nodes"] == res["nodes"]
+    # exactly-once: re-draining with the same checkpoint changes nothing
+    assert main(argv) == r1
+
+
 def test_export_ntriples(built, tmp_path, spark):
     import glob
 
