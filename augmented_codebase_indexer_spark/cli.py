@@ -187,6 +187,42 @@ def cmd_stats(args) -> dict:
     return out
 
 
+def cmd_import(args) -> dict:
+    """S10 import path: load an exported graph back into warehouse
+    tables. 'replace' overwrites nodes/edges; 'merge' unions with the
+    existing tables and dedupes on the node/edge keys (the UNIQUE
+    constraint analog)."""
+    from .sources import graph_io
+    from .sources.catalog import Warehouse
+
+    spark = _spark("aci-import")
+    wh = Warehouse(args.warehouse)
+    if args.format == "graphml":
+        nodes, edges = graph_io.import_graphml(spark, args.src)
+    elif args.format == "jsonld":
+        nodes, edges = graph_io.import_jsonld(spark, args.src)
+    elif args.format == "ntriples":
+        nodes, edges = graph_io.import_ntriples(spark, args.src)
+    else:
+        existing = (
+            (wh.read(spark, "nodes"), wh.read(spark, "edges"))
+            if args.mode == "merge" and wh.exists("nodes") and wh.exists("edges")
+            else (None, None)
+        )
+        nodes, edges = graph_io.import_graph(
+            spark, args.src, existing_nodes=existing[0],
+            existing_edges=existing[1], mode=args.mode,
+        )
+    # localCheckpoint before the overwrite-commit: in replace mode the
+    # imported frames may read from the very tables being replaced
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    wh.commit(nodes, "nodes")
+    wh.commit(edges, "edges", bucket_col="subj_id")
+    return {"format": args.format, "mode": args.mode,
+            "nodes": nodes.count(), "edges": edges.count()}
+
+
 def cmd_export(args) -> dict:
     from .sources import graph_io
     from .sources.catalog import Warehouse
@@ -265,6 +301,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default="json")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("import", help="import an exported graph into the warehouse")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--format", choices=["json", "jsonld", "graphml", "ntriples"],
+                   default="json")
+    p.add_argument("--mode", choices=["replace", "merge"], default="replace")
+    p.add_argument("--src", required=True)
+    p.set_defaults(fn=cmd_import)
     return ap
 
 

@@ -117,6 +117,27 @@ def test_watch_verb_drains_pages(built, spark, corpus_dir, tmp_path):
     assert main(argv) == r1
 
 
+def test_export_import_roundtrip(built, tmp_path):
+    """export json → import replace into a fresh warehouse: counts match
+    the source build; graph/search reads work on the imported copy."""
+    import shutil
+
+    src_wh, res = built
+    out = str(tmp_path / "dump")
+    main(["export", "--warehouse", src_wh, "--format", "json", "--out", out])
+    wh2 = str(tmp_path / "wh2")
+    shutil.copytree(src_wh, wh2)  # bring the non-graph tables along
+    r = main(["import", "--warehouse", wh2, "--format", "json",
+              "--src", out])
+    assert r["nodes"] == res["nodes"] and r["edges"] == res["edges"]
+    stats = main(["stats", "--warehouse", wh2])
+    assert stats["tables"]["edges"] == res["edges"]
+    # merge mode over the same data dedupes back to identical counts
+    r2 = main(["import", "--warehouse", wh2, "--format", "json",
+               "--mode", "merge", "--src", out])
+    assert (r2["nodes"], r2["edges"]) == (res["nodes"], res["edges"])
+
+
 def test_export_ntriples(built, tmp_path, spark):
     import glob
 
