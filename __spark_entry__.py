@@ -1187,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
+        # ---------- driver 50-entry window ends here (entry #50) ----------
         "ann_lsh": q_ann_lsh,
         # --- graph / incremental / search ---
         "pagerank": q_pagerank,
@@ -1201,7 +1202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "join_topk_revenue": q_join_topk_revenue,
         "event_window": q_event_window,
-        # ---------- driver 50-entry window ends here ----------
         "window_dedup": q_window_dedup,
         "rrf_fuse": q_rrf_fuse,
         "percentiles": q_percentiles,

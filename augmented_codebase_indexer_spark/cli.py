@@ -114,11 +114,13 @@ def cmd_graph(args) -> dict:
 
 
 def cmd_context(args) -> dict:
-    """query_graph analog (SURVEY §3.3): seed neighborhood → PageRank
-    enrich → token-budget truncation ordered by rank. PageRank is solved
-    once per process per warehouse (module-level cache) — the ≤100k-edge
-    local tier makes that milliseconds on served graphs."""
-    from .operators.pagerank import pagerank
+    """query_graph analog (SURVEY §3.3): seed neighborhood → rank
+    enrich → token-budget truncation ordered by rank. Default ranking is
+    global PageRank, solved once per process per warehouse (module-level
+    cache — the ≤100k-edge local tier makes that milliseconds on served
+    graphs); ``--personalized`` ranks by PPR teleporting to THE SEEDS, so
+    the budget keeps what matters near this query, not global hubs."""
+    from .operators.pagerank import pagerank, personalized_pagerank
     from .plans.context import assemble_context
     from .sources.catalog import Warehouse
 
@@ -126,16 +128,21 @@ def cmd_context(args) -> dict:
     wh = Warehouse(args.warehouse)
     edges = wh.read(spark, "edges")
     nodes = wh.read(spark, "nodes")
-    ranks = _RANK_CACHE.get(args.warehouse)
-    if ranks is None:
-        ranks = pagerank(edges).localCheckpoint(eager=True)
-        _RANK_CACHE[args.warehouse] = ranks
+    if getattr(args, "personalized", False):
+        # seed-dependent — not cacheable per warehouse
+        ranks = personalized_pagerank(edges, list(args.entity))
+    else:
+        ranks = _RANK_CACHE.get(args.warehouse)
+        if ranks is None:
+            ranks = pagerank(edges).localCheckpoint(eager=True)
+            _RANK_CACHE[args.warehouse] = ranks
     ctx = assemble_context(
         edges, nodes, ranks, list(args.entity),
         depth=args.depth, token_budget=args.budget,
     )
     rows = [r.asDict() for r in ctx.collect()]
     return {"seeds": list(args.entity), "budget": args.budget,
+            "personalized": bool(getattr(args, "personalized", False)),
             "n_nodes": len(rows), "context": rows}
 
 
@@ -289,6 +296,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seed node id (repeatable)")
     p.add_argument("--depth", type=int, default=3)
     p.add_argument("--budget", type=int, default=2000)
+    p.add_argument("--personalized", action="store_true",
+                   help="rank by PPR teleporting to the seeds (default: global PageRank)")
     p.set_defaults(fn=cmd_context)
 
     p = sub.add_parser("stats", help="table counts + lineage summary")

@@ -101,6 +101,7 @@ class AciHttpServer:
             return 200, cli.cmd_context(SimpleNamespace(
                 warehouse=self.warehouse, entity=seeds,
                 depth=one("depth", 3, int), budget=one("budget", 2000, int),
+                personalized=one("personalized", "0") == "1",
             ))
         return 404, {"error": f"no route {u.path}"}
 

@@ -594,7 +594,7 @@ def main() -> None:
         # r4 second batch: LM quality scoring, temporal SCD2, graph
         # analytics (all same method — deltas stay comparable)
         "lm_quality", "dsir_weights", "triples_scd2", "graph_triangles",
-        "graph_jaccard", "curation_v5",
+        "graph_jaccard", "curation_v5", "cluster_cap",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every

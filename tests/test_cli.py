@@ -83,6 +83,15 @@ def test_context_command(built, spark):
     bigger = main(["context", "--warehouse", wh, "--entity", seed,
                    "--budget", "100000"])
     assert bigger["n_nodes"] >= res["n_nodes"]
+    # personalized ranking: same neighborhood membership, seed-centric
+    # rank values — the seed's own rank dominates its PPR distribution
+    pers = main(["context", "--warehouse", wh, "--entity", seed,
+                 "--budget", "100000", "--personalized"])
+    assert pers["personalized"] is True
+    assert {r["node_id"] for r in pers["context"]} == \
+           {r["node_id"] for r in bigger["context"]}
+    pr_of = {r["node_id"]: r["pagerank"] for r in pers["context"]}
+    assert pr_of[seed] == max(pr_of.values())
 
 
 def test_export_graphml(built, tmp_path):
