@@ -64,6 +64,8 @@ def test_graph_and_context(server, spark):
     assert code == 200
     assert body["context"][0]["node_id"] == seed
     assert all(r["cum_tokens"] <= 300 for r in body["context"])
+    code, body = _get(base, f"/context?entity={q}&budget=300&personalized=1")
+    assert code == 200 and body["personalized"] is True
 
 
 def test_routing_errors(server):
