@@ -81,17 +81,12 @@ def unigram_logprobs(
     """
     counts = ref_tokens.groupBy("tok").agg(F.count("*").alias("c"))
     if max_vocab_rows is not None:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.desc("c"), F.asc("tok"))
-        # global top-K: rank over a single ordered partition — acceptable
-        # because K is the (small) vocab cap, and the input is already
-        # one row per distinct token, not per occurrence
-        counts = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= max_vocab_rows)
-            .drop("rn")
-        )
+        # exact global top-K as sort+limit: Spark plans this as
+        # TakeOrderedAndProject (per-partition top-K, merged on the
+        # driver) — distributed, unlike a row_number over an
+        # unpartitioned window, which would drag EVERY distinct token
+        # through one task
+        counts = counts.orderBy(F.desc("c"), F.asc("tok")).limit(max_vocab_rows)
     totals = counts.agg(
         F.sum("c").cast("long").alias("T"), F.count("*").cast("long").alias("V")
     ).withColumn(
