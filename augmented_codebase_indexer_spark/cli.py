@@ -169,8 +169,14 @@ def cmd_watch(args) -> dict:
                   args.checkpoint, available_now=not args.follow)
     if args.follow:
         q.awaitTermination()
-    else:
-        q.awaitTermination(600)
+    elif not q.awaitTermination(args.timeout):
+        # a timed-out drain must NOT report partial counts as success
+        # (no-silent-drops policy); the checkpoint makes the retry safe
+        q.stop()
+        raise RuntimeError(
+            f"watch drain still running after {args.timeout}s — "
+            "rerun with the same --checkpoint to continue exactly-once"
+        )
     return {"edges": wh.read(spark, "edges").count(),
             "nodes": wh.read(spark, "nodes").count()}
 
@@ -202,6 +208,8 @@ def cmd_import(args) -> dict:
     from .sources import graph_io
     from .sources.catalog import Warehouse
 
+    from pyspark.sql import Window
+
     spark = _spark("aci-import")
     wh = Warehouse(args.warehouse)
     if args.format == "graphml":
@@ -211,15 +219,29 @@ def cmd_import(args) -> dict:
     elif args.format == "ntriples":
         nodes, edges = graph_io.import_ntriples(spark, args.src)
     else:
-        existing = (
-            (wh.read(spark, "nodes"), wh.read(spark, "edges"))
-            if args.mode == "merge" and wh.exists("nodes") and wh.exists("edges")
-            else (None, None)
-        )
-        nodes, edges = graph_io.import_graph(
-            spark, args.src, existing_nodes=existing[0],
-            existing_edges=existing[1], mode=args.mode,
-        )
+        nodes, edges = graph_io.import_graph(spark, args.src)
+    if args.mode == "merge" and wh.exists("nodes") and wh.exists("edges"):
+        # merge applies to EVERY format: union with the existing tables
+        # and dedupe on node_id / the edge-key columns the import format
+        # carries (ntriples edges have no provenance columns, so the key
+        # shrinks to the columns present). Existing rows win ties so a
+        # provenance-poor dump can't overwrite provenance-rich rows.
+        def prefer_existing(existing, imported, key):
+            u = existing.withColumn("__pri", F.lit(0)).unionByName(
+                imported.withColumn("__pri", F.lit(1)), allowMissingColumns=True
+            )
+            w = Window.partitionBy(*key).orderBy(F.asc("__pri"))
+            return (
+                u.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__pri", "__rn")
+            )
+
+        nodes = prefer_existing(wh.read(spark, "nodes").drop("bucket"),
+                                nodes, ["node_id"])
+        edge_key = [c for c in graph_io.EDGE_KEY if c in edges.columns]
+        edges = prefer_existing(wh.read(spark, "edges").drop("bucket"),
+                                edges, edge_key)
     # localCheckpoint before the overwrite-commit: in replace mode the
     # imported frames may read from the very tables being replaced
     nodes = nodes.localCheckpoint(eager=True)
@@ -288,6 +310,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--follow", action="store_true",
                    help="keep running (default: drain pending input and stop)")
+    p.add_argument("--timeout", type=int, default=3600,
+                   help="drain-mode wall limit in seconds (error, not partial counts)")
     p.set_defaults(fn=cmd_watch)
 
     p = sub.add_parser("context", help="token-budgeted context package for seeds")

@@ -47,6 +47,10 @@ class AciHttpServer:
             def do_GET(self):
                 try:
                     code, body = outer._route(self.path)
+                except ValueError as e:
+                    # client-input errors (bad int params, seeds absent
+                    # from the graph) are 400s, not server faults
+                    code, body = 400, {"error": str(e)}
                 except Exception:
                     code, body = 500, {"error": traceback.format_exc(limit=3)}
                 payload = json.dumps(body, sort_keys=True).encode()

@@ -84,13 +84,22 @@ def exact_substr_spans(
 
     Returns (doc_id, clean_text, n_tokens_removed, n_hit_spans) for every
     input doc; docs shorter than n tokens pass through unchanged."""
-    repeated = repeated_gram_owners(docs, n=n, min_df=min_df,
-                                    id_col=id_col, text_col=text_col)
+    # ONE per-position hash explode feeds BOTH the frequency pass and the
+    # hits join — the tokenize+hash transform is the operator's dominant
+    # cost, and without the persist each consumer would recompute it
     posh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(_pos_hash_expr(text_col, n))).alias("ph"),
     ).select("doc_id", F.col("ph.i").alias("i"),
-             F.col("ph.gram_h").alias("gram_h"))
+             F.col("ph.gram_h").alias("gram_h")).persist()
+    repeated = (
+        posh.groupBy("gram_h")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
     hits = posh.join(
         guarded_broadcast(repeated.select("gram_h", "owner"),
                           broadcast_max_rows),

@@ -22,8 +22,11 @@ Scale shapes:
   Θ(deg²) on the wedge center, so hubs are excluded by ``max_degree``
   (the published mitigation — a neighbor shared with everyone carries no
   similarity signal anyway, same reason `mentions_joins.py` prunes by
-  document frequency). The cap is observable: ``excluded_hubs`` on the
-  returned frame's companion, never a silent drop.
+  document frequency). The cap is an EXPLICIT caller parameter (default
+  off), and pair degrees in the output always report true full-graph
+  values, so a capped run is visibly capped; callers auditing the cut
+  count hubs directly from the degree frame
+  (``deg.filter(deg > max_degree)``).
 """
 
 from __future__ import annotations
@@ -212,8 +215,10 @@ def k_core(
     """
     cur = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     n_edges = cur.count()
+    converged = n_edges == 0
     for _ in range(max_iters):
         if n_edges == 0:
+            converged = True
             break
         deg = _degrees(cur)
         keep = deg.filter(F.col("deg") >= k).select("node")
@@ -225,8 +230,17 @@ def k_core(
         n_next = nxt.count()
         cur = nxt
         if n_next == n_edges:  # fixpoint: nothing peeled this round
+            converged = True
             break
         n_edges = n_next
+    if not converged:
+        # a partially-peeled graph would silently report a SUPERSET of the
+        # k-core (nodes whose support peels in later rounds) — raise, the
+        # repo's counted-not-silent discipline
+        raise RuntimeError(
+            f"k_core: no fixpoint after {max_iters} rounds (peel depth "
+            "exceeds max_iters) — raise max_iters"
+        )
     return _degrees(cur).filter(F.col("deg") >= k).select(
         "node", F.col("deg").alias("core_deg")
     )

@@ -31,7 +31,15 @@ def guarded_broadcast(
     unhinted. The frame is persisted either way so the counting pass is
     reused by the consuming join (the codebase's pin-before-reuse
     pattern); ``max_rows=None`` disables the hint entirely (pure
-    planner/AQE decision)."""
+    planner/AQE decision).
+
+    Lifetime note: the pin is NOT released here — release would have to
+    happen after the caller's consuming action, which this helper never
+    sees. Guarded frames are slim id/signature/vocab sets (bounded by
+    the caps the guard enforces) and Spark's LRU cache eviction reclaims
+    them under pressure; long-lived processes composing many pipelines
+    per session should ``unpersist()`` the consumed frame after their
+    action if they need deterministic release."""
     if max_rows is None:
         return df
     df = df.persist()

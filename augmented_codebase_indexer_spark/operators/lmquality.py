@@ -87,6 +87,10 @@ def unigram_logprobs(
         # unpartitioned window, which would drag EVERY distinct token
         # through one task
         counts = counts.orderBy(F.desc("c"), F.asc("tok")).limit(max_vocab_rows)
+    # totals AND vocab both read the counts aggregation — pin it so the
+    # reference-slice token shuffle runs once, not once per consumer
+    # (vocab-sized rows: one per distinct token)
+    counts = counts.persist()
     totals = counts.agg(
         F.sum("c").cast("long").alias("T"), F.count("*").cast("long").alias("V")
     ).withColumn(

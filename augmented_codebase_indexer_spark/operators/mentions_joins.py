@@ -156,9 +156,13 @@ def _collect_first_tokens(gazetteer: DataFrame, cap: int):
     ft = gazetteer.select(
         F.split(F.col("alias"), " ").getItem(0).alias("ft")
     ).distinct()
-    if ft.limit(cap + 1).count() > cap:
+    # size check and fetch in ONE job: collect cap+1 rows — if we got
+    # more than cap the vocabulary is over the limit (a second full
+    # distinct pass just to count first would double the gazetteer scan)
+    rows = ft.limit(cap + 1).collect()
+    if len(rows) > cap:
         return None
-    return {r["ft"] for r in ft.collect()}
+    return {r["ft"] for r in rows}
 
 
 def _max_alias_tokens(gazetteer: DataFrame) -> int:

@@ -94,6 +94,10 @@ def parse_warc_bytes(data: bytes) -> tuple[list[dict], int]:
             body_start = hdr_end + 4
             try:
                 length = int(headers.get("content-length", ""))
+                if length < 0:
+                    # a negative length would REWIND pos to (or before) this
+                    # record's own marker and loop forever re-finding it
+                    raise ValueError("negative content-length")
             except ValueError:
                 # malformed header: the payload bound is unknowable for THIS
                 # record only — resync at the next record marker instead of

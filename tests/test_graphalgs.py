@@ -151,6 +151,16 @@ def test_kcore_empty_when_k_too_high(spark):
     assert k_core(_df(spark, g), k=3).count() == 0
 
 
+def test_kcore_raises_when_peel_depth_exceeds_iters(spark):
+    """max_iters exhaustion must raise, not return the superset of the
+    core a partially-peeled graph implies."""
+    import pytest as _pytest
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        k_core(_df(spark, chain), k=2, max_iters=2)  # chain peels in ~5
+
+
 def test_kcore_matches_bruteforce(spark):
     rng = random.Random(13)
     nodes = [f"n{i:02d}" for i in range(30)]

@@ -75,3 +75,8 @@ def test_routing_errors(server):
     assert _get(base, "/search?q=x&mode=psychic")[0] == 400
     assert _get(base, "/graph?direction=sideways&entity=x")[0] == 400
     assert _get(base, "/context")[0] == 400
+    # client-input errors map to 400, not 500: non-numeric params and a
+    # personalized request whose seed is absent from the graph
+    assert _get(base, "/search?q=x&k=lots")[0] == 400
+    code, body = _get(base, "/context?entity=__ghost__&personalized=1")
+    assert code == 400 and "seed" in body["error"]

@@ -80,6 +80,23 @@ def test_warc_malformed_header_resyncs(spark, tmp_path):
     assert stats[0]["n_pages"] == 1 and stats[0]["n_skipped"] == 1
 
 
+def test_warc_negative_length_cannot_loop(spark):
+    """A NEGATIVE Content-Length parses as an int but would rewind the
+    cursor to this record's own marker — the parser must treat it as
+    malformed (skip + resync), not loop forever re-finding the record."""
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://a.example/neg\r\n"
+           b"Content-Length: -200\r\n\r\npayload")
+    http = b"HTTP/1.1 200 OK\r\n\r\n<html>after</html>"
+    good = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://a.example/after\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n" + http + b"\r\n\r\n")
+    recs, skipped = parse_warc_bytes(bad + b"\r\n\r\n" + good)
+    assert [r["url"] for r in recs] == ["https://a.example/after"]
+    assert skipped == 1
+
+
 def test_warc_feeds_the_kg_pipeline(spark, tmp_path):
     """End-to-end: WARC file → pages table → extraction/OpenIE stages."""
     from augmented_codebase_indexer_spark.operators.extraction import (
