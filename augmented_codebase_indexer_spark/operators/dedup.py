@@ -94,12 +94,20 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
         .agg(F.count("*").alias("inter"))
     )
+    # integer-exact gate: inter/union >= thr and the emitted score are both
+    # pure BIGINT arithmetic (cross-multiply + truncating DIV) — identical
+    # in Spark and DuckDB; round(float, 6) on a small-denominator rational
+    # is the half-way-tie hazard that made lm_quality's r4 driver row red
+    thr_micro = int(round(threshold * 1_000_000))
     return (
         inter.join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
         .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
-        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("ida", "idb", F.round("jaccard", 6).alias("jaccard"))
+        .withColumn("union_sz", F.col("sza") + F.col("szb") - F.col("inter"))
+        .filter(F.col("inter") * 1_000_000 >= F.lit(thr_micro) * F.col("union_sz"))
+        .select(
+            "ida", "idb",
+            F.expr("(inter * 1000000) DIV union_sz").alias("jaccard_micro"),
+        )
     )
 
 

@@ -99,8 +99,14 @@ def jaccard_similarity(
     max_degree: int | None = None,
 ) -> DataFrame:
     """Neighborhood Jaccard for node pairs sharing ≥ ``min_common``
-    neighbors: (a, b, n_common, deg_a, deg_b, jaccard) with a < b and
-    jaccard = |N(a)∩N(b)| / |N(a)∪N(b)| rounded to 6 dp.
+    neighbors: (a, b, n_common, deg_a, deg_b, jaccard_micro) with a < b
+    and jaccard_micro = (|N(a)∩N(b)| * 1e6) DIV |N(a)∪N(b)| — truncating
+    BIGINT division on positive integers, exact and identical in Spark
+    ``DIV`` and DuckDB ``//`` (a ``round(float, 6)`` here is the
+    half-way-tie hazard that made lm_quality's r4 driver row red:
+    n_common/union is a small-denominator rational, so exact 6-dp ties
+    occur and resolve ulp-dependently across engine builds). Display
+    jaccard = jaccard_micro / 1e6.
 
     ``max_degree`` drops wedge CENTERS above the cap before the Θ(deg²)
     fan-out (hub mitigation); pair degrees in the output are still the
@@ -133,11 +139,9 @@ def jaccard_similarity(
     )
     return out.select(
         "a", "b", "n_common", "deg_a", "deg_b",
-        F.round(
-            F.col("n_common")
-            / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast("double"),
-            6,
-        ).alias("jaccard"),
+        F.expr("(n_common * 1000000) DIV (deg_a + deg_b - n_common)").alias(
+            "jaccard_micro"
+        ),
     )
 
 
@@ -153,14 +157,19 @@ def adamic_adar(
     neighbors count more than hubs. The classic KG missing-edge ranker
     (Adamic & Adar 2003, public).
 
-    Returns (a, b, n_common, aa_micro, aa_score) with a < b. Following
-    the repo's cross-engine exactness discipline, each center's weight
-    is quantized ONCE to micro units (``round(1e6/ln(deg))`` as BIGINT,
-    per node), so ``aa_micro`` is an exact integer sum; ``aa_score`` is
-    the rounded float convenience. A shared neighbor always has
-    deg ≥ 2, so ln(deg) > 0. ``max_degree`` caps wedge centers exactly
-    as in :func:`jaccard_similarity` (hubs carry ~no signal and cost
-    Θ(deg²)).
+    Returns (a, b, n_common, aa_micro) with a < b. Following the repo's
+    cross-engine exactness discipline, each center's weight is quantized
+    ONCE to micro units (``round(1e6/ln(deg))`` as BIGINT, per node), so
+    ``aa_micro`` is an exact integer sum; display score = aa_micro / 1e6
+    (the rounded-float convenience was dropped from the gated output —
+    aa_micro/1e6 rounded to 6 dp is exactly the half-way-tie class that
+    made lm_quality's r4 driver row red). The per-degree ``w_micro``
+    quantization itself rounds a transcendental quotient (1e6/ln(deg)),
+    whose distance from a .5 tie is audited in
+    ``tests/test_lmquality.py::test_rounding_tie_distance_audit``.
+    A shared neighbor always has deg ≥ 2, so ln(deg) > 0. ``max_degree``
+    caps wedge centers exactly as in :func:`jaccard_similarity` (hubs
+    carry ~no signal and cost Θ(deg²)).
     """
     und = undirected_edges(edges, src, dst)
     deg = _degrees(und)
@@ -188,7 +197,6 @@ def adamic_adar(
             F.sum("w_micro").cast("long").alias("aa_micro"),
         )
         .filter(F.col("n_common") >= min_common)
-        .withColumn("aa_score", F.round(F.col("aa_micro") / F.lit(1_000_000.0), 6))
     )
 
 
@@ -293,8 +301,7 @@ def adamic_adar_oracle_sql(edges_sql: str, min_common: int = 1) -> str:
     centers AS (SELECT adj.n, w.w_micro, adj.x FROM adj JOIN w ON w.n = adj.n)
     SELECT p1.x AS a, p2.x AS b,
            CAST(count(*) AS BIGINT) AS n_common,
-           CAST(sum(p1.w_micro) AS BIGINT) AS aa_micro,
-           round(CAST(sum(p1.w_micro) AS DOUBLE) / 1000000.0, 6) AS aa_score
+           CAST(sum(p1.w_micro) AS BIGINT) AS aa_micro
     FROM centers p1 JOIN centers p2 ON p1.n = p2.n AND p1.x < p2.x
     GROUP BY p1.x, p2.x
     HAVING count(*) >= {min_common}
@@ -341,8 +348,8 @@ def jaccard_oracle_sql(edges_sql: str, min_common: int = 1) -> str:
       GROUP BY p1.x, p2.x
       HAVING count(*) >= {min_common})
     SELECT pairs.a, pairs.b, n_common, da.deg AS deg_a, db.deg AS deg_b,
-           round(CAST(n_common AS DOUBLE)
-                 / CAST(da.deg + db.deg - n_common AS DOUBLE), 6) AS jaccard
+           CAST((n_common * 1000000) // (da.deg + db.deg - n_common) AS BIGINT)
+             AS jaccard_micro
     FROM pairs
     JOIN deg da ON da.node = pairs.a
     JOIN deg db ON db.node = pairs.b

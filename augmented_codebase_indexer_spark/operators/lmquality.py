@@ -21,10 +21,14 @@ Cross-engine exactness (the repo's oracle discipline): per-token
 log-probs are quantized ONCE per vocabulary entry to integer micro-nats
 (``CAST(round(ln(p) * 1e6) AS BIGINT)``), so every per-document score is
 a BIGINT sum — exact, order-independent, and byte-identical between
-Spark and the DuckDB oracle. The only floats cross the engine boundary
-as ``round(x, 6)`` conveniences derived from those exact integers (the
-1-ulp/rounding-tie caveat documented at ``textstats.quality_score_col``
-applies, measured-rare).
+Spark and the DuckDB oracle. Every GATED column is integer-derived:
+``ce_micro = (-sum_lp_micro) DIV n_tokens`` (truncating BIGINT division,
+identical in Spark ``DIV`` and DuckDB ``//``) and the ppl bucket is an
+integer cross-multiply against micro-nat cut points, so no float round
+ever crosses the engine boundary. (Round 4's single red driver cell was
+exactly this hazard: ``round(ce, 6)`` on docs whose small-denominator
+rational entropy lands on a 6-dp half-way tie resolves ulp-dependently
+across engine builds — 6/500 sf0.01 docs sat exactly on the tie.)
 
 Scale shape at 10^12 docs: the vocab build is one token-keyed shuffle
 over the (much smaller) reference slice; scoring is a narrow
@@ -46,7 +50,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .guards import guarded_broadcast
+from .guards import guarded_broadcast, register_pin
 
 # default head/middle/tail cross-entropy cut points (nats/token), tuned
 # to the synthetic corpus (entropies cluster at 3.35-3.96 nats across
@@ -90,7 +94,7 @@ def unigram_logprobs(
     # totals AND vocab both read the counts aggregation — pin it so the
     # reference-slice token shuffle runs once, not once per consumer
     # (vocab-sized rows: one per distinct token)
-    counts = counts.persist()
+    counts = register_pin(counts.persist())
     totals = counts.agg(
         F.sum("c").cast("long").alias("T"), F.count("*").cast("long").alias("V")
     ).withColumn(
@@ -143,12 +147,17 @@ def lm_cross_entropy(
 ) -> DataFrame:
     """Score ``docs`` under an add-one unigram LM trained on ``ref_docs``.
 
-    Returns (doc_id, n_tokens, sum_lp_micro, cross_entropy, ppl_bucket):
-    cross_entropy = -sum_lp_micro / 1e6 / n_tokens (nats/token, rounded
-    to 6 dp for display — the BIGINT column is the exact value), bucket
-    head/middle/tail by the fixed ``buckets`` cuts (CCNet keeps head,
-    samples middle, drops tail). Documents with no tokens are absent
-    (nothing to score — callers union them back as 'tail' if desired).
+    Returns (doc_id, n_tokens, sum_lp_micro, ce_micro, ppl_bucket) — all
+    gated columns integer-exact. ``ce_micro`` is cross-entropy in
+    micro-nats/token via truncating BIGINT division (Spark ``DIV`` ==
+    DuckDB ``//`` toward zero; the operand is positive so floor == trunc);
+    display nats/token = ce_micro / 1e6. The bucket compares
+    ``-sum_lp_micro < cut_micro * n_tokens`` — pure BIGINT cross-multiply,
+    so the exact rational entropy is bucketed with NO float round anywhere
+    (the ``buckets`` cuts are quantized once to integer micro-nats). CCNet
+    keeps head, samples middle, drops tail. Documents with no tokens are
+    absent (nothing to score — callers union them back as 'tail' if
+    desired).
     """
     vocab, totals = unigram_logprobs(
         token_frame(ref_docs, text_col), max_vocab_rows=max_vocab_rows
@@ -156,15 +165,15 @@ def lm_cross_entropy(
     sums = _doc_lp_sums(
         docs, vocab, totals, text_col, "sum_lp_micro", broadcast_max_rows
     )
-    ce = (-F.col("sum_lp_micro") / F.lit(_MICRO)) / F.col("n_tokens")
-    lo, hi = buckets
+    lo_micro, hi_micro = (int(round(b * _MICRO)) for b in buckets)
+    neg = -F.col("sum_lp_micro")
     return sums.select(
         "doc_id",
         "n_tokens",
         "sum_lp_micro",
-        F.round(ce, 6).alias("cross_entropy"),
-        F.when(ce < F.lit(lo), F.lit("head"))
-        .when(ce < F.lit(hi), F.lit("middle"))
+        F.expr("(-sum_lp_micro) DIV n_tokens").alias("ce_micro"),
+        F.when(neg < F.lit(lo_micro) * F.col("n_tokens"), F.lit("head"))
+        .when(neg < F.lit(hi_micro) * F.col("n_tokens"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
@@ -181,10 +190,13 @@ def dsir_log_ratio(
     """DSIR importance weights: per-doc Σ[ln p_target(tok) − ln p_raw(tok)].
 
     ``raw_docs`` defaults to ``docs`` (the pool being selected from).
-    Returns (doc_id, n_tokens, sum_llr_micro BIGINT, avg_llr): positive
-    avg_llr = looks more like the target domain than the raw pool —
-    DSIR resamples with probability ∝ exp(weight). Both LMs use the same
-    add-one estimator, so the BIGINT difference is exact.
+    Returns (doc_id, n_tokens, sum_llr_micro BIGINT, llr_per_tok_micro
+    BIGINT): positive = looks more like the target domain than the raw
+    pool — DSIR resamples with probability ∝ exp(weight). Both LMs use
+    the same add-one estimator, so the BIGINT difference is exact, and
+    the per-token column is truncating BIGINT division (Spark ``DIV`` and
+    DuckDB ``//`` both truncate toward zero, including for the negative
+    sums this column produces) — no float round in the gated output.
     """
     raw_docs = docs if raw_docs is None else raw_docs
     t_vocab, t_tot = unigram_logprobs(
@@ -200,9 +212,7 @@ def dsir_log_ratio(
         "doc_id",
         "n_tokens",
         (F.col("lp_t") - F.col("lp_r")).cast("long").alias("sum_llr_micro"),
-        F.round(
-            ((F.col("lp_t") - F.col("lp_r")) / F.lit(_MICRO)) / F.col("n_tokens"), 6
-        ).alias("avg_llr"),
+        F.expr("(lp_t - lp_r) DIV n_tokens").alias("llr_per_tok_micro"),
     )
 
 
@@ -244,8 +254,10 @@ def lm_quality_oracle_sql(
     buckets: tuple[float, float] = DEFAULT_BUCKETS,
     table: str = "documents",
 ) -> str:
-    lo, hi = buckets
-    ce = "-(CAST(sum(lp) AS DOUBLE) / 1000000.0) / count(*)"
+    lo_micro, hi_micro = (int(round(b * _MICRO)) for b in buckets)
+    # all-BIGINT mirror of the Spark frame: truncating // division and the
+    # integer cross-multiply bucket — no float round anywhere in the gate
+    neg = "CAST(-sum(lp) AS BIGINT)"
     return f"""{_tf_cte(table, with_source=False)},{_vocab_ctes("u", ref_pred)},
     scored AS (
       SELECT tf.doc_id, coalesce(ulp.lp, uoov.lp) AS lp
@@ -253,9 +265,9 @@ def lm_quality_oracle_sql(
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            sum(lp) AS sum_lp_micro,
-           round({ce}, 6) AS cross_entropy,
-           CASE WHEN {ce} < {lo} THEN 'head'
-                WHEN {ce} < {hi} THEN 'middle'
+           CAST({neg} // count(*) AS BIGINT) AS ce_micro,
+           CASE WHEN {neg} < {lo_micro} * count(*) THEN 'head'
+                WHEN {neg} < {hi_micro} * count(*) THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket
     FROM scored GROUP BY doc_id
     """
@@ -272,7 +284,6 @@ def dsir_oracle_sql(target_pred: str = "source = 'src0'") -> str:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(lt) - sum(lr) AS BIGINT) AS sum_llr_micro,
-           round((CAST(sum(lt) - sum(lr) AS DOUBLE) / 1000000.0) / count(*), 6)
-             AS avg_llr
+           CAST((sum(lt) - sum(lr)) // count(*) AS BIGINT) AS llr_per_tok_micro
     FROM scored GROUP BY doc_id
     """

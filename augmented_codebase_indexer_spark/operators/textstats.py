@@ -45,9 +45,10 @@ def quality_score_col(text: Column) -> Column:
     DuckDB/Python round the exact binary value, and the two engines'
     unrounded doubles occasionally differ by 1 ulp (FMA contraction). When a
     score lands exactly on a 6th-decimal tie the oracle can disagree in the
-    last digit — measured rate 1/5000 docs at sf0.1, 0/500 at sf0.01 (every
-    alternative rounding emulation tested measured worse: 3/5000). Inherent
-    to float scoring across engines; not a correctness bug in either."""
+    last digit — measured rate 1/5000 docs at sf0.1, 5/500 exact ties at
+    sf0.01. As of r5 every ORACLE-GATED output uses
+    :func:`quality_micro_col` (exact BIGINT) instead; this float form is
+    display/diagnostic only."""
     n_chars = F.length(text)
     n_tokens = F.size(F.split(text, " "))
     stop = F.regexp_count(text, F.lit(STOPWORD_RE))
@@ -57,6 +58,71 @@ def quality_score_col(text: Column) -> Column:
     punct_penalty = F.least(punct / F.greatest(n_chars, F.lit(1)) * 10.0, F.lit(1.0))
     return F.round(
         (len_score * 0.5 + stop_score * 0.3) * (F.lit(1.0) - punct_penalty * 0.5), 6
+    )
+
+
+def _idiv(a: Column, b: Column | int) -> Column:
+    """Exact integer floor-division for NON-NEGATIVE operands, built from
+    %, - and /: (a - a % b) / b. The float division is exact because the
+    numerator is b·q with both ≤ 2^53 (every quantity in quality_micro_col
+    is ≤ 1e13), so the correctly-rounded IEEE quotient IS the integer q.
+    Matches DuckDB's BIGINT ``//`` on the same operands."""
+    b = F.lit(b) if isinstance(b, int) else b
+    return ((a - a % b) / b).cast("long")
+
+
+def quality_micro_col(text: Column) -> Column:
+    """The GATED form of :func:`quality_score_col`: quality in integer
+    micro units [0, 1_000_000], every step BIGINT arithmetic (least/
+    greatest, multiply, truncating integer division) so Spark and the
+    DuckDB oracle produce byte-identical values BY CONSTRUCTION.
+
+    Why (measured, r5): the float score lands EXACTLY on a 6-dp half-way
+    tie for 5/500 sf0.01 docs (e.g. 0.5028125 → 502812.5) — the same
+    cross-engine rounding-tie class that made lm_quality's r4 driver row
+    red (a tie resolves ulp-/build-dependently between Spark's
+    shortest-repr HALF_UP and DuckDB's multiply-then-round). Ties are not
+    rare noise here: quality is a rational of small integers, so exact
+    6-dp ties are structural. Semantics track the float score to within
+    ≤4 micro of truncation:
+
+        len_micro  = least(nc, 400) * 2500            (= min(nc/400,1)·1e6)
+        stop_micro = (least(5·stop, nt) · 1e6) DIV nt
+        pen_micro  = (least(10·punct, nc') · 1e6) DIV nc'
+        quality    = ((len_micro DIV 2) + (stop_micro·3) DIV 10)
+                     · (1e6 − pen_micro DIV 2) DIV 1e6
+
+    SQL mirror: :func:`quality_micro_sql`."""
+    nc = F.length(text).cast("long")
+    nt = F.greatest(F.size(F.split(text, " ")), F.lit(1)).cast("long")
+    stop = F.regexp_count(text, F.lit(STOPWORD_RE)).cast("long")
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("long")
+    nc2 = F.greatest(nc, F.lit(1))
+    len_micro = F.least(nc, F.lit(400)) * 2500
+    stop_micro = _idiv(F.least(stop * 5, nt) * 1_000_000, nt)
+    pen_micro = _idiv(F.least(punct * 10, nc2) * 1_000_000, nc2)
+    return _idiv(
+        (_idiv(len_micro, 2) + _idiv(stop_micro * 3, 10))
+        * (F.lit(1_000_000) - _idiv(pen_micro, 2)),
+        1_000_000,
+    )
+
+
+def quality_micro_sql(text_expr: str = "text") -> str:
+    """DuckDB expression mirroring ``quality_micro_col`` — all-BIGINT
+    (`//` is floor division; operands are non-negative so it equals the
+    Spark emulation in ``_idiv`` exactly)."""
+    nc = f"CAST(length({text_expr}) AS BIGINT)"
+    nt = f"greatest(CAST(len(string_split({text_expr}, ' ')) AS BIGINT), 1)"
+    stop = f"CAST(len(regexp_extract_all({text_expr}, '{STOPWORD_RE}')) AS BIGINT)"
+    punct = f"CAST(len(regexp_extract_all({text_expr}, '[^\\w\\s]')) AS BIGINT)"
+    nc2 = f"greatest({nc}, 1)"
+    len_micro = f"(least({nc}, 400) * 2500)"
+    stop_micro = f"((least({stop} * 5, {nt}) * 1000000) // {nt})"
+    pen_micro = f"((least({punct} * 10, {nc2}) * 1000000) // {nc2})"
+    return (
+        f"((({len_micro} // 2) + ({stop_micro} * 3) // 10)"
+        f" * (1000000 - {pen_micro} // 2) // 1000000)"
     )
 
 
@@ -77,7 +143,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, col in token_count_cols(t).items():
         out = out.withColumn(name, col)
     return (
-        out.withColumn("quality", quality_score_col(t))
+        out.withColumn("quality_micro", quality_micro_col(t))
         .withColumn("lang_pred", lang_id_col(t))
     )
 

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.chunking import chunk_documents, chunk_oracle_sql
-from ..operators.textstats import lang_id_col, quality_score_col
+from ..operators.textstats import (
+    lang_id_col,
+    quality_micro_col,
+    quality_micro_sql,
+)
 
 
 def curate_documents(
@@ -31,21 +35,27 @@ def curate_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """→ surviving (doc_id, text, quality): language + quality floor +
-    exact-dup winner (min doc_id per sha256(text) — deterministic)."""
+    """→ surviving (doc_id, text, quality_micro): language + quality
+    floor + exact-dup winner (min doc_id per sha256(text) —
+    deterministic). quality_micro is the exact-BIGINT gated score
+    (textstats.quality_micro_col — the float score has structural 6-dp
+    rounding ties, 5/500 sf0.01 docs); the float ``min_quality`` floor is
+    applied as an integer micro comparison."""
+    min_q_micro = int(round(min_quality * 1_000_000))
     scored = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
-        quality_score_col(F.col(text_col)).alias("quality"),
+        quality_micro_col(F.col(text_col)).alias("quality_micro"),
         lang_id_col(F.col(text_col)).alias("lang_pred"),
     ).filter(
-        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*allowed_langs)
+        (F.col("quality_micro") >= min_q_micro)
+        & F.col("lang_pred").isin(*allowed_langs)
     )
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(F.asc("doc_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("doc_id", "text", "quality")
+        .select("doc_id", "text", "quality_micro")
     )
 
 
@@ -60,9 +70,9 @@ def curation_pipeline(
     n_tokens, quality) ready for the embedding stage."""
     kept = curate_documents(docs, min_quality, allowed_langs)
     chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
-    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
+    return chunks.join(kept.select("doc_id", "quality_micro"), "doc_id").select(
         "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
-        F.round("quality", 6).alias("quality"),
+        "quality_micro",
     )
 
 
@@ -98,9 +108,9 @@ def curation_pipeline_v2(
     )
     kept = curate_documents(cleaned, min_quality, allowed_langs)
     chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
-    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
+    return chunks.join(kept.select("doc_id", "quality_micro"), "doc_id").select(
         "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
-        F.round("quality", 6).alias("quality"),
+        "quality_micro",
     )
 
 
@@ -171,6 +181,7 @@ def curation_pipeline_v3(
     every filter."""
     from ..operators.curation_filters import boilerplate_prune
     from ..operators.decontam import decontaminate_filter
+    from ..operators.guards import register_pin
     from ..operators.pii import redact_pii
     from ..operators.textstats import gopher_flag_cols
 
@@ -185,16 +196,16 @@ def curation_pipeline_v3(
     # the decontamination gram explode) — pin it so the boilerplate
     # shuffles run once. A production nightly run materializes this
     # intermediate to a warehouse table instead (sources/catalog.py).
-    cleaned = cleaned.persist()
+    cleaned = register_pin(cleaned.persist())
     eval_docs = cleaned.filter(F.col("doc_id") % eval_mod == 0)
     cands = cleaned.filter(F.col("doc_id") % eval_mod != 0)
     gophered = cands.filter(gopher_flag_cols(F.col("text"), **gopher)["passes"])
     kept_docs = decontaminate_filter(gophered, eval_docs, n=decontam_n)
     kept = curate_documents(kept_docs, 0.0, allowed_langs)
     chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
-    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
+    return chunks.join(kept.select("doc_id", "quality_micro"), "doc_id").select(
         "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
-        F.round("quality", 6).alias("quality"),
+        "quality_micro",
     )
 
 
@@ -234,14 +245,9 @@ def curation_v3_oracle_sql(
     return curation_oracle_sql(min_quality=0.0, size=size, overlap=overlap, table=final)
 
 
-# DuckDB expression mirroring quality_score_col(text) (already rounded)
-QUALITY_SQL = r"""
-      round((least(length(text) / 400.0, 1.0) * 0.5
-             + least(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
-                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) * 0.3)
-            * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))
-                           / greatest(length(text), 1) * 10.0, 1.0) * 0.5), 6)
-    """
+# DuckDB expression mirroring quality_micro_col(text) — exact BIGINT
+# (the old float QUALITY_SQL had structural 6-dp rounding ties)
+QUALITY_SQL = quality_micro_sql("text")
 
 # DuckDB predicate mirroring lang_id_col(text) == 'en' ('en' is the first
 # marker language, so it wins every tie it participates in)
@@ -271,6 +277,7 @@ def curation_funnel(
     two single-row aggregations (crossJoined) instead of chunk output."""
     from ..operators.curation_filters import boilerplate_prune
     from ..operators.decontam import contaminated_ids
+    from ..operators.guards import guarded_broadcast, register_pin
     from ..operators.pii import redact_pii
     from ..operators.textstats import gopher_flag_cols, lang_id_col
 
@@ -279,14 +286,12 @@ def curation_funnel(
         boilerplate_prune(docs, min_df=boiler_min_df),
         text_col="clean_text", out_col="text",
     ).select("doc_id", "text")
-    ne = cleaned_all.filter(F.length("text") > 0).persist()
+    ne = register_pin(cleaned_all.filter(F.length("text") > 0).persist())
     eval_docs = ne.filter(F.col("doc_id") % eval_mod == 0)
     cands = ne.filter(F.col("doc_id") % eval_mod != 0)
     contam = contaminated_ids(cands, eval_docs, n=decontam_n).withColumn(
         "is_contam", F.lit(True)
     )
-    from ..operators.guards import guarded_broadcast
-
     flags = (
         cands.withColumn("g_pass", gopher_flag_cols(F.col("text"), **gopher)["passes"])
         .withColumn("is_en", lang_id_col(F.col("text")) == "en")
@@ -386,7 +391,7 @@ def curation_pipeline_v4(
     from ..operators.curation_filters import boilerplate_prune
     from ..operators.decontam import decontaminate_filter
     from ..operators.dedup import near_dup_losers
-    from ..operators.guards import DEFAULT_BROADCAST_MAX_ROWS, guarded_broadcast
+    from ..operators.guards import DEFAULT_BROADCAST_MAX_ROWS, guarded_broadcast, register_pin
     from ..operators.pii import redact_pii
     from ..operators.textstats import gopher_flag_cols, lang_id_col
 
@@ -400,6 +405,7 @@ def curation_pipeline_v4(
     cleaned = redact_pii(cleaned, text_col="clean_text", out_col="text").select(
         "doc_id", "text"
     ).persist()
+    register_pin(cleaned)
     eval_docs = cleaned.filter(F.col("doc_id") % eval_mod == 0)
     cands = cleaned.filter(F.col("doc_id") % eval_mod != 0)
     gophered = cands.filter(gopher_flag_cols(F.col("text"), **gopher)["passes"])
@@ -407,17 +413,19 @@ def curation_pipeline_v4(
         decontaminate_filter(gophered, eval_docs, n=decontam_n,
                              broadcast_max_rows=broadcast_max_rows)
         .filter(lang_id_col(F.col("text")).isin(*allowed_langs))
-        .withColumn("quality", F.round(quality_score_col(F.col("text")), 6))
+        .withColumn("quality_micro", quality_micro_col(F.col("text")))
         .persist()
     )
+    register_pin(eligible)
     losers = near_dup_losers(
         eligible, threshold=near_threshold, max_bucket_size=near_max_bucket
     )
     kept = eligible.join(guarded_broadcast(losers, broadcast_max_rows),
                          "doc_id", "left_anti")
     chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
-    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
-        "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens", "quality"
+    return chunks.join(kept.select("doc_id", "quality_micro"), "doc_id").select(
+        "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
+        "quality_micro",
     )
 
 
@@ -460,7 +468,7 @@ def curation_v4_oracle_sql(
     chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
     return f"""
     WITH RECURSIVE eligible AS (
-      SELECT doc_id, text, {QUALITY_SQL} AS quality FROM {cleaned}
+      SELECT doc_id, text, {QUALITY_SQL} AS quality_micro FROM {cleaned}
       WHERE doc_id % {eval_mod} <> 0
         AND {gopher_passes_sql('text', **gopher)}
         AND doc_id NOT IN (SELECT doc_id FROM ({decontam}) WHERE NOT kept)
@@ -475,12 +483,12 @@ def curation_v4_oracle_sql(
     ),
     ncomp AS (SELECT id, min(label) AS component FROM ncc GROUP BY id),
     kept AS (
-      SELECT e.doc_id, e.text, e.quality FROM eligible e
+      SELECT e.doc_id, e.text, e.quality_micro FROM eligible e
       LEFT JOIN ncomp c ON c.id = e.doc_id
       WHERE coalesce(c.component, e.doc_id) = e.doc_id),
     chunks AS ({chunks})
     SELECT c.doc_id, c.chunk_id, c.part_index, c.total_parts, c.n_tokens,
-           k.quality
+           k.quality_micro
     FROM chunks c JOIN kept k USING (doc_id)
     """
 
@@ -514,7 +522,7 @@ def curation_pipeline_v5(
     from ..operators.curation_filters import boilerplate_prune
     from ..operators.decontam import decontaminate_filter
     from ..operators.dedup import near_dup_losers
-    from ..operators.guards import DEFAULT_BROADCAST_MAX_ROWS, guarded_broadcast
+    from ..operators.guards import DEFAULT_BROADCAST_MAX_ROWS, guarded_broadcast, register_pin
     from ..operators.lmquality import lm_cross_entropy
     from ..operators.pii import redact_pii
     from ..operators.textstats import gopher_flag_cols, lang_id_col
@@ -529,6 +537,7 @@ def curation_pipeline_v5(
     cleaned = redact_pii(cleaned, text_col="clean_text", out_col="text").select(
         "doc_id", "text"
     ).persist()
+    register_pin(cleaned)
     # CCNet stage: score the whole cleaned corpus under the reference-slice
     # LM; survivors = docs outside the tail bucket
     lm_keep = (
@@ -547,17 +556,19 @@ def curation_pipeline_v5(
         decontaminate_filter(gophered, eval_docs, n=decontam_n,
                              broadcast_max_rows=broadcast_max_rows)
         .filter(lang_id_col(F.col("text")).isin(*allowed_langs))
-        .withColumn("quality", F.round(quality_score_col(F.col("text")), 6))
+        .withColumn("quality_micro", quality_micro_col(F.col("text")))
         .persist()
     )
+    register_pin(eligible)
     losers = near_dup_losers(
         eligible, threshold=near_threshold, max_bucket_size=near_max_bucket
     )
     kept = eligible.join(guarded_broadcast(losers, broadcast_max_rows),
                          "doc_id", "left_anti")
     chunks = chunk_documents(kept.select("doc_id", "text"), size=size, overlap=overlap)
-    return chunks.join(kept.select("doc_id", "quality"), "doc_id").select(
-        "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens", "quality"
+    return chunks.join(kept.select("doc_id", "quality_micro"), "doc_id").select(
+        "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
+        "quality_micro",
     )
 
 
@@ -605,7 +616,7 @@ def curation_v5_oracle_sql(
     chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
     return f"""
     WITH RECURSIVE eligible AS (
-      SELECT doc_id, text, {QUALITY_SQL} AS quality FROM {cleaned}
+      SELECT doc_id, text, {QUALITY_SQL} AS quality_micro FROM {cleaned}
       WHERE doc_id % {eval_mod} <> 0
         AND doc_id IN (SELECT doc_id FROM ({lm}) WHERE ppl_bucket <> 'tail')
         AND {gopher_passes_sql('text', **gopher)}
@@ -621,12 +632,12 @@ def curation_v5_oracle_sql(
     ),
     ncomp AS (SELECT id, min(label) AS component FROM ncc GROUP BY id),
     kept AS (
-      SELECT e.doc_id, e.text, e.quality FROM eligible e
+      SELECT e.doc_id, e.text, e.quality_micro FROM eligible e
       LEFT JOIN ncomp c ON c.id = e.doc_id
       WHERE coalesce(c.component, e.doc_id) = e.doc_id),
     chunks AS ({chunks})
     SELECT c.doc_id, c.chunk_id, c.part_index, c.total_parts, c.n_tokens,
-           k.quality
+           k.quality_micro
     FROM chunks c JOIN kept k USING (doc_id)
     """
 
@@ -639,20 +650,21 @@ def curation_oracle_sql(
 ) -> str:
     """DuckDB mirror of ``curation_pipeline`` (en-only)."""
     quality = QUALITY_SQL
+    min_q_micro = int(round(min_quality * 1_000_000))
     lang_en = LANG_EN_SQL
     chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
     return f"""
     WITH scored AS (
-      SELECT doc_id, text, {quality} AS quality
+      SELECT doc_id, text, {quality} AS quality_micro
       FROM {table}
-      WHERE {quality} >= {min_quality} AND ({lang_en})),
+      WHERE {quality} >= {min_q_micro} AND ({lang_en})),
     kept AS (
-      SELECT doc_id, text, quality FROM (
+      SELECT doc_id, text, quality_micro FROM (
         SELECT *, row_number() OVER (PARTITION BY sha256(text)
                                      ORDER BY doc_id ASC) AS rn
         FROM scored) WHERE rn = 1),
     chunks AS ({chunks})
     SELECT c.doc_id, c.chunk_id, c.part_index, c.total_parts, c.n_tokens,
-           round(k.quality, 6) AS quality
+           k.quality_micro
     FROM chunks c JOIN kept k USING (doc_id)
     """

@@ -76,22 +76,34 @@ def rerank_candidates(
     deterministic quality heuristic — same operator shape, same plan).
 
     cands(item_id, score[, backend]) ⋈ docs quality features →
-    final = w·score + w'·quality → deterministic top-k. The join side is
-    the k×5 candidate set (tiny) → broadcast; the quality expression is
-    JVM-side — no UDF, SQL-mirrorable."""
-    from ..operators.textstats import quality_score_col
+    final = (w·score_micro + w'·quality_micro) → deterministic top-k. The
+    join side is the k×5 candidate set (tiny) → broadcast; all exprs are
+    JVM-side — no UDF, SQL-mirrorable.
 
+    Exactness: the gated ``rerank_micro`` is BIGINT — quality comes from
+    quality_micro_col (exact by construction) and the candidate score is
+    re-quantized via round(score·1e6): safe because every score source is
+    either round(cosine, 6) (an exact multiple of 1e-6, recovered within
+    1e-10) or token-coverage h/n with n < 128 (whose distance from any
+    .5 tie is ≥ 1/(2n) ≫ float noise — a tie needs 2^7 | n). Weights are
+    applied as the integer (micro·8 + micro·2) DIV 10."""
+    from ..operators.textstats import _idiv, quality_micro_col
+
+    sw = int(round(score_weight * 10))
+    qw = int(round(quality_weight * 10))
     feats = docs.select(
-        F.col(id_col).alias("item_id"), quality_score_col(F.col("text")).alias("quality")
+        F.col(id_col).alias("item_id"),
+        quality_micro_col(F.col("text")).alias("quality_micro"),
     )
+    score_micro = F.round(F.col("score") * 1_000_000).cast("long")
     scored = feats.join(F.broadcast(cands), "item_id").select(
         "item_id",
-        F.round(
-            F.col("score") * score_weight + F.col("quality") * quality_weight, 6
-        ).alias("rerank_score"),
+        _idiv(score_micro * sw + F.col("quality_micro") * qw, 10).alias(
+            "rerank_micro"
+        ),
         F.col("score").alias("retrieval_score"),
     )
-    return scored.orderBy(F.desc("rerank_score"), F.asc("item_id")).limit(k)
+    return scored.orderBy(F.desc("rerank_micro"), F.asc("item_id")).limit(k)
 
 
 def rerank_search(docs: DataFrame, query: str, k: int = 10) -> DataFrame:

@@ -7,7 +7,7 @@ would have produced over everything seen so far:
 
 * ``segment_df`` — corpus-global segment document-frequency
   (``update_segment_df``: one (seg, delta) aggregation per batch).
-* ``doc_hash`` — one slim row (doc_id, sha, quality) per doc currently
+* ``doc_hash`` — one slim row (doc_id, sha, quality_micro) per doc currently
   passing the per-doc filters; the exact-dedup winner for a hash is
   min(doc_id) over this table, so late-arriving smaller ids PROMOTE
   (the stream is arrival-order independent).
@@ -45,7 +45,7 @@ from ..operators.curation_filters import (
     segment_doc_counts,
     update_segment_df,
 )
-from ..operators.textstats import lang_id_col, quality_score_col
+from ..operators.textstats import lang_id_col, quality_micro_col
 from ..sources.catalog import Warehouse
 
 DOCS_SCHEMA = "doc_id long, text string"
@@ -53,16 +53,18 @@ DOCS_SCHEMA = "doc_id long, text string"
 
 def _eligible(cleaned: DataFrame, min_quality: float, allowed_langs: tuple,
               max_dup_2gram: float) -> DataFrame:
-    """Per-doc filters on cleaned text → (doc_id, text, sha, quality)."""
+    """Per-doc filters on cleaned text → (doc_id, text, sha,
+    quality_micro) — the exact-BIGINT gated score (stream must match the
+    batch pipeline byte-for-byte, so it shares quality_micro_col)."""
     t = F.col("text")
     return (
         cleaned.filter(F.length(t) > 0)
         .filter(dup_2gram_frac_col(t) <= max_dup_2gram)
-        .withColumn("quality", quality_score_col(t))
+        .withColumn("quality_micro", quality_micro_col(t))
         .withColumn("lang_pred", lang_id_col(t))
-        .filter((F.col("quality") >= min_quality)
+        .filter((F.col("quality_micro") >= int(round(min_quality * 1_000_000)))
                 & F.col("lang_pred").isin(*allowed_langs))
-        .select("doc_id", "text", F.sha2(t, 256).alias("sha"), "quality")
+        .select("doc_id", "text", F.sha2(t, 256).alias("sha"), "quality_micro")
     )
 
 
@@ -76,11 +78,24 @@ def curate_increment(
     size: int = 40,
     overlap: int = 10,
     n_buckets: int = 8,
+    timings: dict | None = None,
 ) -> dict:
     """Process one batch of (doc_id, text) rows; returns reconcile counters.
 
     ``n_buckets`` must stay constant across all calls against one
-    warehouse — bucket discovery and assignment share it."""
+    warehouse — bucket discovery and assignment share it.
+
+    Pass a dict as ``timings`` to get the trigger wall attributed to its
+    three phases (seconds): ``plan_and_pins`` (frame construction plus
+    the two state-pin actions), ``counters`` (the reconcile-counter
+    actions — this is where most of the chain actually executes), and
+    ``upserts`` (the four bucket-level table swaps + metrics append).
+    A nightly stream alerts on the SPLIT, not just the total: a growing
+    ``counters`` phase means the O(batch + affected) bound is slipping,
+    a growing ``upserts`` phase means bucket skew."""
+    import time as _time
+
+    _t0 = _time.monotonic()
     spark = batch_df.sparkSession
     batch_df = batch_df.dropDuplicates(["doc_id"]).persist()
     batch_ids = batch_df.select("doc_id")
@@ -148,13 +163,13 @@ def curate_increment(
 
     # 4. doc_hash reconcile: drop every touched id, re-add the now-eligible
     touched_ids = to_process.select("doc_id").distinct()
-    old_hash = (wh.read(spark, "doc_hash").select("doc_id", "sha", "quality")
+    old_hash = (wh.read(spark, "doc_hash").select("doc_id", "sha", "quality_micro")
                 if wh.exists("doc_hash") else None)
     removed_rows = (
         old_hash.join(F.broadcast(touched_ids), "doc_id", "left_semi")
         if old_hash is not None else None
     )
-    new_hash = eligible.select("doc_id", "sha", "quality")
+    new_hash = eligible.select("doc_id", "sha", "quality_micro")
     doc_hash = (
         new_hash if old_hash is None
         else old_hash.join(F.broadcast(touched_ids), "doc_id", "left_anti")
@@ -175,7 +190,7 @@ def curate_increment(
             F.row_number().over(Window.partitionBy("sha").orderBy(F.asc("doc_id"))),
         )
         .filter(F.col("rn") == 1)
-        .select("doc_id", "sha", "quality")
+        .select("doc_id", "sha", "quality_micro")
         .persist()
     )
 
@@ -192,13 +207,13 @@ def curate_increment(
     texts = eligible.select("doc_id", "text")
     if extra_text is not None:
         texts = texts.unionByName(extra_text)
-    win_docs = winners.join(texts, "doc_id").select("doc_id", "sha", "quality", "text")
+    win_docs = winners.join(texts, "doc_id").select("doc_id", "sha", "quality_micro", "text")
     chunks = (
         chunk_documents(win_docs.select("doc_id", "text"), size=size, overlap=overlap)
-        .join(win_docs.select("doc_id", "sha", F.round("quality", 6).alias("quality")),
+        .join(win_docs.select("doc_id", "sha", F.col("quality_micro")),
               "doc_id")
         .select("doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
-                "quality", "sha")
+                "quality_micro", "sha")
     )
 
     # 7. counters BEFORE any table mutation (they read the old tables);
@@ -207,6 +222,7 @@ def curate_increment(
     #    Ordering matters: cur_chunks' plan reads the old doc_hash and
     #    docs_raw tables, so it runs first (its inputs are materialized by
     #    the persist/count pins above).
+    _t1 = _time.monotonic()
     eligible.count()
     counters = {
         "batch_docs": batch_df.count(),
@@ -214,6 +230,7 @@ def curate_increment(
         "recleaned_docs": 0 if redo is None else redo.count(),
         "touched_hashes": touched_shas.count(),
     }
+    _t2 = _time.monotonic()
     stats = wh.upsert_buckets(
         spark, "cur_chunks", chunks, touched_shas, delete_col="sha",
         bucket_col="doc_id", n_buckets=n_buckets,
@@ -232,6 +249,13 @@ def curate_increment(
     )
     counters.update({k: v for k, v in stats.items() if isinstance(v, (int, float))})
     wh.record_metrics(spark, "curation_stream", counters)
+    if timings is not None:
+        _t3 = _time.monotonic()
+        timings.update(
+            plan_and_pins=round(_t1 - _t0, 2),
+            counters=round(_t2 - _t1, 2),
+            upserts=round(_t3 - _t2, 2),
+        )
     for df in (batch_df, touched_segs, seg_after, to_process, eligible,
                doc_hash, winners):
         df.unpersist()
@@ -295,9 +319,9 @@ def retract_docs(
     # doc_hash reconcile: retracted ids and re-cleaned ids leave, the
     # re-cleaned re-enter if still eligible
     touched_ids = ids.unionByName(redo.select("doc_id")).distinct()
-    old_hash = wh.read(spark, "doc_hash").select("doc_id", "sha", "quality")
+    old_hash = wh.read(spark, "doc_hash").select("doc_id", "sha", "quality_micro")
     removed_rows = old_hash.join(F.broadcast(touched_ids), "doc_id", "left_semi")
-    new_hash = eligible.select("doc_id", "sha", "quality")
+    new_hash = eligible.select("doc_id", "sha", "quality_micro")
     doc_hash = (
         old_hash.join(F.broadcast(touched_ids), "doc_id", "left_anti")
         .unionByName(new_hash).persist()
@@ -314,7 +338,7 @@ def retract_docs(
             F.row_number().over(Window.partitionBy("sha").orderBy(F.asc("doc_id"))),
         )
         .filter(F.col("rn") == 1)
-        .select("doc_id", "sha", "quality")
+        .select("doc_id", "sha", "quality_micro")
         .persist()
     )
     need_text = winners.join(F.broadcast(
@@ -325,13 +349,13 @@ def retract_docs(
         .select("doc_id", F.col("clean_text").alias("text")),
         min_quality, allowed_langs, max_dup_2gram,
     ).select("doc_id", "text").unionByName(eligible.select("doc_id", "text"))
-    win_docs = winners.join(texts, "doc_id").select("doc_id", "sha", "quality", "text")
+    win_docs = winners.join(texts, "doc_id").select("doc_id", "sha", "quality_micro", "text")
     chunks = (
         chunk_documents(win_docs.select("doc_id", "text"), size=size, overlap=overlap)
-        .join(win_docs.select("doc_id", "sha", F.round("quality", 6).alias("quality")),
+        .join(win_docs.select("doc_id", "sha", F.col("quality_micro")),
               "doc_id")
         .select("doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
-                "quality", "sha")
+                "quality_micro", "sha")
     )
 
     eligible.count()

@@ -51,7 +51,7 @@ def main() -> None:
     from augmented_codebase_indexer_spark.operators.textstats import (
         gopher_flag_cols,
         lang_id_col,
-        quality_score_col,
+        quality_micro_col,
     )
     from augmented_codebase_indexer_spark.plans.curation import V3_GOPHER
     from augmented_codebase_indexer_spark.session import get_spark
@@ -79,9 +79,10 @@ def main() -> None:
         )
         kept = decontaminate_filter(cands, ev, n=args.decontam_n)
         return (
-            kept.withColumn("quality", F.round(quality_score_col(F.col("text")), 6))
+            kept.withColumn("quality_micro", quality_micro_col(F.col("text")))
             .filter(lang_id_col(F.col("text")) == "en")
-            .select("doc_id", "text", "quality", F.sha2("text", 256).alias("sha"))
+            .select("doc_id", "text", "quality_micro",
+                    F.sha2("text", 256).alias("sha"))
         )
 
     eligible = run_stage(wh, spark, "eligible", "eligible_docs", build_eligible,
@@ -97,8 +98,9 @@ def main() -> None:
         )
         ch = chunk_documents(winners.select("doc_id", "text"),
                              size=args.size, overlap=args.overlap)
-        return ch.join(winners.select("doc_id", "quality"), "doc_id").select(
-            "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens", "quality"
+        return ch.join(winners.select("doc_id", "quality_micro"), "doc_id").select(
+            "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
+            "quality_micro",
         )
 
     chunks = run_stage(wh, spark, "chunks", "cur_chunks", build_chunks,

@@ -269,7 +269,7 @@ def test_outlinks_do_not_change_extraction(spark):
 
 
 def test_rerank_matches_manual(spark):
-    from augmented_codebase_indexer_spark.operators.textstats import quality_score_col
+    from augmented_codebase_indexer_spark.operators.textstats import quality_micro_col
     from augmented_codebase_indexer_spark.plans.search import (
         pattern_candidates,
         rerank_search,
@@ -286,13 +286,15 @@ def test_rerank_matches_manual(spark):
     }
     qual = {
         r["doc_id"]: r["q"]
-        for r in docs.select("doc_id", quality_score_col(F.col("text")).alias("q")).collect()
+        for r in docs.select("doc_id", quality_micro_col(F.col("text")).alias("q")).collect()
     }
+    # integer mirror of the micro rerank: (round(s*1e6)*8 + qm*2) DIV 10
     want = sorted(
-        ((round(s * 0.8 + qual[i] * 0.2, 6), i) for i, s in cands.items()),
+        (((round(s * 1_000_000) * 8 + qual[i] * 2) // 10, i)
+         for i, s in cands.items()),
         key=lambda x: (-x[0], x[1]),
     )[:10]
-    assert [(r["item_id"], r["rerank_score"]) for r in got] == [(i, s) for s, i in want]
+    assert [(r["item_id"], r["rerank_micro"]) for r in got] == [(i, s) for s, i in want]
     # reranking actually reordered relative to raw retrieval on this corpus
     raw_order = [i for _, i in sorted(((-s, i) for i, s in cands.items()))][:10]
     assert [r["item_id"] for r in got] != raw_order or len(cands) <= 10
@@ -366,11 +368,11 @@ def test_curation_pipeline_properties(spark):
     assert 9999 not in kept_ids                      # junk filtered by quality
     assert not (kept_ids & set(range(5000, 5010)))   # dup losers dropped
     # every kept doc passes the filters it claims
-    stats = {r["doc_id"]: (r["quality"], r["lang_pred"]) for r in
+    stats = {r["doc_id"]: (r["quality_micro"], r["lang_pred"]) for r in
              with_text_stats(all_docs.select("doc_id", "text")).collect()}
     for r in kept:
         q, lp = stats[r["doc_id"]]
-        assert q >= 0.3 and lp == "en"
+        assert q >= 300_000 and lp == "en"
     # chunk output joins back to kept docs only
     chunks = curation_pipeline(all_docs, min_quality=0.3).collect()
     assert {r["doc_id"] for r in chunks} == kept_ids

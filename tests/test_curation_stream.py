@@ -38,10 +38,10 @@ def _rows():
 def _chunks(spark, wh_root):
     return {
         (r["doc_id"], r["chunk_id"], r["part_index"], r["total_parts"],
-         r["n_tokens"], r["quality"])
+         r["n_tokens"], r["quality_micro"])
         for r in spark.read.parquet(f"{wh_root}/cur_chunks").select(
             "doc_id", "chunk_id", "part_index", "total_parts", "n_tokens",
-            "quality").collect()
+            "quality_micro").collect()
     }
 
 

@@ -78,7 +78,7 @@ def test_random_graph_matches_bruteforce(spark):
         assert r["n_common"] == len(common)
         assert r["deg_a"] == len(adj[r["a"]])
         assert r["deg_b"] == len(adj[r["b"]])
-        assert abs(r["jaccard"] - len(common) / len(union)) < 1e-6
+        assert r["jaccard_micro"] == (len(common) * 1_000_000) // len(union)
     # every qualifying pair is present
     want_pairs = {
         (a, b)
@@ -92,10 +92,10 @@ def test_jaccard_square_plus_diagonal(spark):
     sq = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
     got = {(r["a"], r["b"]): r for r in jaccard_similarity(_df(spark, sq)).collect()}
     # b and d: N(b)={a,c}=N(d) → jaccard 1.0
-    assert got[("b", "d")]["jaccard"] == 1.0
+    assert got[("b", "d")]["jaccard_micro"] == 1_000_000
     # a and c: N(a)={b,c,d}, N(c)={a,b,d} → common {b,d}, union {a,b,c,d}
     assert got[("a", "c")]["n_common"] == 2
-    assert abs(got[("a", "c")]["jaccard"] - 2 / 4) < 1e-6
+    assert got[("a", "c")]["jaccard_micro"] == 500_000
 
 
 def test_adamic_adar_matches_bruteforce(spark):
@@ -114,7 +114,6 @@ def test_adamic_adar_matches_bruteforce(spark):
         r = got[(a, b)]
         assert r["aa_micro"] == micro  # exact integer parity
         assert r["n_common"] == len(common)
-        assert abs(r["aa_score"] - micro / 1e6) < 1e-6
     assert set(got) == want_pairs
     # rare shared neighbors outrank hubs: a pair sharing one degree-2
     # neighbor scores above a pair sharing one higher-degree neighbor

@@ -70,13 +70,15 @@ def test_cross_entropy_matches_python_mirror(spark, docs):
         row = out[doc_id]
         assert row["n_tokens"] == n
         assert row["sum_lp_micro"] == s  # exact integer parity
-        assert row["cross_entropy"] == pytest.approx(-s / 1e6 / n, abs=1e-6)
+        # truncating BIGINT division — Spark DIV must truncate toward
+        # zero exactly like python // on the positive operand
+        assert row["ce_micro"] == (-s) // n
 
 
 def test_gibberish_scores_worse_than_prose(spark, docs):
     ref = docs.filter(F.col("doc_id") < 2)
     out = {
-        r["doc_id"]: r["cross_entropy"]
+        r["doc_id"]: r["ce_micro"]
         for r in lm_cross_entropy(docs, ref).collect()
     }
     # all-OOV gibberish must be the worst; pure-stopword repetition the best
@@ -88,9 +90,11 @@ def test_bucket_assignment_uses_cuts(spark, docs):
     ref = docs.filter(F.col("doc_id") < 2)
     rows = lm_cross_entropy(docs, ref, buckets=(2.0, 5.0)).collect()
     for r in rows:
+        # integer cross-multiply semantics: -sum_lp_micro < cut_micro * n
+        neg = -r["sum_lp_micro"]
         want = (
-            "head" if r["cross_entropy"] < 2.0
-            else "middle" if r["cross_entropy"] < 5.0
+            "head" if neg < 2_000_000 * r["n_tokens"]
+            else "middle" if neg < 5_000_000 * r["n_tokens"]
             else "tail"
         )
         assert r["ppl_bucket"] == want, r
@@ -130,10 +134,20 @@ def test_dsir_matches_python_and_separates_domains(spark):
         assert out[doc_id]["n_tokens"] == n
     # target-domain docs get positive weights, off-domain negative
     for i in range(3):
-        assert out[i]["avg_llr"] > 0
-        assert out[10 + i]["avg_llr"] < 0
-    # the mixed doc sits strictly between the two blocks
-    assert out[10]["avg_llr"] < out[20]["avg_llr"] < out[0]["avg_llr"]
+        assert out[i]["sum_llr_micro"] > 0
+        assert out[10 + i]["sum_llr_micro"] < 0
+        # per-token column is truncating division, negative-safe: Spark
+        # DIV must agree with trunc-toward-zero (NOT python floor //)
+        for r in (out[i], out[10 + i]):
+            s_, n_ = r["sum_llr_micro"], r["n_tokens"]
+            trunc = abs(s_) // n_ * (1 if s_ >= 0 else -1)
+            assert r["llr_per_tok_micro"] == trunc
+    # the mixed doc sits strictly between the two blocks (per-token scale)
+    assert (
+        out[10]["llr_per_tok_micro"]
+        < out[20]["llr_per_tok_micro"]
+        < out[0]["llr_per_tok_micro"]
+    )
 
 
 _tok = st.sampled_from(["alpha", "beta", "gamma", "zz", "qq", "x"])
@@ -177,3 +191,47 @@ def test_unigram_logprobs_shapes(spark, docs):
     assert tot["T"] == ref.count()
     assert tot["oov_lp_micro"] < 0
     assert set(vocab.columns) == {"tok", "lp_micro"}
+
+
+def test_rounding_tie_distance_audit():
+    """Measured tie-distance bounds for quantities that still quantize a
+    float ONCE at a well-separated point (VERDICT r4 Next #1 sweep). A
+    round/floor on a float is cross-engine-safe when the value's distance
+    from the nearest half-way tie is orders of magnitude above 1-ulp
+    noise (~1e-10 at the 1e6 scale); this test measures the minimum
+    distance on the driver-gated sf0.01 data + the full parameter domain
+    and fails if anything drifts within 100x of the noise floor.
+
+    (Rationals of small integers — jaccard, aa sums, ce, llr — are NOT
+    audited but constructed: they are exact BIGINT arithmetic end-to-end
+    as of r5, because rationals DO land exactly on ties: 6/500 sf0.01
+    docs for cross-entropy, 5/500 for the float quality score.)"""
+    import numpy as np
+
+    # 1. adamic_adar's per-degree weight w_micro = round(1e6/ln(deg)):
+    #    transcendental quotient, audited over every degree a post-cap
+    #    graph can produce. Measured min distance 2.56e-7 at deg=992193
+    #    (~17,000 ulps of the value's magnitude).
+    degs = np.arange(2, 1_000_001, dtype=np.float64)
+    w = 1e6 / np.log(degs)
+    d = np.abs((w % 1.0) - 0.5)
+    assert d.min() > 1e-7, f"w_micro tie at deg {2 + int(d.argmin())}"
+
+    # 2. ann cosine (round(cos, 6) in the gated top-k frames): all-pairs
+    #    cosine over the sf0.01 embeddings table. Measured min 1.63e-6.
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet'"
+    ).fetchall()
+    V = np.array([r[0] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = (Vn @ Vn.T)[np.triu_indices(len(Vn), k=1)]
+    d = np.abs(((C * 1e6) % 1.0) - 0.5)
+    assert d.min() > 1e-7, "cosine tie in sf0.01 embeddings"
+
+    # 3. minhash est_jaccard = matches/16: every reachable value m/16
+    #    scales to an exact integer at 1e6 (m * 62500) — statically never
+    #    a tie, for all m.
+    assert all((m * 1_000_000) % 16 == 0 for m in range(17))

@@ -279,15 +279,21 @@ def test_sql_sketches_match_pure_python(spark, docs):
 
 
 def test_ngram_jaccard_exact(spark, docs):
-    got = {(r["ida"], r["idb"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    got = {
+        (r["ida"], r["idb"]): r["jaccard_micro"]
+        for r in ngram_jaccard_pairs(docs, 0.8).collect()
+    }
     texts = {r["doc_id"]: set(r["text"].split(" ")) for r in docs.collect()}
     ids = sorted(texts)
     want = {}
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            j = len(texts[a] & texts[b]) / len(texts[a] | texts[b])
-            if j >= 0.8:
-                want[(a, b)] = round(j, 6)
+            inter = len(texts[a] & texts[b])
+            union = len(texts[a] | texts[b])
+            # integer cross-multiply gate + truncating micro score — the
+            # exact arithmetic both engines run
+            if inter * 1_000_000 >= 800_000 * union:
+                want[(a, b)] = (inter * 1_000_000) // union
     assert got == want
 
 

@@ -6,10 +6,9 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from augmented_codebase_indexer_spark.config import DEFAULT
 from augmented_codebase_indexer_spark.operators.components import canonical_map
-from augmented_codebase_indexer_spark.operators.extraction import broadcast_aliases
-from augmented_codebase_indexer_spark.operators.linking import broadcast_gazetteer
-from augmented_codebase_indexer_spark.plans.pipeline import build_graph
+from augmented_codebase_indexer_spark.plans.pipeline import build_graph, linker_stages
 from augmented_codebase_indexer_spark.sources.catalog import Warehouse
 from augmented_codebase_indexer_spark.streaming.watch import run_watch
 
@@ -26,17 +25,15 @@ def test_stream_matches_batch(spark, corpus, corpus_dir, tmp_path_factory):
     # drop pages into the watched directory in several files (event batches)
     pages.repartition(6).write.mode("overwrite").parquet(stream_in)
 
-    gaz_rows = [r.asDict() for r in gaz.select(
-        "alias", "ent_id", "canonical_name", "entity_type").collect()]
-    alias_bc = broadcast_aliases(spark, [r["alias"] for r in gaz_rows])
-    gaz_bc = broadcast_gazetteer(spark, gaz_rows)
+    # same counted gazetteer branch as the batch build (and cmd_watch)
+    _, triple_fn, link_fn = linker_stages(spark, gaz, DEFAULT)
     canon = canonical_map(
         gaz.select("ent_id", "canonical_name", "entity_type").distinct()
     ).cache()
     canon.count()
 
     wh = Warehouse(wh_s, "stream")
-    q = run_watch(spark, stream_in, wh, alias_bc, gaz_bc, canon, ckpt, available_now=True)
+    q = run_watch(spark, stream_in, wh, triple_fn, link_fn, canon, ckpt, available_now=True)
     q.awaitTermination(300)
 
     build_graph(spark, pages, gaz, wh_b, run_id="batch")
