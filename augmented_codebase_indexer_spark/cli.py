@@ -132,10 +132,21 @@ def cmd_context(args) -> dict:
         # seed-dependent — not cacheable per warehouse
         ranks = personalized_pagerank(edges, list(args.entity))
     else:
-        ranks = _RANK_CACHE.get(args.warehouse)
+        # cache key includes a content fingerprint of the edges table so a
+        # long-lived process (the HTTP facade) never serves rankings for a
+        # graph that was rebuilt externally (watch/import/index) — every
+        # commit/upsert path renames into the table directory, bumping its
+        # mtime (ADVICE r4: stale _RANK_CACHE)
+        key = (args.warehouse, _edges_fingerprint(args.warehouse))
+        ranks = _RANK_CACHE.get(key)
         if ranks is None:
+            _RANK_CACHE.clear()  # at most one live graph per warehouse
+            # the OUTER localCheckpoint is deliberately NOT register_pin'd:
+            # it must outlive the request scope (the cache serves later
+            # requests); it materializes eagerly here, so releasing the
+            # operator-internal pins at scope exit cannot starve it
             ranks = pagerank(edges).localCheckpoint(eager=True)
-            _RANK_CACHE[args.warehouse] = ranks
+            _RANK_CACHE[key] = ranks
     ctx = assemble_context(
         edges, nodes, ranks, list(args.entity),
         depth=args.depth, token_budget=args.budget,
@@ -149,23 +160,42 @@ def cmd_context(args) -> dict:
 _RANK_CACHE: dict = {}
 
 
+def _edges_fingerprint(warehouse: str) -> tuple:
+    """Cheap content fingerprint of a warehouse's edges table: the table
+    directory's mtime plus its entry list. Both full commits (atomic dir
+    rename) and bucket-level upserts (bucket subdir swaps) touch the
+    parent directory, so any rebuild changes the fingerprint."""
+    import os
+
+    path = os.path.join(warehouse, "edges")
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, tuple(sorted(os.listdir(path))))
+    except OSError:
+        return ("missing",)
+
+
 def cmd_watch(args) -> dict:
     """Watch-service verb: drain (or follow) a directory of page parquet
     files into the warehouse through the streaming upsert path. With
     --drain (default) the stream stops once pending input is processed —
     the backfill/cron mode; --follow keeps a 2 s trigger running."""
-    from .operators.extraction import broadcast_aliases
-    from .operators.linking import broadcast_gazetteer
+    from .config import DEFAULT
+    from .plans.pipeline import linker_stages
     from .sources.catalog import Warehouse
     from .streaming.watch import run_watch
 
     spark = _spark("aci-watch")
     wh = Warehouse(args.warehouse)
-    gaz_rows = [r.asDict() for r in spark.read.parquet(args.gazetteer).collect()]
-    alias_bc = broadcast_aliases(spark, [g["alias"] for g in gaz_rows])
-    gaz_bc = broadcast_gazetteer(spark, gaz_rows)
+    # counted size branch (plans/pipeline.py): the gazetteer is only
+    # driver-collected when it fits under gazetteer_broadcast_max_rows;
+    # above the cap the stream runs the relational join tier — no
+    # unconditional full-gazetteer collect on the long-running path
+    _, triple_fn, link_fn = linker_stages(
+        spark, spark.read.parquet(args.gazetteer), DEFAULT
+    )
     canon = wh.read(spark, "canon_map")
-    q = run_watch(spark, args.input, wh, alias_bc, gaz_bc, canon,
+    q = run_watch(spark, args.input, wh, triple_fn, link_fn, canon,
                   args.checkpoint, available_now=not args.follow)
     if args.follow:
         q.awaitTermination()
@@ -208,8 +238,6 @@ def cmd_import(args) -> dict:
     from .sources import graph_io
     from .sources.catalog import Warehouse
 
-    from pyspark.sql import Window
-
     spark = _spark("aci-import")
     wh = Warehouse(args.warehouse)
     if args.format == "graphml":
@@ -224,24 +252,21 @@ def cmd_import(args) -> dict:
         # merge applies to EVERY format: union with the existing tables
         # and dedupe on node_id / the edge-key columns the import format
         # carries (ntriples edges have no provenance columns, so the key
-        # shrinks to the columns present). Existing rows win ties so a
-        # provenance-poor dump can't overwrite provenance-rich rows.
-        def prefer_existing(existing, imported, key):
-            u = existing.withColumn("__pri", F.lit(0)).unionByName(
-                imported.withColumn("__pri", F.lit(1)), allowMissingColumns=True
-            )
-            w = Window.partitionBy(*key).orderBy(F.asc("__pri"))
-            return (
-                u.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__pri", "__rn")
-            )
-
-        nodes = prefer_existing(wh.read(spark, "nodes").drop("bucket"),
-                                nodes, ["node_id"])
+        # shrinks to the columns present). --prefer picks the tie winner:
+        # 'existing' (default — a provenance-poor dump can't overwrite
+        # provenance-rich rows) or 'imported' (the reference's INSERT OR
+        # REPLACE, sqlite.py:466-487 — restore a newer dump over an old
+        # warehouse). Shared primitive: graph_io.merge_prefer.
+        prefer = getattr(args, "prefer", "existing")
+        ex_nodes = wh.read(spark, "nodes").drop("bucket")
+        ex_edges = wh.read(spark, "edges").drop("bucket")
         edge_key = [c for c in graph_io.EDGE_KEY if c in edges.columns]
-        edges = prefer_existing(wh.read(spark, "edges").drop("bucket"),
-                                edges, edge_key)
+        if prefer == "existing":
+            nodes = graph_io.merge_prefer(ex_nodes, nodes, ["node_id"])
+            edges = graph_io.merge_prefer(ex_edges, edges, edge_key)
+        else:
+            nodes = graph_io.merge_prefer(nodes, ex_nodes, ["node_id"])
+            edges = graph_io.merge_prefer(edges, ex_edges, edge_key)
     # localCheckpoint before the overwrite-commit: in replace mode the
     # imported frames may read from the very tables being replaced
     nodes = nodes.localCheckpoint(eager=True)
@@ -340,6 +365,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", choices=["json", "jsonld", "graphml", "ntriples"],
                    default="json")
     p.add_argument("--mode", choices=["replace", "merge"], default="replace")
+    p.add_argument("--prefer", choices=["existing", "imported"],
+                   default="existing",
+                   help="merge tie winner: 'existing' keeps warehouse rows "
+                        "(provenance-safe default), 'imported' is the "
+                        "reference's INSERT OR REPLACE (restore a newer dump)")
     p.add_argument("--src", required=True)
     p.set_defaults(fn=cmd_import)
     return ap

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.sqlhash import h60_expr
-from .guards import DEFAULT_BROADCAST_MAX_ROWS, guarded_broadcast
+from .guards import DEFAULT_BROADCAST_MAX_ROWS, guarded_broadcast, register_pin
 
 
 def _pos_hash_expr(text_col: str, n: int) -> str:
@@ -92,6 +92,7 @@ def exact_substr_spans(
         F.explode(F.expr(_pos_hash_expr(text_col, n))).alias("ph"),
     ).select("doc_id", F.col("ph.i").alias("i"),
              F.col("ph.gram_h").alias("gram_h")).persist()
+    register_pin(posh)
     repeated = (
         posh.groupBy("gram_h")
         .agg(

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .guards import register_pin
+
 DAMPING = 0.85
 MAX_ITERS = 50
 TOL = 1e-6
@@ -88,8 +90,8 @@ def pagerank(
         ])
         return spark.createDataFrame(sorted(pr.items()), schema)
 
-    e = e.localCheckpoint(eager=True)
-    nodes = (
+    e = register_pin(e.localCheckpoint(eager=True))
+    nodes = register_pin(
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
         .distinct()
@@ -102,13 +104,13 @@ def pagerank(
     # distributed tier: deg folded into the edge table ONCE (static), so
     # each iteration is exactly join → agg → left-join → scalar-broadcast
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    e_deg = (
+    e_deg = register_pin(
         e.join(out_deg, "src")
         .select("src", "dst", "deg")
         .localCheckpoint(eager=True)
     )
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = register_pin(nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True))
     base = (1.0 - damping) / n
 
     i = 0
@@ -146,7 +148,7 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-        ranks = ranks.localCheckpoint(eager=True)  # action 1: materialize block
+        ranks = register_pin(ranks.localCheckpoint(eager=True))  # action 1: materialize block
         delta = (
             ranks.withColumnRenamed("rank", "r2")
             .join(prev, "node_id")
@@ -250,8 +252,8 @@ def personalized_pagerank(
         ])
         return spark.createDataFrame(sorted(pr.items()), schema)
 
-    e = e.localCheckpoint(eager=True)
-    nodes = (
+    e = register_pin(e.localCheckpoint(eager=True))
+    nodes = register_pin(
         e.select(F.col("src").alias("node_id"))
         .unionByName(e.select(F.col("dst").alias("node_id")))
         .distinct()
@@ -261,20 +263,20 @@ def personalized_pagerank(
     if n == 0:
         return nodes.withColumn("pagerank", F.lit(0.0))
 
-    seed_df = spark.createDataFrame(
+    seed_df = register_pin(spark.createDataFrame(
         [(s,) for s in sorted(set(seeds))], schema=nodes.schema
-    ).join(nodes, "node_id", "left_semi").localCheckpoint(eager=True)
+    ).join(nodes, "node_id", "left_semi").localCheckpoint(eager=True))
     n_seeds = seed_df.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed is present in the graph")
-    reset = F.broadcast(
+    reset = F.broadcast(register_pin(
         seed_df.withColumn("reset", F.lit(1.0 / n_seeds)).localCheckpoint(eager=True)
-    )
+    ))
 
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    e_deg = e.join(out_deg, "src").select("src", "dst", "deg").localCheckpoint(eager=True)
+    e_deg = register_pin(e.join(out_deg, "src").select("src", "dst", "deg").localCheckpoint(eager=True))
 
-    ranks = (
+    ranks = register_pin(
         nodes.join(reset, "node_id", "left")
         .select("node_id", F.coalesce("reset", F.lit(0.0)).alias("rank"))
         .localCheckpoint(eager=True)
@@ -312,7 +314,7 @@ def personalized_pagerank(
                     ).alias("rank"),
                 )
             )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = register_pin(ranks.localCheckpoint(eager=True))
         delta = (
             ranks.withColumnRenamed("rank", "r2")
             .join(prev, "node_id")

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .guards import register_pin
+
 
 def neighborhood(
     edges: DataFrame,
@@ -30,7 +32,7 @@ def neighborhood(
     spark = edges.sparkSession
     a, b = (src_col, dst_col) if direction == "out" else (dst_col, src_col)
     hop = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).distinct()
-    hop = hop.localCheckpoint(eager=True)
+    hop = register_pin(hop.localCheckpoint(eager=True))
 
     visited = spark.createDataFrame(
         [(x, 0) for x in start_ids], schema="node_id string, hops int"
@@ -43,11 +45,11 @@ def neighborhood(
             .distinct()
             .join(visited.select("node_id"), "node_id", "left_anti")
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = register_pin(nxt.localCheckpoint(eager=True))
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt.withColumn("hops", F.lit(d)))
-        visited = visited.localCheckpoint(eager=True)
+        visited = register_pin(visited.localCheckpoint(eager=True))
         frontier = nxt.select("node_id")
     return visited
 
@@ -56,14 +58,14 @@ def topological_layers(edges: DataFrame, nodes: DataFrame, max_iters: int = 1000
     """Kahn layering of a DAG: (node_id, layer). Nodes in cycles never reach
     in-degree 0 and are returned with layer = -1 (cycle detection,
     ``topology_analyzer.py:59-118``)."""
-    remaining_nodes = nodes.select("node_id").distinct().localCheckpoint(eager=True)
-    remaining_edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    remaining_nodes = register_pin(nodes.select("node_id").distinct().localCheckpoint(eager=True))
+    remaining_edges = register_pin(edges.select("src", "dst").distinct().localCheckpoint(eager=True))
     out = None
     layer = 0
     while layer < max_iters:
         with_in = remaining_edges.select(F.col("dst").alias("node_id")).distinct()
         zero_in = remaining_nodes.join(with_in, "node_id", "left_anti")
-        zero_in = zero_in.localCheckpoint(eager=True)
+        zero_in = register_pin(zero_in.localCheckpoint(eager=True))
         if zero_in.isEmpty():
             break
         tagged = zero_in.withColumn("layer", F.lit(layer))
@@ -72,8 +74,8 @@ def topological_layers(edges: DataFrame, nodes: DataFrame, max_iters: int = 1000
         remaining_edges = remaining_edges.join(
             zero_in.withColumnRenamed("node_id", "src"), "src", "left_anti"
         )
-        remaining_nodes = remaining_nodes.localCheckpoint(eager=True)
-        remaining_edges = remaining_edges.localCheckpoint(eager=True)
+        remaining_nodes = register_pin(remaining_nodes.localCheckpoint(eager=True))
+        remaining_edges = register_pin(remaining_edges.localCheckpoint(eager=True))
         layer += 1
     cyclic = remaining_nodes.withColumn("layer", F.lit(-1))
     return cyclic if out is None else out.unionByName(cyclic)

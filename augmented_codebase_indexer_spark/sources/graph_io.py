@@ -33,22 +33,51 @@ def export_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
         "overwrite").json(os.path.join(out_dir, "edges"))
 
 
+def merge_prefer(
+    first: DataFrame, second: DataFrame, key: list[str]
+) -> DataFrame:
+    """Union two frames and keep ONE row per key, rows from ``first``
+    winning ties — the deterministic merge primitive shared by
+    ``import_graph`` and the CLI import verb (a bare ``dropDuplicates``
+    after a union has a nondeterministic winner; ADVICE r4). One
+    key-partitioned window, no collect."""
+    from pyspark.sql import Window
+
+    u = first.withColumn("__pri", F.lit(0)).unionByName(
+        second.withColumn("__pri", F.lit(1)), allowMissingColumns=True
+    )
+    w = Window.partitionBy(*key).orderBy(F.asc("__pri"))
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__pri", "__rn")
+    )
+
+
 def import_graph(
     spark: SparkSession,
     in_dir: str,
     existing_nodes: DataFrame | None = None,
     existing_edges: DataFrame | None = None,
     mode: str = "replace",
+    prefer: str = "existing",
 ) -> tuple[DataFrame, DataFrame]:
+    """``mode='merge'`` resolves key conflicts deterministically via
+    ``merge_prefer``: ``prefer='existing'`` (default — a restore can't
+    clobber provenance-rich rows) or ``prefer='imported'`` (the
+    reference's INSERT OR REPLACE semantics, ``sqlite.py:466-487``, for
+    the restore-newer-dump-over-old-warehouse case)."""
+    if prefer not in ("existing", "imported"):
+        raise ValueError(f"prefer must be 'existing' or 'imported', got {prefer!r}")
     nodes = spark.read.json(os.path.join(in_dir, "nodes")).drop("schema_version")
     edges = spark.read.json(os.path.join(in_dir, "edges")).drop("schema_version")
     if mode == "merge" and existing_nodes is not None and existing_edges is not None:
-        nodes = existing_nodes.unionByName(nodes, allowMissingColumns=True).dropDuplicates(
-            ["node_id"]
-        )
-        edges = existing_edges.unionByName(edges, allowMissingColumns=True).dropDuplicates(
-            EDGE_KEY
-        )
+        if prefer == "existing":
+            nodes = merge_prefer(existing_nodes, nodes, ["node_id"])
+            edges = merge_prefer(existing_edges, edges, EDGE_KEY)
+        else:
+            nodes = merge_prefer(nodes, existing_nodes, ["node_id"])
+            edges = merge_prefer(edges, existing_edges, EDGE_KEY)
     return nodes, edges
 
 

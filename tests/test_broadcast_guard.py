@@ -106,3 +106,35 @@ def test_decontaminate_guard_declining_matches(spark, no_auto_broadcast):
     f_guard = decontaminate_filter(cands, eval_docs, n=5, broadcast_max_rows=0)
     assert sorted(map(tuple, f_hint.collect())) == \
         sorted(map(tuple, f_guard.collect()))
+
+
+def test_pin_scope_releases_local_checkpoints(spark):
+    """pin_scope must ACTUALLY release localCheckpoint()'d frames.
+    DataFrame.unpersist() only talks to the SQL cache manager — a no-op
+    for a checkpoint's RDD-level pin — so guards._release goes through
+    the LogicalRDD's own rdd. Regression test for the order-dependent
+    HTTP-facade hygiene flake (r5): iteration checkpoints lingered in
+    getPersistentRDDs() until an eventual JVM GC."""
+    from augmented_codebase_indexer_spark.operators.guards import (
+        pin_scope,
+        register_pin,
+    )
+
+    def n_pinned():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_pinned()
+    with pin_scope():
+        # distinctive ranges: the SQL cache manager dedupes by plan, so a
+        # frame another test already persisted (and leaked — no scope
+        # active there) would alias ours and break the exact-count assert
+        ck = register_pin(spark.range(777001, 777051).localCheckpoint(eager=True))
+        pe = register_pin(spark.range(777001, 777051).selectExpr("id + 1 AS id").persist())
+        assert ck.count() == pe.count() == 50
+        assert n_pinned() >= base + 2
+    # deterministic release on scope exit — both pin flavors
+    assert n_pinned() == base
+    # no active scope -> register_pin is a no-op passthrough
+    df = register_pin(spark.range(888001, 888004).persist())
+    assert df.count() == 3
+    df.unpersist()
