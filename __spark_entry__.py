@@ -411,7 +411,8 @@ def q_text_stats(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return with_text_stats(d).select(
-        "doc_id", "n_tokens_ws", "n_tokens_re", "n_chars_out", "quality", "lang_pred"
+        "doc_id", "n_tokens_ws", "n_tokens_re", "n_chars_out",
+        "quality_micro", "lang_pred"
     )
 
 
@@ -900,7 +901,8 @@ def q_lm_quality(spark, sf_dir):
 def q_dsir_weights(spark, sf_dir):
     # DSIR importance weights: per-doc log-likelihood ratio between a
     # target-domain LM (source=src0) and the raw-pool LM — positive
-    # avg_llr = "looks like the target domain". Exact BIGINT sums.
+    # llr_per_tok_micro = "looks like the target domain". Exact BIGINT
+    # sums and truncating integer division only — no float in the gate.
     from augmented_codebase_indexer_spark.operators.lmquality import dsir_log_ratio
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -925,6 +927,19 @@ def _entity_graph_sql(dialect: str) -> str:
     SELECT CAST(doc_id % 151 AS {s}),
            CAST((doc_id {div} 3) % 151 AS {s})
     FROM documents"""
+
+
+def q_lang_id(spark, sf_dir):
+    # content-based language ID (r5): per-language char-bigram LMs
+    # trained relationally on the documents table's own labels, argmax
+    # by exact BIGINT micro-nat sums, ties by language code — completes
+    # the CCNet chain (LID -> LM quality -> DSIR) with no float in the
+    # gate. langs passed explicitly so Spark and the oracle agree on the
+    # column set regardless of discovery order.
+    from augmented_codebase_indexer_spark.operators.langid import lang_id_ngram
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return lang_id_ngram(d, langs=["de", "en", "es", "fr", "zh"])
 
 
 def q_graph_triangles(spark, sf_dir):
@@ -1125,71 +1140,32 @@ def q_artifact_search(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness artifact covers the FIRST
-    50 entries only (VERDICT r3 Wrong #1), so the newest / least-proven
-    operators lead — round-4 additions, then the round-3 hygiene and
-    sampling suite that never had a driver row, then the rotated-out r2
-    entries, then the core KG/dedup/search surface. Long-stable scalar
-    primitives sit past the window; ``scripts/selfcheck.py`` still runs
+    50 entries only (VERDICT r3 Wrong #1), so the window leads with (a)
+    the r5 additions and every entry whose GATED OUTPUT changed this
+    round (the integer-exactness sweep: quality_micro / jaccard_micro /
+    ce_micro / llr_per_tok_micro / rerank_micro), then (b) the 31
+    entries whose last driver row is r3 (no entry goes >2 rounds without
+    a driver check — VERDICT r4 Next #3), then (c) r4-green entries whose
+    runtime changed (pin-scope wraps). Everything below the 50-line is
+    r4-driver-green and unchanged; ``scripts/selfcheck.py`` still runs
     ALL of them."""
     return {
-        # --- round 4: never driver-checked ---
+        # --- (a) r5: new entry + changed gated outputs ---
+        "lang_id": q_lang_id,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
-        "triples_scd2": q_triples_scd2,
-        "kg_snapshot": q_kg_snapshot,
-        "kg_snapshot_diff": q_kg_snapshot_diff,
-        "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
         "graph_adamic_adar": q_graph_adamic_adar,
-        "graph_kcore": q_graph_kcore,
-        "ppr": q_ppr,
-        "exactsubstr_spans": q_exactsubstr_spans,
-        "domain_normalize": q_domain_normalize,
-        "domain_cap_url": q_domain_cap_url,
-        # --- round 3 hygiene/sampling: never driver-checked ---
+        "dedup_ngram": q_dedup_ngram,
+        "text_stats": q_text_stats,
+        "rerank_search": q_rerank_search,
+        "curation": q_curation,
         "curation_v2": q_curation_v2,
         "curation_v3": q_curation_v3,
         "curation_v4": q_curation_v4,
         "curation_v5": q_curation_v5,
-        "curation_funnel": q_curation_funnel,
-        "decontam": q_decontam,
-        "decontam_spans": q_decontam_spans,
-        "contam_report": q_contam_report,
-        "gopher_quality": q_gopher_quality,
-        "pii_redact": q_pii_redact,
-        "training_mix": q_training_mix,
-        "pack_sequences": q_pack_sequences,
-        "domain_cap": q_domain_cap,
-        "data_split": q_data_split,
-        # --- rotated out of the r3 window ---
-        "asof_join": q_asof_join,
-        "curation": q_curation,
-        "moving_avg": q_moving_avg,
-        "pivot_counts": q_pivot_counts,
-        "profile": q_profile,
-        # --- core KG pipeline ---
-        "kg_extract_text": q_kg_extract_text,
-        "kg_triples": q_kg_triples,
-        "kg_mentions": q_kg_mentions,
-        "kg_mentions_joins": q_kg_mentions_joins,
-        "kg_node_degree": q_kg_node_degree,
-        # --- curation building blocks / dedup tiers ---
-        "boilerplate_prune": q_boilerplate_prune,
-        "repetition_stats": q_repetition_stats,
-        "chunking": q_chunking,
-        "chunking_sentence": q_chunking_sentence,
-        "near_dedup_winners": q_near_dedup_winners,
-        "cluster_cap": q_cluster_cap,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "ann_topk": q_ann_topk,
-        # ---------- driver 50-entry window ends here (entry #50) ----------
+        # --- (b) last driver row r3 ---
         "ann_lsh": q_ann_lsh,
-        # --- graph / incremental / search ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
         "topo_layers": q_topo_layers,
@@ -1197,7 +1173,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_antijoin": q_interval_antijoin,
         "sessionize": q_sessionize,
         "hybrid_search": q_hybrid_search,
-        "rerank_search": q_rerank_search,
         "artifact_search": q_artifact_search,
         "q1_pricing_summary": q1_pricing_summary,
         "join_topk_revenue": q_join_topk_revenue,
@@ -1211,7 +1186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "group_collect": q_group_collect,
         "sha_hash": q_sha_hash,
-        "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
@@ -1222,6 +1196,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_search": q_pattern_search,
         "summaries": q_summaries,
         "outlinks": q_outlinks,
+        # --- (c) r4-green, runtime touched by the pin-scope sweep ---
+        "curation_funnel": q_curation_funnel,
+        "ppr": q_ppr,
+        "exactsubstr_spans": q_exactsubstr_spans,
+        "decontam": q_decontam,
+        "decontam_spans": q_decontam_spans,
+        "gopher_quality": q_gopher_quality,
+        # ---------- driver 50-entry window ends here (entry #50) ----------
+        # --- r4-driver-green, unchanged ---
+        "triples_scd2": q_triples_scd2,
+        "kg_snapshot": q_kg_snapshot,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "graph_triangles": q_graph_triangles,
+        "graph_kcore": q_graph_kcore,
+        "domain_normalize": q_domain_normalize,
+        "domain_cap_url": q_domain_cap_url,
+        "contam_report": q_contam_report,
+        "pii_redact": q_pii_redact,
+        "training_mix": q_training_mix,
+        "pack_sequences": q_pack_sequences,
+        "domain_cap": q_domain_cap,
+        "data_split": q_data_split,
+        "asof_join": q_asof_join,
+        "moving_avg": q_moving_avg,
+        "pivot_counts": q_pivot_counts,
+        "profile": q_profile,
+        "kg_extract_text": q_kg_extract_text,
+        "kg_triples": q_kg_triples,
+        "kg_mentions": q_kg_mentions,
+        "kg_mentions_joins": q_kg_mentions_joins,
+        "kg_node_degree": q_kg_node_degree,
+        "boilerplate_prune": q_boilerplate_prune,
+        "repetition_stats": q_repetition_stats,
+        "chunking": q_chunking,
+        "chunking_sentence": q_chunking_sentence,
+        "near_dedup_winners": q_near_dedup_winners,
+        "cluster_cap": q_cluster_cap,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_exact": q_dedup_exact,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -1375,24 +1392,23 @@ def _rerank_oracle_sql(query: str, k: int = 10) -> str:
     toks = [t for t in query.lower().split() if t]
     hits = " + ".join(f"CAST(contains(text, '{t}') AS INT)" for t in toks)
     any_hit = " OR ".join(f"contains(text, '{t}')" for t in toks)
-    quality = r"""
-      round((least(length(text) / 400.0, 1.0) * 0.5
-             + least(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
-                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) * 0.3)
-            * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))
-                           / greatest(length(text), 1) * 10.0, 1.0) * 0.5), 6)
-    """
+    from augmented_codebase_indexer_spark.operators.textstats import (
+        quality_micro_sql,
+    )
+
+    quality = quality_micro_sql("text")
     return f"""
     WITH cands AS (
       SELECT doc_id AS item_id, ({hits}) / {float(len(toks))} AS score
       FROM documents WHERE {any_hit}
       ORDER BY score DESC, item_id ASC LIMIT {k * 5}),
-    qual AS (SELECT doc_id AS item_id, {quality} AS quality FROM documents)
+    qual AS (SELECT doc_id AS item_id, {quality} AS quality_micro FROM documents)
     SELECT item_id,
-           round(score * 0.8 + quality * 0.2, 6) AS rerank_score,
+           (CAST(round(score * 1000000) AS BIGINT) * 8 + quality_micro * 2) // 10
+             AS rerank_micro,
            score AS retrieval_score
     FROM cands JOIN qual USING (item_id)
-    ORDER BY rerank_score DESC, item_id ASC LIMIT {k}
+    ORDER BY rerank_micro DESC, item_id ASC LIMIT {k}
     """
 
 
@@ -1548,9 +1564,9 @@ def oracle_sql() -> dict[str, str]:
       SELECT a.id ida, b.id idb, count(*) n FROM tok a
       JOIN tok b ON a.gram = b.gram AND a.id < b.id GROUP BY a.id, b.id)
     SELECT ida, idb,
-           round(CAST(n AS DOUBLE) / (sa.sz + sb.sz - n), 6) AS jaccard
+           CAST((n * 1000000) // (sa.sz + sb.sz - n) AS BIGINT) AS jaccard_micro
     FROM inter JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
-    WHERE CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) >= 0.8
+    WHERE n * 1000000 >= 800000 * (sa.sz + sb.sz - n)
     """
 
     sql["dedup_minhash"] = _minhash_oracle_sql(threshold=0.5, max_bucket_size=200)
@@ -1622,16 +1638,16 @@ def oracle_sql() -> dict[str, str]:
     WHERE rank <= 3
     """
 
+    from augmented_codebase_indexer_spark.operators.textstats import (
+        quality_micro_sql as _qms,
+    )
+
     sql["text_stats"] = """
     SELECT doc_id,
       len(string_split(text, ' '))::INT AS n_tokens_ws,
       len(regexp_extract_all(text, '[a-z0-9]+'))::INT AS n_tokens_re,
       length(text)::INT AS n_chars_out,
-      round((least(length(text) / 400.0, 1.0) * 0.5
-             + least(len(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))
-                     / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) * 0.3)
-            * (1.0 - least(len(regexp_extract_all(text, '[^\\w\\s]'))
-                           / greatest(length(text), 1) * 10.0, 1.0) * 0.5), 6) AS quality,
+      """ + _qms("text") + """ AS quality_micro,
       CASE WHEN greatest(
              len(regexp_extract_all(text, '\\b(the|and|of|with|for)\\b')),
              len(regexp_extract_all(text, '\\b(der|die|und|das|mit)\\b')),
@@ -1941,6 +1957,11 @@ def oracle_sql() -> dict[str, str]:
         lm_quality_oracle_sql,
     )
 
+    from augmented_codebase_indexer_spark.operators.langid import (
+        lang_id_oracle_sql,
+    )
+
+    sql["lang_id"] = lang_id_oracle_sql(["de", "en", "es", "fr", "zh"])
     sql["lm_quality"] = lm_quality_oracle_sql()
     sql["dsir_weights"] = dsir_oracle_sql()
 

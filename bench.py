@@ -526,7 +526,8 @@ def stream_probe(spark) -> dict:
                       .localCheckpoint(eager=True)
                       if wh.exists("docs_raw") else None)
         t = time.monotonic()
-        c = curate_increment(wh, batch, **kw)
+        phases: dict = {}
+        c = curate_increment(wh, batch, timings=phases, **kw)
         wall = time.monotonic() - t
         if seg_before is not None and raw_before is not None:
             seg_after = wh.read(spark, "segment_df").select("seg", "df")
@@ -546,6 +547,11 @@ def stream_probe(spark) -> dict:
             "recleaned": c["recleaned_docs"], "predicted": predicted,
             "touched_hashes": c["touched_hashes"],
             "wall_sec": round(wall, 2),
+            # attribution of the fixed per-trigger floor (VERDICT r4 #6):
+            # plan_and_pins = frame construction + state-pin actions,
+            # counters = the reconcile actions (the chain executes here),
+            # upserts = the four bucket-level table swaps
+            "phases": phases,
         })
     got = spark.read.parquet(f"{wh.root}/cur_chunks").select(
         "doc_id", "chunk_id").distinct().count()
@@ -595,6 +601,11 @@ def main() -> None:
         # analytics (all same method — deltas stay comparable)
         "lm_quality", "dsir_weights", "triples_scd2", "graph_triangles",
         "graph_jaccard", "curation_v5", "cluster_cap",
+        # r5: the still-untimed r4 entries (VERDICT r4 Next #7) + the new
+        # content-based language ID — same frozen best-of-2 method
+        "ppr", "graph_kcore", "graph_adamic_adar", "kg_snapshot",
+        "kg_snapshot_diff", "domain_normalize", "curation_funnel",
+        "lang_id",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every
