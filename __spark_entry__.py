@@ -942,6 +942,29 @@ def q_lang_id(spark, sf_dir):
     return lang_id_ngram(d, langs=["de", "en", "es", "fr", "zh"])
 
 
+def q_slice_kl(spark, sf_dir):
+    # pairwise KL divergence between source slices over the shared
+    # smoothed vocabulary (r5): the mixing/drift diagnostic next to DSIR
+    # — exact BIGINT micro-nat numerator + truncating division, no float
+    # in the gate.
+    from augmented_codebase_indexer_spark.operators.corpusstats import (
+        slice_kl_divergence,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return slice_kl_divergence(d)
+
+
+def q_zipf_profile(spark, sf_dir):
+    # token-frequency head (r5): rank by (count desc, tok), integer-exact
+    # cumulative share of the FULL corpus total; top-N planned as
+    # TakeOrderedAndProject, the rank window bounded by N.
+    from augmented_codebase_indexer_spark.operators.corpusstats import zipf_profile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return zipf_profile(d, top_n=100)
+
+
 def q_graph_triangles(spark, sf_dir):
     # degree-ordered triangle counting (Suri-Vassilvitskii orientation:
     # O(sqrt(m)) out-degree, hub-safe wedge join); the DuckDB oracle
@@ -1150,8 +1173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r4-driver-green and unchanged; ``scripts/selfcheck.py`` still runs
     ALL of them."""
     return {
-        # --- (a) r5: new entry + changed gated outputs ---
+        # --- (a) r5: new entries + changed gated outputs ---
         "lang_id": q_lang_id,
+        "slice_kl": q_slice_kl,
+        "zipf_profile": q_zipf_profile,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
         "graph_jaccard": q_graph_jaccard,
@@ -1201,10 +1226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "exactsubstr_spans": q_exactsubstr_spans,
         "decontam": q_decontam,
+        # ---------- driver 50-entry window ends here (entry #50) ----------
+        # --- r4-driver-green (decontam_spans/gopher_quality slid below
+        #     the line to make room for the r5 corpusstats entries; their
+        #     runtime-only pin-scope change is covered by pytest) ---
         "decontam_spans": q_decontam_spans,
         "gopher_quality": q_gopher_quality,
-        # ---------- driver 50-entry window ends here (entry #50) ----------
-        # --- r4-driver-green, unchanged ---
         "triples_scd2": q_triples_scd2,
         "kg_snapshot": q_kg_snapshot,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -1964,6 +1991,14 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_id"] = lang_id_oracle_sql(["de", "en", "es", "fr", "zh"])
     sql["lm_quality"] = lm_quality_oracle_sql()
     sql["dsir_weights"] = dsir_oracle_sql()
+
+    from augmented_codebase_indexer_spark.operators.corpusstats import (
+        slice_kl_oracle_sql,
+        zipf_oracle_sql,
+    )
+
+    sql["slice_kl"] = slice_kl_oracle_sql()
+    sql["zipf_profile"] = zipf_oracle_sql(top_n=100)
 
     from augmented_codebase_indexer_spark.operators.temporal import scd2_oracle_sql
 
