@@ -679,6 +679,7 @@ def main() -> None:
             "converged": probe["converged"],
             "walls_sec": [r["wall_sec"] for r in probe["triggers"]],
             "recleaned": [r["recleaned"] for r in probe["triggers"]],
+            "phases": [r["phases"] for r in probe["triggers"]],
         }
     if scaling:
         result["scaling"] = {
@@ -713,11 +714,16 @@ def main() -> None:
                     "the docs cleaned earlier to re-clean (the non-zero "
                     "re-clean rows below).\n\n"
                     "| trigger | batch docs | re-cleaned (= predicted) | "
-                    "touched hashes | wall (s) |\n|---|---|---|---|---|\n"
+                    "touched hashes | wall (s) | plan+pins (s) | "
+                    "reconcile actions (s) | upserts (s) |\n"
+                    "|---|---|---|---|---|---|---|---|\n"
                     + "".join(
                         f"| {r['batch']} | {r['batch_docs']} | "
                         f"{r['recleaned']} | {r['touched_hashes']} | "
-                        f"{r['wall_sec']} |\n"
+                        f"{r['wall_sec']} | "
+                        f"{r['phases'].get('plan_and_pins', '')} | "
+                        f"{r['phases'].get('counters', '')} | "
+                        f"{r['phases'].get('upserts', '')} |\n"
                         for r in probe["triggers"]
                     )
                 )
