@@ -965,6 +965,40 @@ def q_zipf_profile(spark, sf_dir):
     return zipf_profile(d, top_n=100)
 
 
+_ROBOTS_STAR = ("User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"
+                "Disallow: /p/3$\n")
+_ROBOTS_BOT = "User-agent: aci-bot\nDisallow: /p/2*7\n"
+
+
+def q_robots_filter(spark, sf_dir):
+    # robots.txt compliance (r5, RFC 9309): urls + per-domain robots
+    # files synthesized deterministically from documents (7 domains;
+    # even domains add an aci-bot group that then EXCLUDES the * group
+    # per RFC); verdicts exercise longest-match, allow-override,
+    # $ anchor, * wildcard, and group choice. All-string/bool/BIGINT gate.
+    from augmented_codebase_indexer_spark.operators.robots import (
+        apply_robots,
+        parse_robots,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    doms = d.select((F.col("doc_id") % 7).alias("dnum")).distinct()
+    robots = doms.select(
+        F.concat(F.lit("site"), F.col("dnum").cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+        F.when(F.col("dnum") % 2 == 0, F.lit(_ROBOTS_STAR + _ROBOTS_BOT))
+        .otherwise(F.lit(_ROBOTS_STAR)).alias("robots_txt"),
+    )
+    return apply_robots(urls, parse_robots(robots), agent="aci-bot")
+
+
 def q_graph_triangles(spark, sf_dir):
     # degree-ordered triangle counting (Suri-Vassilvitskii orientation:
     # O(sqrt(m)) out-degree, hub-safe wedge join); the DuckDB oracle
@@ -1177,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "slice_kl": q_slice_kl,
         "zipf_profile": q_zipf_profile,
+        "robots_filter": q_robots_filter,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
         "graph_jaccard": q_graph_jaccard,
@@ -1225,8 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "ppr": q_ppr,
         "exactsubstr_spans": q_exactsubstr_spans,
-        "decontam": q_decontam,
         # ---------- driver 50-entry window ends here (entry #50) ----------
+        "decontam": q_decontam,
         # --- r4-driver-green (decontam_spans/gopher_quality slid below
         #     the line to make room for the r5 corpusstats entries; their
         #     runtime-only pin-scope change is covered by pytest) ---
@@ -1999,6 +2034,23 @@ def oracle_sql() -> dict[str, str]:
 
     sql["slice_kl"] = slice_kl_oracle_sql()
     sql["zipf_profile"] = zipf_oracle_sql(top_n=100)
+
+    from augmented_codebase_indexer_spark.operators.robots import (
+        apply_robots_oracle_sql,
+    )
+
+    def _sqlstr(text: str) -> str:
+        return "'" + text.replace("\n", "' || chr(10) || '") + "'"
+
+    sql["robots_filter"] = apply_robots_oracle_sql(
+        "SELECT doc_id, 'https://site' || (doc_id % 7) "
+        "|| '.example.com/p/' || doc_id AS url FROM documents",
+        "SELECT 'site' || dnum || '.example.com' AS domain, "
+        f"CASE WHEN dnum % 2 = 0 THEN {_sqlstr(_ROBOTS_STAR + _ROBOTS_BOT)} "
+        f"ELSE {_sqlstr(_ROBOTS_STAR)} END AS robots_txt "
+        "FROM (SELECT DISTINCT doc_id % 7 AS dnum FROM documents)",
+        "aci-bot",
+    )
 
     from augmented_codebase_indexer_spark.operators.temporal import scd2_oracle_sql
 

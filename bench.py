@@ -605,7 +605,7 @@ def main() -> None:
         # content-based language ID — same frozen best-of-2 method
         "ppr", "graph_kcore", "graph_adamic_adar", "kg_snapshot",
         "kg_snapshot_diff", "domain_normalize", "curation_funnel",
-        "lang_id",
+        "lang_id", "slice_kl", "zipf_profile", "robots_filter",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every

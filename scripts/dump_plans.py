@@ -240,6 +240,58 @@ def main() -> None:
         "wedge self-join — exchanges carry node-id pairs only.",
     )
 
+    from augmented_codebase_indexer_spark.operators.corpusstats import (
+        slice_kl_divergence,
+        zipf_profile,
+    )
+    from augmented_codebase_indexer_spark.operators.langid import lang_id_ngram
+
+    queries["lang_id (char-n-gram LID)"] = (
+        lang_id_ngram(docs.select("doc_id", "text", "lang"),
+                      langs=["de", "en", "es", "fr", "zh"]),
+        "r5: training shuffles only (lang, gram) counts; scoring explodes "
+        "grams map-side, joins the guarded-broadcast wide vocab, and "
+        "partial-aggregates BEFORE the doc_id exchange — one combined row "
+        "per document crosses the wire (the lmquality shape).",
+    )
+    queries["slice_kl (inter-slice KL divergence)"] = (
+        slice_kl_divergence(docs.select("doc_id", "source", "text")),
+        "r5: one (source, tok) count shuffle over the corpus; the densified "
+        "S×V log-prob frame is slim BIGINT rows self-joined tok-keyed (S "
+        "rows per key per side); the pair agg map-side-combines down to "
+        "S·(S−1) rows.",
+    )
+    queries["zipf_profile (token-frequency head)"] = (
+        zipf_profile(docs.select("doc_id", "text"), top_n=100),
+        "r5: one token count shuffle; global top-N planned as "
+        "TakeOrderedAndProject (per-partition top-N merged on the driver, "
+        "NOT an unpartitioned window over the vocabulary); the rank/cumsum "
+        "window then sees ≤ N rows.",
+    )
+
+    from augmented_codebase_indexer_spark.operators.robots import (
+        apply_robots,
+        parse_robots,
+    )
+
+    _robots = spark.createDataFrame(
+        [("a.example.com",
+          "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n")],
+        "domain string, robots_txt string")
+    queries["robots_filter (RFC 9309 compliance)"] = (
+        apply_robots(
+            docs.select("doc_id", F.concat(
+                F.lit("https://a.example.com/p/"),
+                F.col("doc_id").cast("string")).alias("url")),
+            parse_robots(_robots), agent="aci-bot"),
+        "r5: rules are O(domains) and ride the counted broadcast guard; "
+        "the URL side joins broadcast-side with the LIKE predicate in "
+        "codegen, and the verdict is groupBy+min over a sort-key struct "
+        "— partial-aggregated map-side, so ONE combined row per url "
+        "crosses the exchange (a per-url window would shuffle every "
+        "candidate row).",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
