@@ -999,6 +999,34 @@ def q_robots_filter(spark, sf_dir):
     return apply_robots(urls, parse_robots(robots), agent="aci-bot")
 
 
+def q_url_canonical(spark, sf_dir):
+    # URL canonicalization (r5, RFC 3986 §6 + tracking-param strip):
+    # messy crawl-URL variants synthesized deterministically from doc_id
+    # (uppercase host + :80 + utm params / unsorted query / https:443 +
+    # fbclid / bare host with empty path) — every documented rule fires.
+    from augmented_codebase_indexer_spark.operators.urlnorm import (
+        with_canonical_url,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com"))
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    urls = d.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("HTTP://"), F.upper(base),
+                                F.lit(":80/p/"), sid,
+                                F.lit("?utm_source=x&b=1#f")))
+        .when(m == 1, F.concat(F.lit("http://"), base, F.lit("/p/"), sid,
+                               F.lit("?z=2&a=1")))
+        .when(m == 2, F.concat(F.lit("https://"), base, F.lit(":443/p/"),
+                               sid, F.lit("?fbclid=1")))
+        .otherwise(F.concat(F.lit("http://"), base)).alias("url"),
+    )
+    return with_canonical_url(urls)
+
+
 def q_graph_triangles(spark, sf_dir):
     # degree-ordered triangle counting (Suri-Vassilvitskii orientation:
     # O(sqrt(m)) out-degree, hub-safe wedge join); the DuckDB oracle
@@ -1212,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_kl": q_slice_kl,
         "zipf_profile": q_zipf_profile,
         "robots_filter": q_robots_filter,
+        "url_canonical": q_url_canonical,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
         "graph_jaccard": q_graph_jaccard,
@@ -1259,8 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c) r4-green, runtime touched by the pin-scope sweep ---
         "curation_funnel": q_curation_funnel,
         "ppr": q_ppr,
+        # ---------- driver 50-entry window ends here (entry #50 = ppr) ----
         "exactsubstr_spans": q_exactsubstr_spans,
-        # ---------- driver 50-entry window ends here (entry #50) ----------
         "decontam": q_decontam,
         # --- r4-driver-green (decontam_spans/gopher_quality slid below
         #     the line to make room for the r5 corpusstats entries; their
@@ -2041,6 +2070,27 @@ def oracle_sql() -> dict[str, str]:
 
     def _sqlstr(text: str) -> str:
         return "'" + text.replace("\n", "' || chr(10) || '") + "'"
+
+    from augmented_codebase_indexer_spark.operators.urlnorm import (
+        canonical_url_sql,
+    )
+
+    sql["url_canonical"] = f"""
+    WITH u AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'HTTP://' || upper('site' || (doc_id % 7)
+                 || '.example.com') || ':80/p/' || doc_id
+                 || '?utm_source=x&b=1#f'
+          WHEN 1 THEN 'http://site' || (doc_id % 7) || '.example.com/p/'
+                 || doc_id || '?z=2&a=1'
+          WHEN 2 THEN 'https://site' || (doc_id % 7) || '.example.com:443/p/'
+                 || doc_id || '?fbclid=1'
+          ELSE 'http://site' || (doc_id % 7) || '.example.com'
+        END AS url
+      FROM documents)
+    SELECT doc_id, url, {canonical_url_sql('url')} AS canon_url FROM u
+    """
 
     sql["robots_filter"] = apply_robots_oracle_sql(
         "SELECT doc_id, 'https://site' || (doc_id % 7) "
