@@ -1027,6 +1027,47 @@ def q_url_canonical(spark, sf_dir):
     return with_canonical_url(urls)
 
 
+def _cdx_line_cols(ts, status, off):
+    # one CDXJ line as a single concat — byte-identical string built in
+    # the SQL mirror, so the JSON tails parse to the same values
+    d7 = (F.col("doc_id") % 7).cast("string")
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("com,site"), d7, F.lit(")/p/"), sid, F.lit(" "),
+        ts.cast("string"),
+        F.lit(' {"url":"http://site'), d7, F.lit(".example.com/p/"), sid,
+        F.lit('","status":"'), status,
+        F.lit('","mime":"text/html","digest":"D'),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('","filename":"w'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('.warc.gz","offset":"'), off.cast("string"),
+        F.lit('","length":"100"}'),
+    ).alias("line")
+
+
+def q_cdx_latest(spark, sf_dir):
+    # CDXJ capture selection (r5): two synthesized captures per doc (the
+    # recrawl is newer but every 11th recrawl is a 404, so the original
+    # wins there) -> newest-OK capture per url. Index-before-data: the
+    # selection runs on slim index rows, one combined row per url over
+    # the exchange.
+    from augmented_codebase_indexer_spark.operators.cdx import (
+        latest_ok_captures,
+        parse_cdxj,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    base_ts = F.lit(20240101000000) + F.col("doc_id")
+    first = d.select(_cdx_line_cols(
+        base_ts, F.lit("200"), F.col("doc_id") * 100))
+    second = d.select(_cdx_line_cols(
+        base_ts + 1000000,
+        F.when(F.col("doc_id") % 11 == 0, F.lit("404")).otherwise(F.lit("200")),
+        F.col("doc_id") * 100 + 50,
+    ))
+    return latest_ok_captures(parse_cdxj(first.unionByName(second)))
+
+
 def q_graph_triangles(spark, sf_dir):
     # degree-ordered triangle counting (Suri-Vassilvitskii orientation:
     # O(sqrt(m)) out-degree, hub-safe wedge join); the DuckDB oracle
@@ -1241,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_profile": q_zipf_profile,
         "robots_filter": q_robots_filter,
         "url_canonical": q_url_canonical,
+        "cdx_latest": q_cdx_latest,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
         "graph_jaccard": q_graph_jaccard,
@@ -1287,8 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": q_outlinks,
         # --- (c) r4-green, runtime touched by the pin-scope sweep ---
         "curation_funnel": q_curation_funnel,
+        # -------- driver 50-entry window ends here (#50 = curation_funnel) --
         "ppr": q_ppr,
-        # ---------- driver 50-entry window ends here (entry #50 = ppr) ----
         "exactsubstr_spans": q_exactsubstr_spans,
         "decontam": q_decontam,
         # --- r4-driver-green (decontam_spans/gopher_quality slid below
@@ -2091,6 +2133,30 @@ def oracle_sql() -> dict[str, str]:
       FROM documents)
     SELECT doc_id, url, {canonical_url_sql('url')} AS canon_url FROM u
     """
+
+    from augmented_codebase_indexer_spark.operators.cdx import latest_ok_sql
+
+    def _cdx_line_sql(ts: str, status: str, off: str) -> str:
+        return (
+            "'com,site' || (doc_id % 7) || ')/p/' || doc_id || ' ' || "
+            f"({ts}) || "
+            "' {\"url\":\"http://site' || (doc_id % 7) || '.example.com/p/' "
+            "|| doc_id || '\",\"status\":\"' || " + status + " || "
+            "'\",\"mime\":\"text/html\",\"digest\":\"D' || (doc_id % 13) || "
+            "'\",\"filename\":\"w' || (doc_id % 5) || "
+            f"'.warc.gz\",\"offset\":\"' || ({off}) || "
+            "'\",\"length\":\"100\"}' AS line"
+        )
+
+    sql["cdx_latest"] = latest_ok_sql(
+        "SELECT " + _cdx_line_sql(
+            "20240101000000 + doc_id", "'200'", "doc_id * 100")
+        + " FROM documents UNION ALL SELECT " + _cdx_line_sql(
+            "20240101000000 + doc_id + 1000000",
+            "CASE WHEN doc_id % 11 = 0 THEN '404' ELSE '200' END",
+            "doc_id * 100 + 50")
+        + " FROM documents"
+    )
 
     sql["robots_filter"] = apply_robots_oracle_sql(
         "SELECT doc_id, 'https://site' || (doc_id % 7) "
