@@ -292,6 +292,28 @@ def main() -> None:
         "candidate row).",
     )
 
+    from augmented_codebase_indexer_spark.operators.urlnorm import (
+        with_canonical_url,
+    )
+
+    queries["url_canonical (RFC 3986 normalization)"] = (
+        with_canonical_url(docs.select("doc_id", F.concat(
+            F.lit("http://Site.example.com:80/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&b=1#f")).alias("url"))),
+        "r5: pure string/array builtins — ONE narrow projection fused "
+        "into the scan; zero exchanges, zero Python stages.",
+    )
+
+    import __spark_entry__ as _entry
+
+    queries["cdx_latest (capture-index selection)"] = (
+        _entry.queries()["cdx_latest"](spark, SF),
+        "r5: parse is a narrow projection; the newest-OK capture per url "
+        "is groupBy+max over a sort-key struct — partial-aggregated "
+        "map-side, ONE combined row per url over the single exchange.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
