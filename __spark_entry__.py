@@ -929,6 +929,58 @@ def _entity_graph_sql(dialect: str) -> str:
     FROM documents"""
 
 
+def _typed_triples_sql(dialect: str) -> str:
+    """Deterministic typed triples from doc_ids: capital_of is
+    functional-by-construction (object depends only on the subject),
+    born_in is declared functional but DIRTY (object sweeps with
+    doc_id//3, so recurring subjects accrete extra objects — planted
+    violations), works_at is naturally multi-valued."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    SELECT CAST('e' || (doc_id % 101) AS {s}) AS subj,
+           CASE doc_id % 3 WHEN 0 THEN 'capital_of'
+                           WHEN 1 THEN 'born_in'
+                           ELSE 'works_at' END AS pred,
+           CASE doc_id % 3
+             WHEN 0 THEN 'c' || ((doc_id % 101) % 11)
+             WHEN 1 THEN 'c' || ((doc_id {div} 3) % 5)
+             ELSE 'o' || (doc_id % 7) END AS obj
+    FROM documents"""
+
+
+def _typed_triples(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_typed_triples_sql("spark"))
+
+
+def q_kg_profile(spark, sf_dir):
+    # per-predicate cardinality profile (r5, SHACL-lite QA): triple/
+    # subject/object counts, max out-degree, functional_micro = integer
+    # share of subjects with exactly one object — profile first, declare
+    # constraints from evidence. All-BIGINT gate.
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        predicate_profile,
+    )
+
+    return predicate_profile(_typed_triples(spark, sf_dir))
+
+
+def q_kg_functional_violations(spark, sf_dir):
+    # declared-functional predicates with >1 distinct object per subject
+    # (r5): the planted born_in violations must surface, the clean
+    # capital_of must not.
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        functional_violations,
+    )
+
+    return functional_violations(
+        _typed_triples(spark, sf_dir),
+        functional_preds=("capital_of", "born_in"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     # content-based language ID (r5): per-language char-bigram LMs
     # trained relationally on the documents table's own labels, argmax
@@ -1283,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "url_canonical": q_url_canonical,
         "cdx_latest": q_cdx_latest,
+        "kg_profile": q_kg_profile,
+        "kg_functional_violations": q_kg_functional_violations,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
         "graph_jaccard": q_graph_jaccard,
@@ -1327,9 +1381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_search": q_pattern_search,
         "summaries": q_summaries,
         "outlinks": q_outlinks,
+        # ---------- driver 50-entry window ends here (#50 = outlinks) ------
         # --- (c) r4-green, runtime touched by the pin-scope sweep ---
         "curation_funnel": q_curation_funnel,
-        # -------- driver 50-entry window ends here (#50 = curation_funnel) --
         "ppr": q_ppr,
         "exactsubstr_spans": q_exactsubstr_spans,
         "decontam": q_decontam,
@@ -2133,6 +2187,16 @@ def oracle_sql() -> dict[str, str]:
       FROM documents)
     SELECT doc_id, url, {canonical_url_sql('url')} AS canon_url FROM u
     """
+
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        functional_violations_sql,
+        predicate_profile_sql,
+    )
+
+    sql["kg_profile"] = predicate_profile_sql(_typed_triples_sql("duckdb"))
+    sql["kg_functional_violations"] = functional_violations_sql(
+        _typed_triples_sql("duckdb"), ("capital_of", "born_in")
+    )
 
     from augmented_codebase_indexer_spark.operators.cdx import latest_ok_sql
 
