@@ -606,7 +606,7 @@ def main() -> None:
         "ppr", "graph_kcore", "graph_adamic_adar", "kg_snapshot",
         "kg_snapshot_diff", "domain_normalize", "curation_funnel",
         "lang_id", "slice_kl", "zipf_profile", "robots_filter",
-        "url_canonical", "cdx_latest",
+        "url_canonical", "cdx_latest", "kg_profile",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every
