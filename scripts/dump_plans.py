@@ -314,6 +314,23 @@ def main() -> None:
         "map-side, ONE combined row per url over the single exchange.",
     )
 
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        predicate_profile,
+    )
+
+    queries["kg_profile (predicate cardinality QA)"] = (
+        predicate_profile(docs.select(
+            F.concat(F.lit("e"), (F.col("doc_id") % 101).cast("string"))
+            .alias("subj"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("capital_of"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("born_in"))
+            .otherwise(F.lit("works_at")).alias("pred"),
+            (F.col("doc_id") % 11).cast("string").alias("obj"))),
+        "r5: counts over fixed-width (pred, subj) keys — map-side "
+        "combined partial aggregates; the only exchanges carry "
+        "id-and-count rows, never text.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
