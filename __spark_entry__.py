@@ -955,6 +955,58 @@ def _typed_triples(spark, sf_dir):
     return spark.sql(_typed_triples_sql("spark"))
 
 
+def _fusion_assertions_sql(dialect: str) -> str:
+    """Multi-source assertions with planted disagreement: sources s0-s9
+    assert capital_of for every derived subject; s7-s9 are coordinated
+    liars ('w…' objects). born_in is asserted by honest s0/s1 vs liars
+    s7-s9 with 3:2 doc coverage, so per-subject the lie often wins the
+    uniform vote and the re-trust rounds must flip it — iteration does
+    real work on this corpus, it is not a fixed point of round 0."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT CAST('s' || (doc_id % 10) AS {s}) AS src,
+           CAST('e' || (doc_id % 101) AS {s}) AS subj,
+           'capital_of' AS pred,
+           CAST(CASE WHEN (doc_id % 10) >= 7
+                THEN 'w' || ((doc_id % 101) % 11)
+                ELSE 'c' || ((doc_id % 101) % 11) END AS {s}) AS obj
+    FROM documents
+    UNION ALL
+    SELECT CAST(CASE WHEN doc_id % 5 < 2 THEN 's' || (doc_id % 5)
+                     ELSE 's' || ((doc_id % 5) + 5) END AS {s}) AS src,
+           CAST('e' || (doc_id % 101) AS {s}) AS subj,
+           'born_in' AS pred,
+           CAST(CASE WHEN doc_id % 5 < 2 THEN 'b' || ((doc_id % 101) % 7)
+                     ELSE 'z' || ((doc_id % 101) % 7) END AS {s}) AS obj
+    FROM documents"""
+
+
+def _fusion_assertions(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_fusion_assertions_sql("spark"))
+
+
+def q_kg_truth_fusion(spark, sf_dir):
+    # multi-source conflict resolution (r5b, Knowledge Vault §5 /
+    # TruthFinder): 2 fixed trust rounds, winner per (subj, pred) by
+    # BIGINT micro-trust support, ties to smallest obj. All-integer gate;
+    # the DuckDB oracle unrolls the same recurrence as a CTE chain with
+    # row_number argmax — an independent formulation.
+    from augmented_codebase_indexer_spark.operators.fusion import truth_fusion
+
+    return truth_fusion(_fusion_assertions(spark, sf_dir), iters=2)
+
+
+def q_kg_source_trust(spark, sf_dir):
+    # per-source reliability after the same 2 rounds: (src, n_claims,
+    # n_correct, trust_micro) — the liars' planted trust collapse is the
+    # signal a production build alerts on.
+    from augmented_codebase_indexer_spark.operators.fusion import source_trust
+
+    return source_trust(_fusion_assertions(spark, sf_dir), iters=2)
+
+
 def q_kg_profile(spark, sf_dir):
     # per-predicate cardinality profile (r5, SHACL-lite QA): triple/
     # subject/object counts, max out-degree, functional_micro = integer
@@ -1329,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ALL of them."""
     return {
         # --- (a) r5: new entries + changed gated outputs ---
+        "kg_truth_fusion": q_kg_truth_fusion,
+        "kg_source_trust": q_kg_source_trust,
         "lang_id": q_lang_id,
         "slice_kl": q_slice_kl,
         "zipf_profile": q_zipf_profile,
@@ -1379,9 +1433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_stats": q_cube_stats,
         "semi_join": q_semi_join,
         "pattern_search": q_pattern_search,
+        # ------- driver 50-entry window ends here (#50 = pattern_search) ---
+        # --- r3-green, displaced from the window by the r5b fusion
+        #     entries (new entries lead, VERDICT r4 #3); both are
+        #     unchanged since r3 and stay covered by selfcheck.py ---
         "summaries": q_summaries,
         "outlinks": q_outlinks,
-        # ---------- driver 50-entry window ends here (#50 = outlinks) ------
         # --- (c) r4-green, runtime touched by the pin-scope sweep ---
         "curation_funnel": q_curation_funnel,
         "ppr": q_ppr,
@@ -2196,6 +2253,18 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_profile"] = predicate_profile_sql(_typed_triples_sql("duckdb"))
     sql["kg_functional_violations"] = functional_violations_sql(
         _typed_triples_sql("duckdb"), ("capital_of", "born_in")
+    )
+
+    from augmented_codebase_indexer_spark.operators.fusion import (
+        source_trust_oracle_sql,
+        truth_fusion_oracle_sql,
+    )
+
+    sql["kg_truth_fusion"] = truth_fusion_oracle_sql(
+        _fusion_assertions_sql("duckdb"), iters=2
+    )
+    sql["kg_source_trust"] = source_trust_oracle_sql(
+        _fusion_assertions_sql("duckdb"), iters=2
     )
 
     from augmented_codebase_indexer_spark.operators.cdx import latest_ok_sql
