@@ -955,6 +955,76 @@ def _typed_triples(spark, sf_dir):
     return spark.sql(_typed_triples_sql("spark"))
 
 
+_AL = "'abcdefghijklmnopqrstuvwxyz'"
+
+
+def _hearst_pages_sql() -> str:
+    """Synthesized web-page text with planted Hearst constructions (same
+    SQL runs in both dialects — but only Spark ever parses it; the
+    oracle reconstructs the expected triples in closed form, no regex):
+    a 3-item such-as list, an and-other sentence on even ids, an
+    including sentence on ids ≡0 (mod 3), a 2-item especially list on
+    ids ≡1 (mod 4), plus a lowercase 'things such as stuff' decoy that
+    must NOT match (the NP anchor is capitalized)."""
+
+    def L(n: int) -> str:
+        return f"substr({_AL}, (doc_id % {n}) + 1, 1)"
+
+    return f"""
+    SELECT doc_id,
+      'Cities such as P' || {L(11)} || ', Q' || {L(7)} || ' and R' || {L(5)}
+        || ' are growing.'
+      || CASE WHEN doc_id % 2 = 0
+           THEN ' S' || {L(4)} || ' and other Fruits grow here.'
+           ELSE ' Nothing special here.' END
+      || CASE WHEN doc_id % 3 = 0
+           THEN ' Rivers including T' || {L(13)} || ' flow fast.'
+           ELSE '' END
+      || CASE WHEN doc_id % 4 = 1
+           THEN ' Tools, especially U' || {L(9)} || ' and V' || {L(6)}
+                || ', help a lot.'
+           ELSE '' END
+      || ' things such as stuff happen.' AS text
+    FROM documents"""
+
+
+def q_hearst_isa(spark, sf_dir):
+    # Hearst-pattern hypernym extraction (r5b, Hearst COLING'92): is_a
+    # triples from the four classic lexico-syntactic patterns, one
+    # narrow whole-stage-codegen scan, zero UDFs/shuffles. The oracle is
+    # fully independent: it enumerates the planted triples in closed
+    # form from doc_id arithmetic and never runs a regex.
+    from augmented_codebase_indexer_spark.operators.hearst import (
+        hearst_hypernyms,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    pages = spark.sql(_hearst_pages_sql())
+    return hearst_hypernyms(pages)
+
+
+def _hearst_expected_sql() -> str:
+    def L(n: int) -> str:
+        return f"substr({_AL}, (doc_id % {n}) + 1, 1)"
+
+    branches = [
+        (f"'P' || {L(11)}", "'Cities'", "'such_as'", ""),
+        (f"'Q' || {L(7)}", "'Cities'", "'such_as'", ""),
+        (f"'R' || {L(5)}", "'Cities'", "'such_as'", ""),
+        (f"'S' || {L(4)}", "'Fruits'", "'and_other'", "WHERE doc_id % 2 = 0"),
+        (f"'T' || {L(13)}", "'Rivers'", "'including'",
+         "WHERE doc_id % 3 = 0"),
+        (f"'U' || {L(9)}", "'Tools'", "'especially'", "WHERE doc_id % 4 = 1"),
+        (f"'V' || {L(6)}", "'Tools'", "'especially'", "WHERE doc_id % 4 = 1"),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {hypo} AS hypo, 'is_a' AS pred, {hyper} AS hyper, "
+        f"{pat} AS pattern FROM documents {where}"
+        for hypo, hyper, pat, where in branches
+    )
+
+
 def _fusion_assertions_sql(dialect: str) -> str:
     """Multi-source assertions with planted disagreement: sources s0-s9
     assert capital_of for every derived subject; s7-s9 are coordinated
@@ -1383,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) r5: new entries + changed gated outputs ---
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
+        "hearst_isa": q_hearst_isa,
         "lang_id": q_lang_id,
         "slice_kl": q_slice_kl,
         "zipf_profile": q_zipf_profile,
@@ -1431,12 +1502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_histogram": q_outer_join_histogram,
         "having_filter": q_having_filter,
         "cube_stats": q_cube_stats,
+        # ---------- driver 50-entry window ends here (#50 = cube_stats) ----
+        # --- r3-green, displaced from the window by the r5b fusion +
+        #     hearst entries (new entries lead, VERDICT r4 #3); all four
+        #     are unchanged since r3 and stay covered by selfcheck.py ---
         "semi_join": q_semi_join,
         "pattern_search": q_pattern_search,
-        # ------- driver 50-entry window ends here (#50 = pattern_search) ---
-        # --- r3-green, displaced from the window by the r5b fusion
-        #     entries (new entries lead, VERDICT r4 #3); both are
-        #     unchanged since r3 and stay covered by selfcheck.py ---
         "summaries": q_summaries,
         "outlinks": q_outlinks,
         # --- (c) r4-green, runtime touched by the pin-scope sweep ---
@@ -2266,6 +2337,7 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_source_trust"] = source_trust_oracle_sql(
         _fusion_assertions_sql("duckdb"), iters=2
     )
+    sql["hearst_isa"] = _hearst_expected_sql()
 
     from augmented_codebase_indexer_spark.operators.cdx import latest_ok_sql
 
