@@ -1103,6 +1103,40 @@ def q_kg_functional_violations(spark, sf_dir):
     )
 
 
+_DR_NODE_TYPES_SQL = """
+    SELECT 'e' || k AS node_id,
+           CASE WHEN k % 2 = 0 THEN 'Person' ELSE 'City' END AS node_type
+    FROM (SELECT DISTINCT doc_id % 101 AS k FROM documents)
+    UNION ALL
+    SELECT 'c' || j, 'City'
+    FROM (SELECT DISTINCT doc_id % 11 AS j FROM documents)
+    UNION ALL
+    SELECT 'o' || j,
+           CASE WHEN j % 2 = 0 THEN 'Org' ELSE 'School' END
+    FROM (SELECT DISTINCT doc_id % 7 AS j FROM documents)"""
+
+_DR_DECLS_SQL = """
+    SELECT 'capital_of' AS pred, 'City' AS domain_type, 'City' AS range_type
+    UNION ALL SELECT 'born_in', 'Person', 'City'
+    UNION ALL SELECT 'works_at', 'Person', 'Org'"""
+
+
+def q_kg_domain_range(spark, sf_dir):
+    # SHACL-lite domain/range validation (r5b): typed triples checked
+    # against a tiny ontology — even e-nodes are Person, odd are City,
+    # odd o-nodes are School, so capital_of/born_in plant domain
+    # violations by parity and works_at plants range violations. Same
+    # all-string gate as the other kgquality entries.
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        domain_range_violations,
+    )
+
+    t = _typed_triples(spark, sf_dir)
+    return domain_range_violations(
+        t, spark.sql(_DR_NODE_TYPES_SQL), spark.sql(_DR_DECLS_SQL)
+    )
+
+
 def q_lang_id(spark, sf_dir):
     # content-based language ID (r5): per-language char-bigram LMs
     # trained relationally on the documents table's own labels, argmax
@@ -1454,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
+        "kg_domain_range": q_kg_domain_range,
         "lang_id": q_lang_id,
         "slice_kl": q_slice_kl,
         "zipf_profile": q_zipf_profile,
@@ -1501,11 +1536,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_normalize": q_score_normalize,
         "outer_join_histogram": q_outer_join_histogram,
         "having_filter": q_having_filter,
+        # ---------- driver 50-entry window ends here (#50 = having_filter) -
+        # --- r3-green, displaced from the window by the r5b fusion /
+        #     hearst / domain-range entries (new entries lead, VERDICT r4
+        #     #3); all five are unchanged since r3 and stay covered by
+        #     selfcheck.py ---
         "cube_stats": q_cube_stats,
-        # ---------- driver 50-entry window ends here (#50 = cube_stats) ----
-        # --- r3-green, displaced from the window by the r5b fusion +
-        #     hearst entries (new entries lead, VERDICT r4 #3); all four
-        #     are unchanged since r3 and stay covered by selfcheck.py ---
         "semi_join": q_semi_join,
         "pattern_search": q_pattern_search,
         "summaries": q_summaries,
@@ -2338,6 +2374,14 @@ def oracle_sql() -> dict[str, str]:
         _fusion_assertions_sql("duckdb"), iters=2
     )
     sql["hearst_isa"] = _hearst_expected_sql()
+
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        domain_range_violations_sql,
+    )
+
+    sql["kg_domain_range"] = domain_range_violations_sql(
+        _typed_triples_sql("duckdb"), _DR_NODE_TYPES_SQL, _DR_DECLS_SQL
+    )
 
     from augmented_codebase_indexer_spark.operators.cdx import latest_ok_sql
 

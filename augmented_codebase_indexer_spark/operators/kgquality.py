@@ -138,6 +138,59 @@ def dangling_edges(
     )
 
 
+def domain_range_violations(
+    triples: DataFrame,
+    node_types: DataFrame,
+    declarations: DataFrame,
+) -> DataFrame:
+    """SHACL-lite ``sh:class`` on both edge ends: rows of ``triples``
+    whose subject type differs from the declared domain or whose object
+    type differs from the declared range — (subj, pred, obj, subj_type,
+    obj_type, violation ∈ {'domain','range','both'}).
+
+    Closed-world on types: a node MISSING from ``node_types`` cannot be
+    proven conformant, so it violates (reported as ``subj_type`` /
+    ``obj_type`` = 'untyped') — the SHACL semantics for a class shape
+    over an untyped focus node. Predicates absent from ``declarations``
+    are unconstrained and never reported.
+
+    Scale shape: inner join on ``pred`` against the (tiny, per-ontology)
+    declarations — left to the planner, it auto-broadcasts; then two
+    id-keyed left joins against node_types (slim (id, type) rows). No
+    text, counts, or windows."""
+    t = triples.select("subj", "pred", "obj").distinct()
+    d = declarations.select("pred", "domain_type", "range_type")
+    nt = node_types.select("node_id", "node_type")
+    j = (
+        t.join(d, "pred")
+        .join(
+            nt.select(F.col("node_id").alias("subj"),
+                      F.col("node_type").alias("subj_type")),
+            "subj", "left",
+        )
+        .join(
+            nt.select(F.col("node_id").alias("obj"),
+                      F.col("node_type").alias("obj_type")),
+            "obj", "left",
+        )
+    )
+    bad_s = F.col("subj_type").isNull() | (
+        F.col("subj_type") != F.col("domain_type"))
+    bad_o = F.col("obj_type").isNull() | (
+        F.col("obj_type") != F.col("range_type"))
+    return j.filter(bad_s | bad_o).select(
+        "subj",
+        "pred",
+        "obj",
+        F.coalesce("subj_type", F.lit("untyped")).alias("subj_type"),
+        F.coalesce("obj_type", F.lit("untyped")).alias("obj_type"),
+        F.when(bad_s & bad_o, F.lit("both"))
+        .when(bad_s, F.lit("domain"))
+        .otherwise(F.lit("range"))
+        .alias("violation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ---------------------------------------------------------------------------
@@ -159,6 +212,35 @@ def predicate_profile_sql(triples_sql: str) -> str:
            CAST((n_subj * 1000000) // n_triples AS BIGINT)
              AS functional_micro
     FROM prof JOIN objs ON prof.p = objs.p
+    """
+
+
+def domain_range_violations_sql(
+    triples_sql: str, node_types_sql: str, declarations_sql: str
+) -> str:
+    return f"""
+    WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({triples_sql})),
+    nt AS (SELECT node_id, node_type FROM ({node_types_sql})),
+    d AS (SELECT pred, domain_type, range_type FROM ({declarations_sql})),
+    j AS (
+      SELECT t.subj, t.pred, t.obj,
+             s.node_type AS subj_type, o.node_type AS obj_type,
+             d.domain_type, d.range_type
+      FROM t JOIN d ON t.pred = d.pred
+      LEFT JOIN nt s ON t.subj = s.node_id
+      LEFT JOIN nt o ON t.obj = o.node_id)
+    SELECT subj, pred, obj,
+           COALESCE(subj_type, 'untyped') AS subj_type,
+           COALESCE(obj_type, 'untyped') AS obj_type,
+           CASE WHEN (subj_type IS NULL OR subj_type <> domain_type)
+                 AND (obj_type IS NULL OR obj_type <> range_type)
+                THEN 'both'
+                WHEN (subj_type IS NULL OR subj_type <> domain_type)
+                THEN 'domain'
+                ELSE 'range' END AS violation
+    FROM j
+    WHERE (subj_type IS NULL OR subj_type <> domain_type)
+       OR (obj_type IS NULL OR obj_type <> range_type)
     """
 
 

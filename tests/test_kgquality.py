@@ -61,6 +61,74 @@ def test_dangling_edges(spark):
     assert got == {("a", "ghost"): "obj", ("phantom", "specter"): "both"}
 
 
+DR_TRIPLES = [
+    ("fr", "capital_of", "paris"),      # City->City: conformant
+    ("alice", "capital_of", "paris"),   # Person subj: domain violation
+    ("alice", "born_in", "acme"),       # Org obj: range violation
+    ("bob", "born_in", "ghost"),        # untyped obj: range violation
+    ("ghost", "works_at", "acme"),      # untyped subj: domain violation
+    ("fr", "works_at", "ghost"),        # wrong subj + untyped obj: both
+    ("fr", "likes", "ghost"),           # undeclared pred: unchecked
+]
+DR_TYPES = [("fr", "City"), ("paris", "City"), ("alice", "Person"),
+            ("bob", "Person"), ("acme", "Org")]
+DR_DECLS = [("capital_of", "City", "City"), ("born_in", "Person", "City"),
+            ("works_at", "Person", "Org")]
+
+
+def _dr(spark):
+    return (
+        spark.createDataFrame(DR_TRIPLES,
+                              "subj string, pred string, obj string"),
+        spark.createDataFrame(DR_TYPES, "node_id string, node_type string"),
+        spark.createDataFrame(
+            DR_DECLS, "pred string, domain_type string, range_type string"),
+    )
+
+
+def test_domain_range_violations(spark):
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        domain_range_violations,
+    )
+
+    t, nt, d = _dr(spark)
+    got = {(r["subj"], r["pred"], r["obj"]):
+           (r["subj_type"], r["obj_type"], r["violation"])
+           for r in domain_range_violations(t, nt, d).collect()}
+    assert got == {
+        ("alice", "capital_of", "paris"): ("Person", "City", "domain"),
+        ("alice", "born_in", "acme"): ("Person", "Org", "range"),
+        ("bob", "born_in", "ghost"): ("Person", "untyped", "range"),
+        ("ghost", "works_at", "acme"): ("untyped", "Org", "domain"),
+        ("fr", "works_at", "ghost"): ("City", "untyped", "both"),
+    }
+    # conformant row and undeclared pred are absent
+
+
+def test_domain_range_oracle_parity(spark):
+    import duckdb
+
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        domain_range_violations,
+        domain_range_violations_sql,
+    )
+
+    t, nt, d = _dr(spark)
+    tsql = " UNION ALL ".join(
+        f"SELECT '{s}' AS subj, '{p}' AS pred, '{o}' AS obj"
+        for s, p, o in DR_TRIPLES)
+    ntsql = " UNION ALL ".join(
+        f"SELECT '{n}' AS node_id, '{ty}' AS node_type"
+        for n, ty in DR_TYPES)
+    dsql = " UNION ALL ".join(
+        f"SELECT '{p}' AS pred, '{dm}' AS domain_type, '{rg}' AS range_type"
+        for p, dm, rg in DR_DECLS)
+    got = sorted(map(tuple, domain_range_violations(t, nt, d).collect()))
+    want = sorted(map(tuple, duckdb.connect().execute(
+        domain_range_violations_sql(tsql, ntsql, dsql)).fetchall()))
+    assert got == want
+
+
 def test_oracle_parity(spark):
     import duckdb
 
