@@ -607,6 +607,10 @@ def main() -> None:
         "kg_snapshot_diff", "domain_normalize", "curation_funnel",
         "lang_id", "slice_kl", "zipf_profile", "robots_filter",
         "url_canonical", "cdx_latest", "kg_profile",
+        # r5b: truth fusion, Hearst hypernyms, domain/range QA — same
+        # frozen best-of-2 method
+        "kg_truth_fusion", "kg_source_trust", "hearst_isa",
+        "kg_domain_range",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every

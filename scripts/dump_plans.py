@@ -331,6 +331,32 @@ def main() -> None:
         "id-and-count rows, never text.",
     )
 
+    queries["kg_truth_fusion (multi-source conflict resolution)"] = (
+        _entry.queries()["kg_truth_fusion"](spark, SF),
+        "r5b: per round, the trust table rides a counted "
+        "BroadcastExchange, the vote is ONE map-side-combined "
+        "(subj,pred,obj) exchange of id+count rows, and the winner "
+        "argmax is a partial-min(struct) aggregate over ONE (subj,pred) "
+        "exchange — no window over an unbounded fact key, no text, no "
+        "floats; iteration count is a compile-time constant.",
+    )
+
+    queries["hearst_isa (Hearst hypernym extraction)"] = (
+        _entry.queries()["hearst_isa"](spark, SF),
+        "r5b: ZERO exchanges — regexp_extract_all for all four patterns "
+        "fuses into one whole-stage-codegen scan, then explode + group "
+        "extraction + list split, all JVM builtins (pytest asserts "
+        "'Exchange' not in the plan).",
+    )
+
+    queries["kg_domain_range (SHACL-lite domain/range QA)"] = (
+        _entry.queries()["kg_domain_range"](spark, SF),
+        "r5b: declarations (per-ontology, tiny) auto-broadcast; two "
+        "id-keyed joins against slim (node_id, type) rows; the filter "
+        "is evaluated pre-projection so conformant rows never "
+        "materialize the output columns.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
