@@ -357,6 +357,14 @@ def main() -> None:
         "materialize the output columns.",
     )
 
+    queries["kg_publish (fusion → QA-gated publish)"] = (
+        _entry.queries()["kg_publish"](spark, SF),
+        "r5b: the composed publish chain — the fusion plan above feeds a "
+        "LEFT ANTI join against the violation rows; the anti-join key is "
+        "the slim (subj, pred, obj) id triple, so the QA gate adds one "
+        "id-keyed exchange to the fusion plan and no text movement.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"

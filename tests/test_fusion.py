@@ -92,6 +92,38 @@ def test_oracle_parity(spark):
         assert got == want
 
 
+def test_publish_gate_drops_what_fusion_cannot_fix(spark):
+    # liar-ONLY fact: no honest assertion exists, so fusion must publish
+    # the lie — the domain/range QA gate is the only thing that kills it
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        domain_range_violations,
+    )
+
+    claims = CLAIMS + [("l1", "q", "cap", "JUNKQ"), ("l2", "q", "cap", "JUNKQ")]
+    a = spark.createDataFrame(
+        claims, "src string, subj string, pred string, obj string")
+    w = truth_fusion(a, iters=2)
+    assert {r["obj"] for r in w.filter("subj = 'q'").collect()} == {"JUNKQ"}
+
+    types = ([(f"g{k}", "Place") for k in range(1, 5)]
+             + [("q", "Place"), ("x", "Place"), ("y", "Place")]
+             + [(f"R{k}", "City") for k in range(1, 5)]
+             + [("rightX", "City"), ("aaa", "City"), ("bbb", "City")])
+    # JUNKQ and every W* stay untyped -> closed-world violation
+    nt = spark.createDataFrame(types, "node_id string, node_type string")
+    d = spark.createDataFrame(
+        [("cap", "Place", "City"), ("born", "Place", "City"),
+         ("home", "Place", "City")],
+        "pred string, domain_type string, range_type string")
+    v = domain_range_violations(w.select("subj", "pred", "obj"), nt, d)
+    published = w.join(v.select("subj", "pred", "obj"),
+                       ["subj", "pred", "obj"], "left_anti")
+    got = {(r["subj"], r["pred"], r["obj"]) for r in published.collect()}
+    assert ("q", "cap", "JUNKQ") not in got          # QA killed the lie
+    assert ("x", "born", "rightX") in got            # fusion fixed this one
+    assert {(f"g{k}", "cap", f"R{k}") for k in range(1, 5)} <= got
+
+
 def test_iters_zero_raises(spark):
     try:
         truth_fusion(_a(spark), iters=0)
