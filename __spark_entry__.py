@@ -1025,6 +1025,59 @@ def _hearst_expected_sql() -> str:
     )
 
 
+def _taxonomy_pages_sql() -> str:
+    """3-level planted taxonomy per doc (leaves vary by doc_id letters;
+    mid/root constant): Creatures ⊃ Animals ⊃ {Felines, Rodents} ⊃
+    leaves. Only Spark parses this text; the oracle closes the
+    closed-form edge list with its own recursive CTE."""
+
+    def L(n: int) -> str:
+        return f"substr({_AL}, (doc_id % {n}) + 1, 1)"
+
+    return f"""
+    SELECT doc_id,
+      'Creatures such as Animals roam. '
+      || 'Animals such as Felines and Rodents exist. '
+      || 'Felines such as F' || {L(11)} || ' and F' || {L(7)} || ' hunt. '
+      || 'Rodents including R' || {L(13)} || ' dig.' AS text
+    FROM documents"""
+
+
+def _taxonomy_edges_sql() -> str:
+    def L(n: int) -> str:
+        return f"substr({_AL}, (doc_id % {n}) + 1, 1)"
+
+    return f"""
+    SELECT 'Animals' AS hypo, 'Creatures' AS hyper FROM documents
+    UNION ALL SELECT 'Felines', 'Animals' FROM documents
+    UNION ALL SELECT 'Rodents', 'Animals' FROM documents
+    UNION ALL SELECT 'F' || {L(11)}, 'Felines' FROM documents
+    UNION ALL SELECT 'F' || {L(7)}, 'Felines' FROM documents
+    UNION ALL SELECT 'R' || {L(13)}, 'Rodents' FROM documents"""
+
+
+def q_taxonomy_closure(spark, sf_dir):
+    # Hearst extraction feeding bounded transitive closure (r5b): the
+    # ancestor set every leaf needs for type inference — leaves reach
+    # Felines/Rodents at 1 hop, Animals at 2, Creatures at 3. Spark runs
+    # the LIVE regex extraction then iterative frontier joins; the
+    # oracle closes the closed-form edge list with WITH RECURSIVE — both
+    # stages independently formulated.
+    from augmented_codebase_indexer_spark.operators.hearst import (
+        hearst_hypernyms,
+    )
+    from augmented_codebase_indexer_spark.operators.traversal import (
+        taxonomy_closure,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    edges = hearst_hypernyms(spark.sql(_taxonomy_pages_sql())).select(
+        "hypo", "hyper"
+    )
+    return taxonomy_closure(edges, max_hops=3)
+
+
 def _fusion_assertions_sql(dialect: str) -> str:
     """Multi-source assertions with planted disagreement: sources s0-s9
     assert capital_of for every derived subject; s7-s9 are coordinated
@@ -1533,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_isa": q_hearst_isa,
         "kg_domain_range": q_kg_domain_range,
         "kg_publish": q_kg_publish,
+        "taxonomy_closure": q_taxonomy_closure,
         "lang_id": q_lang_id,
         "slice_kl": q_slice_kl,
         "zipf_profile": q_zipf_profile,
@@ -1578,12 +1632,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
+        # ------ driver 50-entry window ends here (#50 = score_normalize) ---
+        # --- r3-green, displaced from the window by the seven r5b
+        #     entries (fusion ×2 / hearst / domain-range / publish /
+        #     taxonomy closure; new entries lead, VERDICT r4 #3); all are
+        #     unchanged since r3 and stay covered by selfcheck.py ---
         "outer_join_histogram": q_outer_join_histogram,
-        # ------ driver 50-entry window ends here (#50 = outer_join_histogram)
-        # --- r3-green, displaced from the window by the six r5b entries
-        #     (fusion ×2 / hearst / domain-range / publish; new entries
-        #     lead, VERDICT r4 #3); all are unchanged since r3 and stay
-        #     covered by selfcheck.py ---
         "having_filter": q_having_filter,
         "cube_stats": q_cube_stats,
         "semi_join": q_semi_join,
@@ -2418,6 +2472,14 @@ def oracle_sql() -> dict[str, str]:
         _fusion_assertions_sql("duckdb"), iters=2
     )
     sql["hearst_isa"] = _hearst_expected_sql()
+
+    from augmented_codebase_indexer_spark.operators.traversal import (
+        taxonomy_closure_sql,
+    )
+
+    sql["taxonomy_closure"] = taxonomy_closure_sql(
+        _taxonomy_edges_sql(), max_hops=3
+    )
 
     from augmented_codebase_indexer_spark.operators.kgquality import (
         domain_range_violations_sql,

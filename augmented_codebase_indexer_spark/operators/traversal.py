@@ -8,6 +8,8 @@
 * ``topological_layers`` — Kahn's algorithm as a driver loop (O5,
   ``topology_analyzer.py:124-168``): repeatedly peel in-degree-0 nodes.
   Deterministic: layer index is a function of the graph, not of order.
+* ``taxonomy_closure`` — bounded min-hop transitive closure of an
+  ``is_a`` edge list (ancestor sets for Hearst-extracted taxonomies).
 """
 
 from __future__ import annotations
@@ -79,3 +81,64 @@ def topological_layers(edges: DataFrame, nodes: DataFrame, max_iters: int = 1000
         layer += 1
     cyclic = remaining_nodes.withColumn("layer", F.lit(-1))
     return cyclic if out is None else out.unionByName(cyclic)
+
+
+def taxonomy_closure(
+    edges: DataFrame,
+    max_hops: int = 3,
+    src: str = "hypo",
+    dst: str = "hyper",
+) -> DataFrame:
+    """Bounded transitive closure of a taxonomy edge list —
+    (hypo, hyper, hops) with ``hops`` = MINIMUM hop count ≤ ``max_hops``.
+    The ancestor set a Hearst-extracted ``is_a`` layer needs before type
+    inference (``x is_a Felines`` should also answer ``x is_a Animals``).
+
+    Same bounded-hop discipline as :func:`neighborhood` (the reference
+    caps recursion at 3, `graph_models.py:141`): each hop is ONE
+    equi-join of the current frontier against the slim distinct edge
+    set, min-hops dedup at the end collapses diamond paths. Cycles
+    cannot loop it — the frontier is hop-stamped and the loop is a
+    compile-time-bounded range, so a cyclic taxonomy just yields its
+    ≤max_hops unrolling. Scale: frontiers and edges are (id, id) pairs;
+    at 10^9 taxonomy edges every join is a fixed-width id shuffle and
+    the accumulated union is resolved by one final groupBy-min."""
+    e = register_pin(
+        edges.select(F.col(src).alias("hypo"), F.col(dst).alias("hyper"))
+        .distinct()
+        .persist()
+    )
+    acc = e.withColumn("hops", F.lit(1).cast("long"))
+    frontier = acc
+    for hop in range(2, max_hops + 1):
+        step = e.select(
+            F.col("hypo").alias("_mid"), F.col("hyper").alias("_up")
+        )
+        frontier = (
+            frontier.join(step, frontier["hyper"] == step["_mid"])
+            .select(
+                "hypo",
+                F.col("_up").alias("hyper"),
+                F.lit(hop).cast("long").alias("hops"),
+            )
+            .distinct()
+        )
+        acc = acc.unionByName(frontier)
+    return acc.groupBy("hypo", "hyper").agg(F.min("hops").alias("hops"))
+
+
+def taxonomy_closure_sql(edges_sql: str, max_hops: int = 3) -> str:
+    """DuckDB mirror: WITH RECURSIVE over the same edge list — an
+    independent formulation of the closure."""
+    return f"""
+    WITH RECURSIVE e AS (SELECT DISTINCT hypo, hyper FROM ({edges_sql})),
+    c AS (
+      SELECT hypo, hyper, 1 AS hops FROM e
+      UNION ALL
+      SELECT c.hypo, e.hyper, c.hops + 1
+      FROM c JOIN e ON c.hyper = e.hypo
+      WHERE c.hops < {max_hops}
+    )
+    SELECT hypo, hyper, CAST(min(hops) AS BIGINT) AS hops
+    FROM c GROUP BY hypo, hyper
+    """

@@ -610,7 +610,7 @@ def main() -> None:
         # r5b: truth fusion, Hearst hypernyms, domain/range QA — same
         # frozen best-of-2 method
         "kg_truth_fusion", "kg_source_trust", "hearst_isa",
-        "kg_domain_range", "kg_publish",
+        "kg_domain_range", "kg_publish", "taxonomy_closure",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every

@@ -365,6 +365,14 @@ def main() -> None:
         "id-keyed exchange to the fusion plan and no text movement.",
     )
 
+    queries["taxonomy_closure (Hearst → bounded closure)"] = (
+        _entry.queries()["taxonomy_closure"](spark, SF),
+        "r5b: the zero-exchange Hearst scan feeds max_hops-1 frontier "
+        "equi-joins on fixed-width (id, id) pairs plus one final "
+        "groupBy-min for min-hop dedup; the distinct edge set is pinned "
+        "once and reused by every hop.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
