@@ -659,6 +659,19 @@ def q_outlinks(spark, sf_dir):
     return outlink_edges(derive_pages_from_documents(spark, sf_dir))
 
 
+def q_anchor_profile(spark, sf_dir):
+    """Top-k anchor terms per link target (operators/anchors.py): the
+    link-based naming signal — candidate aliases for the gazetteer tier.
+    Oracle reconstructs the three nav anchors per derived page closed-form."""
+    from augmented_codebase_indexer_spark.operators.anchors import (
+        anchor_profile,
+        anchor_texts,
+    )
+    from augmented_codebase_indexer_spark.sources.pages import derive_pages_from_documents
+
+    return anchor_profile(anchor_texts(derive_pages_from_documents(spark, sf_dir)), k=3)
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1581,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ALL of them."""
     return {
         # --- (a) r5: new entries + changed gated outputs ---
+        "anchor_profile": q_anchor_profile,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1631,8 +1645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha_hash": q_sha_hash,
         "fingerprint": q_fingerprint,
         "mrr": q_mrr,
+        # ------ driver 50-entry window ends here (#50 = mrr) ---
+        # score_normalize: r4-driver-green, displaced by anchor_profile
         "score_normalize": q_score_normalize,
-        # ------ driver 50-entry window ends here (#50 = score_normalize) ---
         # --- r3-green, displaced from the window by the seven r5b
         #     entries (fusion ×2 / hearst / domain-range / publish /
         #     taxonomy closure; new entries lead, VERDICT r4 #3); all are
@@ -2275,6 +2290,29 @@ def oracle_sql() -> dict[str, str]:
     SELECT url AS src_url,
            unnest(['/', '/about', '/entity/' || obj]) AS href
     FROM derived
+    """
+
+    # anchor-term profile over the same three nav anchors per derived
+    # page ('home' → '/', 'about' → '/about', 'related' → '/entity/K');
+    # counts BIGINT, rank row_number over (n DESC, tok ASC) — exact.
+    sql["anchor_profile"] = _DERIVED + """
+    , anchors AS (
+      SELECT '/' AS href, 'home' AS anchor FROM derived
+      UNION ALL SELECT '/about', 'about' FROM derived
+      UNION ALL SELECT '/entity/' || obj, 'related' FROM derived),
+    toks AS (
+      SELECT href,
+             unnest(string_split_regex(lower(anchor), '[^a-z0-9]+')) AS tok
+      FROM anchors),
+    c AS (
+      SELECT href, tok, CAST(count(*) AS BIGINT) AS n
+      FROM toks WHERE tok <> '' GROUP BY href, tok),
+    r AS (
+      SELECT href, tok, n,
+             CAST(row_number() OVER (
+               PARTITION BY href ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+      FROM c)
+    SELECT href, tok, n, rank FROM r WHERE rank <= 3
     """
 
     # gap sessions: epoch floored to whole seconds on BOTH engines (Spark
