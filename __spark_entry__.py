@@ -672,6 +672,37 @@ def q_anchor_profile(spark, sf_dir):
     return anchor_profile(anchor_texts(derive_pages_from_documents(spark, sf_dir)), k=3)
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (operators/redirects.py):
+    O(log L) slim self-joins instead of L sequential hops. Edge relation is
+    closed-form doc_id arithmetic — chains of 5 urls per doc-id bucket
+    (d → d-1 within each [5k, 5k+5) bucket), every 500th bucket closed into
+    a loop (bucket start → start+4) so the cycle verdict is exercised on
+    driver data, not just in pytest."""
+    from augmented_codebase_indexer_spark.operators.redirects import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://docs.example/"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    hop = (
+        d.alias("a")
+        .join(d.alias("b"), F.expr("b.doc_id = a.doc_id - 1"))
+        .where(F.expr("a.doc_id % 5 <> 0"))
+        .select(F.col("a.url").alias("src"), F.col("b.url").alias("dst"))
+    )
+    closer = (
+        d.alias("a")
+        .join(d.alias("b"), F.expr("b.doc_id = a.doc_id + 4"))
+        .where(F.expr("a.doc_id % 500 = 0"))
+        .select(F.col("a.url").alias("src"), F.col("b.url").alias("dst"))
+    )
+    return resolve_redirects(hop.unionByName(closer))
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1595,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (a) r5: new entries + changed gated outputs ---
         "anchor_profile": q_anchor_profile,
+        "redirect_resolve": q_redirect_resolve,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1644,9 +1676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_collect": q_group_collect,
         "sha_hash": q_sha_hash,
         "fingerprint": q_fingerprint,
+        # ------ driver 50-entry window ends here (#50 = fingerprint) ---
+        # mrr / score_normalize: r4-driver-green, displaced by the
+        # anchor_profile / redirect_resolve additions
         "mrr": q_mrr,
-        # ------ driver 50-entry window ends here (#50 = mrr) ---
-        # score_normalize: r4-driver-green, displaced by anchor_profile
         "score_normalize": q_score_normalize,
         # --- r3-green, displaced from the window by the seven r5b
         #     entries (fusion ×2 / hearst / domain-range / publish /
@@ -2314,6 +2347,31 @@ def oracle_sql() -> dict[str, str]:
       FROM c)
     SELECT href, tok, n, rank FROM r WHERE rank <= 3
     """
+
+    # redirect resolution: recursive-CTE mirror over the same closed-form
+    # edge relation (chains of 5 per bucket, every 500th bucket looped);
+    # the 16-hop recursion bound terminates loops, which then surface as
+    # is_cycle via the never-reached-a-terminal anti-join
+    from augmented_codebase_indexer_spark.operators.redirects import (
+        resolve_redirects_sql,
+    )
+
+    _redirect_edges = """
+      SELECT d1.url AS src, d2.url AS dst
+      FROM derived d1 JOIN derived d2 ON d2.doc_id = d1.doc_id - 1
+      WHERE d1.doc_id % 5 <> 0
+      UNION ALL
+      SELECT d1.url AS src, d2.url AS dst
+      FROM derived d1 JOIN derived d2 ON d2.doc_id = d1.doc_id + 4
+      WHERE d1.doc_id % 500 = 0
+    """
+    sql["redirect_resolve"] = (
+        _DERIVED.replace("WITH derived", "WITH RECURSIVE derived")
+        + ", "
+        + resolve_redirects_sql(_redirect_edges).strip().removeprefix(
+            "WITH RECURSIVE "
+        )
+    )
 
     # gap sessions: epoch floored to whole seconds on BOTH engines (Spark
     # cast(ts as long) truncates; DuckDB CAST(double AS BIGINT) rounds, so
