@@ -703,6 +703,24 @@ def q_redirect_resolve(spark, sf_dir):
     return resolve_redirects(hop.unionByName(closer))
 
 
+def q_comention_pmi(spark, sf_dir):
+    """Entity co-mention PMI (operators/comention.py): association strength
+    per co-mentioned pair as an exact BIGINT micro-ratio (monotone in PMI).
+    Mentions are the planted (subj, obj) per derived page — closed-form, so
+    the oracle reconstructs every count without running our extraction."""
+    from augmented_codebase_indexer_spark.operators.comention import comention_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("Entity"), (F.col("doc_id") % 50).cast("string"))
+    obj = F.concat(
+        F.lit("Entity"), ((F.col("doc_id") * 7 + 13) % 50).cast("string")
+    )
+    m = d.select(F.col("doc_id"), subj.alias("ent_id")).unionByName(
+        d.select(F.col("doc_id"), obj.alias("ent_id"))
+    )
+    return comention_pmi(m, max_entities_per_doc=None)
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1627,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) r5: new entries + changed gated outputs ---
         "anchor_profile": q_anchor_profile,
         "redirect_resolve": q_redirect_resolve,
+        "comention_pmi": q_comention_pmi,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1675,10 +1694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "group_collect": q_group_collect,
         "sha_hash": q_sha_hash,
+        # ------ driver 50-entry window ends here (#50 = sha_hash) ---
+        # fingerprint / mrr / score_normalize: r4-driver-green, displaced
+        # by the anchor_profile / redirect_resolve / comention_pmi additions
         "fingerprint": q_fingerprint,
-        # ------ driver 50-entry window ends here (#50 = fingerprint) ---
-        # mrr / score_normalize: r4-driver-green, displaced by the
-        # anchor_profile / redirect_resolve additions
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
         # --- r3-green, displaced from the window by the seven r5b
@@ -2371,6 +2390,21 @@ def oracle_sql() -> dict[str, str]:
         + resolve_redirects_sql(_redirect_edges).strip().removeprefix(
             "WITH RECURSIVE "
         )
+    )
+
+    # co-mention PMI over the planted (subj, obj) mention pairs; the
+    # gated column is the BIGINT micro-ratio (monotone in PMI) — exact
+    from augmented_codebase_indexer_spark.operators.comention import (
+        comention_pmi_sql,
+    )
+
+    sql["comention_pmi"] = (
+        _DERIVED
+        + ", "
+        + comention_pmi_sql(
+            "SELECT doc_id, subj AS ent FROM derived "
+            "UNION ALL SELECT doc_id, obj AS ent FROM derived"
+        ).strip().removeprefix("WITH ")
     )
 
     # gap sessions: epoch floored to whole seconds on BOTH engines (Spark
