@@ -611,6 +611,9 @@ def main() -> None:
         # frozen best-of-2 method
         "kg_truth_fusion", "kg_source_trust", "hearst_isa",
         "kg_domain_range", "kg_publish", "taxonomy_closure",
+        # r5c: anchor-text profiles, pointer-doubling redirects,
+        # co-mention PMI — same frozen best-of-2 method
+        "anchor_profile", "redirect_resolve", "comention_pmi",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every

@@ -373,6 +373,33 @@ def main() -> None:
         "once and reused by every hop.",
     )
 
+    queries["anchor_profile (top-k anchor terms per target)"] = (
+        _entry.queries()["anchor_profile"](spark, SF),
+        "r5c: the html payload dies inside the codegen extraction scan "
+        "(regexp_extract_all + explode, zero Python); the two exchanges "
+        "downstream carry only (href, tok, count) rows — the rank window "
+        "partitions over the COUNTED vocabulary, never raw occurrences "
+        "(pytest asserts no html# in any exchange header).",
+    )
+
+    queries["redirect_resolve (pointer-doubling chain resolution)"] = (
+        _entry.queries()["redirect_resolve"](spark, SF),
+        "r5c: Wyllie list-ranking — ceil(log2 max_chain_len)+1 self-joins, "
+        "each exchanging fixed-width (src, nxt, hops) pointer rows, lazy "
+        "blocks with one materializing action per block and localCheckpoint "
+        "lineage cuts; loops surface via one final anti-join against the "
+        "open-src set instead of unbounded iteration.",
+    )
+
+    queries["comention_pmi (entity association strength)"] = (
+        _entry.queries()["comention_pmi"](spark, SF),
+        "r5c: distinct (doc, ent) → doc-keyed pair join (per-doc entity "
+        "cap raises before it can go quadratic) → algebraic pair/marginal "
+        "counts (partial_count before every exchange, hot pairs combine "
+        "map-side); marginals re-join through the counted broadcast guard; "
+        "the gated PMI is a BIGINT micro-ratio — no float crosses the gate.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"

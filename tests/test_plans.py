@@ -183,3 +183,37 @@ def test_join_mention_path_shuffles_no_text(spark, corpus_dir):
     # one text exchange (the cogroup-by-url of the text side), never more —
     # in particular the exploded n-gram candidate side carries no text
     assert text_exchanges == 1, plan
+
+
+def test_anchor_profile_html_never_shuffles(spark):
+    """Anchor profiles (r5): the html payload is consumed by the codegen
+    extraction scan; every exchange downstream carries only (href, tok,
+    count) rows — and there is no Python stage anywhere."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["anchor_profile"](spark, SF))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    for seg in plan.split("Exchange")[1:]:
+        assert "html#" not in seg[:400], seg[:400]
+
+
+def test_redirect_doubling_exchanges_are_slim(spark):
+    """Pointer doubling (r5): each round's self-join exchanges only the
+    fixed-width (src, nxt, hops) pointer rows; no Python, no cartesian."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["redirect_resolve"](spark, SF))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_comention_pmi_plan_is_jvm_aggregates(spark):
+    """Co-mention PMI (r5): pair/marginal counting must be algebraic
+    JVM aggregates (partial_count before every exchange), with no
+    Python stage and no cartesian pair generation."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["comention_pmi"](spark, SF))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "partial_count" in plan, plan
