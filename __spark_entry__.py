@@ -721,6 +721,14 @@ def q_comention_pmi(spark, sf_dir):
     return comention_pmi(m, max_entities_per_doc=None)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact consecutive-token phrase matching (operators/phrase.py):
+    counts + first position per doc, zero-shuffle array algebra."""
+    from augmented_codebase_indexer_spark.operators.phrase import phrase_match
+
+    return phrase_match(_t(spark, sf_dir, "documents"), "table scan")
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1646,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": q_anchor_profile,
         "redirect_resolve": q_redirect_resolve,
         "comention_pmi": q_comention_pmi,
+        "phrase_search": q_phrase_search,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1693,10 +1702,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_docs": q_topk_docs,
         "set_ops": q_set_ops,
         "group_collect": q_group_collect,
+        # ------ driver 50-entry window ends here (#50 = group_collect) ---
+        # sha_hash / fingerprint / mrr / score_normalize: r4-driver-green,
+        # displaced by the four r5c additions (anchor_profile /
+        # redirect_resolve / comention_pmi / phrase_search)
         "sha_hash": q_sha_hash,
-        # ------ driver 50-entry window ends here (#50 = sha_hash) ---
-        # fingerprint / mrr / score_normalize: r4-driver-green, displaced
-        # by the anchor_profile / redirect_resolve / comention_pmi additions
         "fingerprint": q_fingerprint,
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
@@ -2406,6 +2416,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, obj AS ent FROM derived"
         ).strip().removeprefix("WITH ")
     )
+
+    # phrase search: same tokenization + position semantics both engines
+    from augmented_codebase_indexer_spark.operators.phrase import phrase_match_sql
+
+    sql["phrase_search"] = phrase_match_sql("table scan")
 
     # gap sessions: epoch floored to whole seconds on BOTH engines (Spark
     # cast(ts as long) truncates; DuckDB CAST(double AS BIGINT) rounds, so
