@@ -729,6 +729,18 @@ def q_phrase_search(spark, sf_dir):
     return phrase_match(_t(spark, sf_dir, "documents"), "table scan")
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed n-gram containment (quote/inclusion detection): the
+    syndication case symmetric Jaccard misses. Same max_df scale guard
+    as dedup_ngram; exact BIGINT micro gate."""
+    from augmented_codebase_indexer_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, threshold=0.9, n=1, max_df=50)
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1655,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "comention_pmi": q_comention_pmi,
         "phrase_search": q_phrase_search,
+        "dedup_containment": q_dedup_containment,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1701,11 +1714,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sources": q_distinct_sources,
         "topk_docs": q_topk_docs,
         "set_ops": q_set_ops,
+        # ------ driver 50-entry window ends here (#50 = set_ops) ---
+        # group_collect .. score_normalize: r4-driver-green, displaced by
+        # the five r5c additions (anchor_profile / redirect_resolve /
+        # comention_pmi / phrase_search / dedup_containment)
         "group_collect": q_group_collect,
-        # ------ driver 50-entry window ends here (#50 = group_collect) ---
-        # sha_hash / fingerprint / mrr / score_normalize: r4-driver-green,
-        # displaced by the four r5c additions (anchor_profile /
-        # redirect_resolve / comention_pmi / phrase_search)
         "sha_hash": q_sha_hash,
         "fingerprint": q_fingerprint,
         "mrr": q_mrr,
@@ -2421,6 +2434,28 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.phrase import phrase_match_sql
 
     sql["phrase_search"] = phrase_match_sql("table scan")
+
+    # directed containment: same gram/max_df machinery as dedup_ngram,
+    # gated by integer cross-multiply against |g(contained)|
+    sql["dedup_containment"] = """
+    WITH tok0 AS (
+      SELECT DISTINCT doc_id AS id, g.gram FROM documents,
+             unnest(string_split(text, ' ')) AS g(gram)),
+    keep AS (SELECT gram FROM tok0 GROUP BY gram HAVING count(*) <= 50),
+    tok AS (SELECT tok0.* FROM tok0 JOIN keep USING (gram)),
+    sizes AS (SELECT id, count(*) sz FROM tok GROUP BY id),
+    inter AS (
+      SELECT a.id ida, b.id idb, count(*) n FROM tok a
+      JOIN tok b ON a.gram = b.gram AND a.id < b.id GROUP BY a.id, b.id),
+    j AS (SELECT i.*, sa.sz sza, sb.sz szb FROM inter i
+          JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb)
+    SELECT ida AS contained, idb AS container,
+           CAST((n * 1000000) // sza AS BIGINT) AS containment_micro
+    FROM j WHERE n * 1000000 >= 900000 * sza
+    UNION ALL
+    SELECT idb, ida, CAST((n * 1000000) // szb AS BIGINT)
+    FROM j WHERE n * 1000000 >= 900000 * szb
+    """
 
     # gap sessions: epoch floored to whole seconds on BOTH engines (Spark
     # cast(ts as long) truncates; DuckDB CAST(double AS BIGINT) rounds, so

@@ -111,6 +111,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED n-gram containment ≥ threshold: (contained, container,
+    containment_micro) — Broder's containment measure (SEQUENCES'97 "On
+    the resemblance and containment of documents"). Jaccard misses the
+    quote/inclusion case: a short doc fully embedded in a long one has
+    tiny Jaccard but containment 1.0 — exactly the syndication/quotation
+    pattern web dedup needs alongside the symmetric near-dup tier.
+
+    Same relational shape and ``max_df`` scale guard as
+    :func:`ngram_jaccard_pairs` (one gram equi-join, never all pairs);
+    containment(x→y) = |g(x)∩g(y)| / |g(x)| gated and emitted as exact
+    BIGINT cross-multiply / truncating DIV. Mutual containment emits
+    both directions."""
+    toks = F.split(F.col(text_col), " ")
+    if n == 1:
+        grams = F.array_distinct(toks)
+    else:
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    g = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    if max_df is not None:
+        dfreq = g.groupBy("gram").agg(F.count("*").alias("__df"))
+        g = g.join(dfreq.filter(F.col("__df") <= max_df).select("gram"), "gram")
+    sizes = g.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        g.alias("a")
+        .join(g.alias("b"), (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    thr_micro = int(round(threshold * 1_000_000))
+    joined = (
+        inter.join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
+        .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+    )
+    a_in_b = joined.filter(
+        F.col("inter") * 1_000_000 >= F.lit(thr_micro) * F.col("sza")
+    ).select(
+        F.col("ida").alias("contained"),
+        F.col("idb").alias("container"),
+        F.expr("(inter * 1000000) DIV sza").alias("containment_micro"),
+    )
+    b_in_a = joined.filter(
+        F.col("inter") * 1_000_000 >= F.lit(thr_micro) * F.col("szb")
+    ).select(
+        F.col("idb").alias("contained"),
+        F.col("ida").alias("container"),
+        F.expr("(inter * 1000000) DIV szb").alias("containment_micro"),
+    )
+    return a_in_b.unionByName(b_in_a)
+
+
 def with_minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1,0 +1,79 @@
+"""Directed n-gram containment (operators/dedup.py): the quote/
+inclusion case Jaccard misses, direction semantics, mutual pairs,
+max_df pruning, and DuckDB parity."""
+
+from augmented_codebase_indexer_spark.operators.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
+
+DOCS = [
+    (1, "x y z"),                       # fully inside doc 2
+    (2, "x y z a b c d e f"),
+    (3, "x y q"),                       # 2/3 inside doc 2 — below 0.9
+    (4, "p q r"), (5, "p q r"),         # identical → mutual containment
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    got = {
+        (r["contained"], r["container"]): r["containment_micro"]
+        for r in ngram_containment_pairs(_df(spark), threshold=0.9).collect()
+    }
+    assert got == {
+        (1, 2): 1_000_000,
+        (4, 5): 1_000_000,
+        (5, 4): 1_000_000,  # mutual: both directions
+    }
+    # the (1,2) inclusion is invisible to symmetric Jaccard at any
+    # useful threshold: 3/9 ≈ 0.33
+    jac = {
+        (r["ida"], r["idb"])
+        for r in ngram_jaccard_pairs(_df(spark), threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac and (4, 5) in jac
+
+
+def test_max_df_prunes_before_the_join(spark):
+    # 'x' and 'y' occur in 3 docs; max_df=2 removes them, so doc 1's
+    # filtered gram set is {'z'} — still contained in doc 2's
+    got = {
+        (r["contained"], r["container"]): r["containment_micro"]
+        for r in ngram_containment_pairs(
+            _df(spark), threshold=0.9, max_df=2
+        ).collect()
+    }
+    assert got[(1, 2)] == 1_000_000
+
+
+def test_duckdb_parity(spark):
+    import duckdb
+
+    lit = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in DOCS
+    )
+    sql = f"""
+    WITH d AS ({lit}),
+    tok AS (SELECT DISTINCT doc_id AS id, g.gram FROM d,
+            unnest(string_split(text, ' ')) AS g(gram)),
+    sizes AS (SELECT id, count(*) sz FROM tok GROUP BY id),
+    inter AS (SELECT a.id ida, b.id idb, count(*) n FROM tok a
+              JOIN tok b ON a.gram = b.gram AND a.id < b.id GROUP BY 1, 2),
+    j AS (SELECT i.*, sa.sz sza, sb.sz szb FROM inter i
+          JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb)
+    SELECT ida AS contained, idb AS container,
+           CAST((n * 1000000) // sza AS BIGINT) AS containment_micro
+    FROM j WHERE n * 1000000 >= 900000 * sza
+    UNION ALL
+    SELECT idb, ida, CAST((n * 1000000) // szb AS BIGINT)
+    FROM j WHERE n * 1000000 >= 900000 * szb
+    """
+    got = sorted(
+        map(tuple, ngram_containment_pairs(_df(spark), threshold=0.9).collect())
+    )
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
