@@ -85,6 +85,13 @@ def cmd_search(args) -> dict:
         # the search plans key on doc_id; the url IS the document id here
         .select(F.col("url").alias("doc_id"), F.col("extracted_text").alias("text"))
     )
+    if parsed.phrases:
+        # quoted phrases are mandatory consecutive-token filters — pure
+        # codegen predicates that fuse into the scan (no join, no UDF)
+        from .operators.phrase import phrase_predicate
+
+        for p in parsed.phrases:
+            docs = docs.filter(phrase_predicate(p, "text"))
     fn = rerank_search if args.mode == "rerank" else hybrid_search
     rows = [
         r.asDict()

@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _MOD_RE = re.compile(r"(-?)(path|file|exclude):(\S+)")
+_PHRASE_RE = re.compile(r'"([^"]*)"')
 
 
 @dataclass
@@ -23,10 +24,24 @@ class ParsedQuery:
     terms: str = ""
     includes: list[str] = field(default_factory=list)  # url glob patterns
     excludes: list[str] = field(default_factory=list)
+    phrases: list[str] = field(default_factory=list)  # quoted exact phrases
 
 
 def parse_query(q: str) -> ParsedQuery:
     out = ParsedQuery()
+    # quoted segments first (search-engine semantics: "..." is a mandatory
+    # consecutive-token filter; its tokens still count toward ranking, so
+    # they are appended to the term string below)
+    phrase_tokens: list[str] = []
+
+    def _grab(m: re.Match) -> str:
+        p = m.group(1).strip()
+        if p:
+            out.phrases.append(p)
+            phrase_tokens.append(p)
+        return " "
+
+    q = _PHRASE_RE.sub(_grab, q)
     rest = []
     pos = 0
     for m in _MOD_RE.finditer(q):
@@ -38,7 +53,7 @@ def parse_query(q: str) -> ParsedQuery:
         else:
             out.includes.append(pat)
     rest.append(q[pos:])
-    out.terms = " ".join("".join(rest).split())
+    out.terms = " ".join(("".join(rest) + " " + " ".join(phrase_tokens)).split())
     return out
 
 

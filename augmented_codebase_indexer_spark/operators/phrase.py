@@ -47,6 +47,31 @@ def _tokens(text_col: str) -> Column:
     )
 
 
+def _match_positions(phrase: str, text_col: str) -> Column:
+    """array<int> of 1-based start positions of ``phrase`` in the
+    tokenized text — the shared core of the frame- and predicate-form."""
+    terms = _phrase_terms(phrase)
+    k = len(terms)
+    toks = _tokens(text_col)
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    # candidate start positions 1..n-k+1; sequence() descends when
+    # stop < start, so short docs take the empty-array branch
+    return F.when(
+        F.size(toks) >= k,
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda p: F.slice(toks, p, k) == lit_terms,
+        ),
+    ).otherwise(F.array().cast("array<integer>"))
+
+
+def phrase_predicate(phrase: str, text_col: str = "text") -> Column:
+    """Boolean Column: the document contains ``phrase`` as consecutive
+    tokens. Pure codegen expression — composes into any scan filter
+    (the quoted-term tier of the search grammar uses it)."""
+    return F.size(_match_positions(phrase, text_col)) > 0
+
+
 def phrase_match(
     docs: DataFrame,
     phrase: str,
@@ -56,19 +81,7 @@ def phrase_match(
     """docs → (doc_id, n_matches, first_pos) for documents containing
     ``phrase`` as consecutive tokens. ``first_pos`` is the 1-based
     token index of the first occurrence; occurrences may overlap."""
-    terms = _phrase_terms(phrase)
-    k = len(terms)
-    toks = _tokens(text_col)
-    lit_terms = F.array(*[F.lit(t) for t in terms])
-    # candidate start positions 1..n-k+1; sequence() descends when
-    # stop < start, so short docs take the empty-array branch
-    pos = F.when(
-        F.size(toks) >= k,
-        F.filter(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-            lambda p: F.slice(toks, p, k) == lit_terms,
-        ),
-    ).otherwise(F.array().cast("array<integer>"))
+    pos = _match_positions(phrase, text_col)
     return (
         docs.select(F.col(id_col).alias("doc_id"), pos.alias("pos"))
         .filter(F.size("pos") > 0)

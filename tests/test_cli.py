@@ -7,6 +7,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from augmented_codebase_indexer_spark.cli import main
 
@@ -184,3 +185,39 @@ def test_export_ntriples(built, tmp_path, spark):
     assert r["edges"] == res["edges"]
     lines = [ln for p in glob.glob(f"{out}/part-*") for ln in open(p) if ln.strip()]
     assert sum(1 for ln in lines if "/rel/" in ln) == res["edges"]
+
+
+def test_search_quoted_phrase_filter(built, spark):
+    wh, _ = built
+    # pick a real consecutive bigram from one extracted doc — the quoted
+    # form must keep that doc eligible and drop docs lacking the exact
+    # adjacency (token-set search would keep them)
+    import re as _re
+
+    row = (
+        spark.read.parquet(os.path.join(wh, "extracted"))
+        .selectExpr("url", "extracted_text")
+        .filter(F.length("extracted_text") > 50)
+        .orderBy("url")
+        .first()
+    )
+    toks = [t for t in _re.split(r"[^a-z0-9]+", row["extracted_text"].lower()) if t]
+    phrase = f"{toks[0]} {toks[1]}"
+    res = main(["search", "--warehouse", wh, "-k", "50", f'"{phrase}"'])
+    assert res["results"], phrase
+    # every hit really contains the exact consecutive phrase
+    urls = [r["url"] for r in res["results"]]
+    texts = {
+        r["url"]: r["extracted_text"].lower()
+        for r in spark.read.parquet(os.path.join(wh, "extracted"))
+        .filter(F.col("url").isin(urls))
+        .select("url", "extracted_text")
+        .collect()
+    }
+    for u in urls:
+        flat = " ".join(_re.split(r"[^a-z0-9]+", texts[u]))
+        assert phrase in flat, u
+    # an impossible quoted phrase filters everything
+    none = main(["search", "--warehouse", wh, "-k", "5",
+                 '"zzzqqq xxxvvv"'])
+    assert none["results"] == []

@@ -17,9 +17,21 @@ def test_parse_query_grammar():
     assert p.terms == "acme merger"
     assert p.includes == ["*.example/*", "news"]
     assert p.excludes == ["spam", "ads"]
+    assert p.phrases == []
 
 
-@given(st.text(alphabet=st.characters(blacklist_characters=":-", blacklist_categories=("Cs", "Zs")), max_size=20))
+def test_parse_query_quoted_phrases():
+    p = parse_query('acme "merger announcement" path:*.example/* "board vote"')
+    assert p.phrases == ["merger announcement", "board vote"]
+    assert p.includes == ["*.example/*"]
+    # phrase tokens still rank: they are appended to the term string
+    assert p.terms == "acme merger announcement board vote"
+    # empty and unterminated quotes never raise
+    assert parse_query('""').phrases == []
+    assert parse_query('"unterminated rest').terms == '"unterminated rest'
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters=':-"', blacklist_categories=("Cs", "Zs")), max_size=20))
 @settings(max_examples=100, deadline=None)
 def test_parse_query_total(s):
     p = parse_query(s)  # never raises; terms roundtrip for modifier-free input
