@@ -741,6 +741,39 @@ def q_dedup_containment(spark, sf_dir):
     return ngram_containment_pairs(d, threshold=0.9, n=1, max_df=50)
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Composed crawl-frontier chain (operators/frontier.py): canonicalize
+    (collapsing a tracking/port variant per doc) → robots-allowed per RFC
+    9309 → per-host quota + politeness slots (WindowGroupLimit-planned)."""
+    from augmented_codebase_indexer_spark.operators.frontier import crawl_frontier
+    from augmented_codebase_indexer_spark.operators.robots import parse_robots
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    site = (F.col("doc_id") % 7).cast("string")
+    sid = F.col("doc_id").cast("string")
+    cands = d.select(
+        F.concat(F.lit("https://site"), site, F.lit(".example.com/p/"), sid)
+        .alias("url")
+    ).unionByName(
+        d.select(
+            F.concat(
+                F.lit("HTTPS://SITE"), site, F.lit(".EXAMPLE.COM:443/p/"),
+                sid, F.lit("?utm_source=feed"),
+            ).alias("url")
+        )
+    )
+    doms = d.select((F.col("doc_id") % 7).alias("dnum")).distinct()
+    robots = doms.select(
+        F.concat(F.lit("site"), F.col("dnum").cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+        F.when(F.col("dnum") % 2 == 0, F.lit(_ROBOTS_STAR + _ROBOTS_BOT))
+        .otherwise(F.lit(_ROBOTS_STAR)).alias("robots_txt"),
+    )
+    return crawl_frontier(
+        cands, parse_robots(robots), agent="aci-bot", per_host_cap=60
+    )
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1668,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comention_pmi": q_comention_pmi,
         "phrase_search": q_phrase_search,
         "dedup_containment": q_dedup_containment,
+        "crawl_frontier": q_crawl_frontier,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1713,11 +1747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": q_lang_stats,
         "distinct_sources": q_distinct_sources,
         "topk_docs": q_topk_docs,
+        # ------ driver 50-entry window ends here (#50 = topk_docs) ---
+        # set_ops .. score_normalize: r4-driver-green, displaced by the
+        # six r5c additions (anchor_profile / redirect_resolve /
+        # comention_pmi / phrase_search / dedup_containment /
+        # crawl_frontier)
         "set_ops": q_set_ops,
-        # ------ driver 50-entry window ends here (#50 = set_ops) ---
-        # group_collect .. score_normalize: r4-driver-green, displaced by
-        # the five r5c additions (anchor_profile / redirect_resolve /
-        # comention_pmi / phrase_search / dedup_containment)
         "group_collect": q_group_collect,
         "sha_hash": q_sha_hash,
         "fingerprint": q_fingerprint,
@@ -2707,14 +2742,35 @@ def oracle_sql() -> dict[str, str]:
         + " FROM documents"
     )
 
-    sql["robots_filter"] = apply_robots_oracle_sql(
-        "SELECT doc_id, 'https://site' || (doc_id % 7) "
-        "|| '.example.com/p/' || doc_id AS url FROM documents",
+    _robots_synth_sql = (
         "SELECT 'site' || dnum || '.example.com' AS domain, "
         f"CASE WHEN dnum % 2 = 0 THEN {_sqlstr(_ROBOTS_STAR + _ROBOTS_BOT)} "
         f"ELSE {_sqlstr(_ROBOTS_STAR)} END AS robots_txt "
-        "FROM (SELECT DISTINCT doc_id % 7 AS dnum FROM documents)",
+        "FROM (SELECT DISTINCT doc_id % 7 AS dnum FROM documents)"
+    )
+    sql["robots_filter"] = apply_robots_oracle_sql(
+        "SELECT doc_id, 'https://site' || (doc_id % 7) "
+        "|| '.example.com/p/' || doc_id AS url FROM documents",
+        _robots_synth_sql,
         "aci-bot",
+    )
+
+    # crawl frontier: the composed canonicalize → robots → slot chain,
+    # over two url variants per doc (clean + tracking/port variant the
+    # canonicalizer must collapse); same robots files as robots_filter
+    from augmented_codebase_indexer_spark.operators.frontier import (
+        crawl_frontier_oracle_sql,
+    )
+
+    sql["crawl_frontier"] = crawl_frontier_oracle_sql(
+        "SELECT 'https://site' || (doc_id % 7) || '.example.com/p/' "
+        "|| doc_id AS url FROM documents "
+        "UNION ALL "
+        "SELECT 'HTTPS://SITE' || (doc_id % 7) || '.EXAMPLE.COM:443/p/' "
+        "|| doc_id || '?utm_source=feed' FROM documents",
+        _robots_synth_sql,
+        "aci-bot",
+        per_host_cap=60,
     )
 
     from augmented_codebase_indexer_spark.operators.temporal import scd2_oracle_sql
