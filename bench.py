@@ -614,6 +614,7 @@ def main() -> None:
         # r5c: anchor-text profiles, pointer-doubling redirects,
         # co-mention PMI — same frozen best-of-2 method
         "anchor_profile", "redirect_resolve", "comention_pmi",
+        "phrase_search", "dedup_containment", "crawl_frontier",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every

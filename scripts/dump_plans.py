@@ -400,6 +400,28 @@ def main() -> None:
         "the gated PMI is a BIGINT micro-ratio — no float crosses the gate.",
     )
 
+    queries["phrase_search (zero-shuffle exact phrase matching)"] = (
+        _entry.queries()["phrase_search"](spark, SF),
+        "r5c: within-row array algebra — slice(toks, p, k) == terms over "
+        "a position sequence in ONE codegen projection; no inverted "
+        "index, no exchange, no Python (pytest asserts Exchange-free).",
+    )
+
+    queries["dedup_containment (directed quote/inclusion detection)"] = (
+        _entry.queries()["dedup_containment"](spark, SF),
+        "r5c: the same gram equi-join + max_df guard as dedup_ngram — "
+        "one gram-keyed exchange, never all pairs — with the directed "
+        "gate as integer cross-multiply against the contained side.",
+    )
+
+    queries["crawl_frontier (canonicalize → robots → politeness slots)"] = (
+        _entry.queries()["crawl_frontier"](spark, SF),
+        "r5c: composed chain — canonical-form distinct, robots verdict "
+        "join (rules via counted broadcast), then the per-host slot "
+        "window planned as WindowGroupLimit under the cap filter: "
+        "per-host state O(cap) on both sides of the exchange.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
