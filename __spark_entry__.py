@@ -774,6 +774,27 @@ def q_crawl_frontier(spark, sf_dir):
     )
 
 
+def q_kg_volatility(spark, sf_dir):
+    """Per-predicate churn profile from SCD2 intervals (operators/
+    temporal.py): versions-per-key and mean closed-version duration as
+    exact BIGINTs — the recrawl-cadence / retention diagnostic."""
+    from augmented_codebase_indexer_spark.operators.temporal import (
+        predicate_volatility,
+        scd2_intervals,
+    )
+
+    return predicate_volatility(scd2_intervals(_temporal_facts(spark, sf_dir)))
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Per-node edge reciprocity on the directed entity graph (operators/
+    graphalgs.py): mutual-link share as exact BIGINT micro."""
+    from augmented_codebase_indexer_spark.operators.graphalgs import reciprocity
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return reciprocity(spark.sql(_entity_graph_sql("spark")))
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1702,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "dedup_containment": q_dedup_containment,
         "crawl_frontier": q_crawl_frontier,
+        "kg_volatility": q_kg_volatility,
+        "graph_reciprocity": q_graph_reciprocity,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1745,13 +1768,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fuse": q_rrf_fuse,
         "percentiles": q_percentiles,
         "lang_stats": q_lang_stats,
+        # ------ driver 50-entry window ends here (#50 = lang_stats) ---
+        # distinct_sources .. score_normalize: r4-driver-green, displaced
+        # by the eight r5c additions (anchor_profile / redirect_resolve /
+        # comention_pmi / phrase_search / dedup_containment /
+        # crawl_frontier / kg_volatility / graph_reciprocity)
         "distinct_sources": q_distinct_sources,
         "topk_docs": q_topk_docs,
-        # ------ driver 50-entry window ends here (#50 = topk_docs) ---
-        # set_ops .. score_normalize: r4-driver-green, displaced by the
-        # six r5c additions (anchor_profile / redirect_resolve /
-        # comention_pmi / phrase_search / dedup_containment /
-        # crawl_frontier)
         "set_ops": q_set_ops,
         "group_collect": q_group_collect,
         "sha_hash": q_sha_hash,
@@ -2773,9 +2796,21 @@ def oracle_sql() -> dict[str, str]:
         per_host_cap=60,
     )
 
-    from augmented_codebase_indexer_spark.operators.temporal import scd2_oracle_sql
+    from augmented_codebase_indexer_spark.operators.temporal import (
+        predicate_volatility_sql,
+        scd2_oracle_sql,
+    )
 
     sql["triples_scd2"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL)
+    sql["kg_volatility"] = predicate_volatility_sql(
+        f"SELECT * FROM ({scd2_oracle_sql(_TEMPORAL_FACTS_SQL)})"
+    )
+
+    from augmented_codebase_indexer_spark.operators.graphalgs import (
+        reciprocity_oracle_sql,
+    )
+
+    sql["graph_reciprocity"] = reciprocity_oracle_sql(_entity_graph_sql("duckdb"))
     sql["kg_snapshot"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL, as_of=_TEMPORAL_AS_OF)
 
     from augmented_codebase_indexer_spark.operators.temporal import (

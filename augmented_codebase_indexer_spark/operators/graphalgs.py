@@ -354,3 +354,54 @@ def jaccard_oracle_sql(edges_sql: str, min_common: int = 1) -> str:
     JOIN deg da ON da.node = pairs.a
     JOIN deg db ON db.node = pairs.b
     """
+
+
+def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node edge reciprocity on a DIRECTED graph (Newman, "Networks"
+    §7.10; Garlaschelli & Loffredo PRL'04): of a node's distinct
+    out-edges, the share whose reverse edge also exists — mutual linking
+    separates genuine relationships from drive-by references in a web
+    link graph. Self-loops are excluded (reciprocity over them is
+    vacuous). → (node, n_out, n_recip, reciprocity_micro), all BIGINT.
+
+    Shape: distinct edge set, ONE self equi-join on the reversed pair
+    (left_semi — only the slim (src, dst) ids move), two algebraic
+    groupBys."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, ["src", "dst"], "left_semi")
+    n_out = e.groupBy("src").agg(F.count("*").cast("long").alias("n_out"))
+    n_rec = mutual.groupBy("src").agg(F.count("*").cast("long").alias("n_recip"))
+    return (
+        n_out.join(n_rec, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+            F.expr("coalesce(n_recip, 0) * 1000000 DIV n_out")
+            .alias("reciprocity_micro"),
+        )
+    )
+
+
+def reciprocity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`reciprocity`."""
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst),
+    mutual AS (
+      SELECT e.src, e.dst FROM e
+      JOIN e r ON r.src = e.dst AND r.dst = e.src),
+    n_out AS (SELECT src, CAST(count(*) AS BIGINT) AS n_out FROM e GROUP BY src),
+    n_rec AS (SELECT src, CAST(count(*) AS BIGINT) AS n_recip
+              FROM mutual GROUP BY src)
+    SELECT o.src AS node, o.n_out,
+           CAST(coalesce(r.n_recip, 0) AS BIGINT) AS n_recip,
+           CAST((coalesce(r.n_recip, 0) * 1000000) // o.n_out AS BIGINT)
+             AS reciprocity_micro
+    FROM n_out o LEFT JOIN n_rec r ON r.src = o.src
+    """

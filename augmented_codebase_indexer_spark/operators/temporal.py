@@ -257,3 +257,72 @@ def snapshot_diff_oracle_sql(
     WHERE s1.{val_col} IS NULL OR s2.{val_col} IS NULL
        OR s1.{val_col} <> s2.{val_col}
     """
+
+
+def predicate_volatility(
+    intervals: DataFrame,
+    pred_col: str = "pred",
+    key_col: str = "subj",
+) -> DataFrame:
+    """SCD2 intervals → per-predicate churn profile: which predicates are
+    stable (capital_of) and which turn over (works_for). The standard
+    temporal-KG diagnostic for choosing recrawl cadence and snapshot
+    retention per predicate (the reference's analog is per-language
+    update counters in get_index_status).
+
+    One algebraic groupBy over the intervals frame:
+
+    * ``n_keys`` / ``n_versions``, and their exact ratio
+      ``versions_per_key_micro`` (BIGINT cross-multiply);
+    * ``n_closed`` versions plus ``closed_dur_s_total`` and the exact
+      ``mean_closed_dur_s = total DIV n_closed`` (NULL when nothing
+      closed yet — guarded on BOTH engines, DuckDB errors on // 0).
+
+    All BIGINT — the oracle is exact by construction."""
+    closed = F.col("valid_to").isNotNull()
+    agg = intervals.groupBy(F.col(pred_col).alias("pred")).agg(
+        F.count_distinct(F.col(key_col)).cast("long").alias("n_keys"),
+        F.count("*").cast("long").alias("n_versions"),
+        F.sum(F.when(closed, 1).otherwise(0)).cast("long").alias("n_closed"),
+        F.sum(
+            F.when(closed, F.col("valid_to") - F.col("valid_from")).otherwise(0)
+        ).cast("long").alias("closed_dur_s_total"),
+    )
+    return agg.select(
+        "pred",
+        "n_keys",
+        "n_versions",
+        F.expr("n_versions * 1000000 DIV n_keys").alias("versions_per_key_micro"),
+        "n_closed",
+        "closed_dur_s_total",
+        F.when(
+            F.col("n_closed") > 0,
+            F.expr("closed_dur_s_total DIV n_closed"),
+        ).cast("long").alias("mean_closed_dur_s"),
+    )
+
+
+def predicate_volatility_sql(intervals_sql: str) -> str:
+    """DuckDB mirror over any relation exposing (pred, subj, valid_from,
+    valid_to)."""
+    return f"""
+    WITH iv AS ({intervals_sql}),
+    agg AS (
+      SELECT pred,
+             CAST(count(DISTINCT subj) AS BIGINT) AS n_keys,
+             CAST(count(*) AS BIGINT) AS n_versions,
+             CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_closed,
+             CAST(sum(CASE WHEN valid_to IS NOT NULL
+                           THEN valid_to - valid_from ELSE 0 END)
+                  AS BIGINT) AS closed_dur_s_total
+      FROM iv GROUP BY pred)
+    SELECT pred, n_keys, n_versions,
+           CAST((n_versions * 1000000) // n_keys AS BIGINT)
+             AS versions_per_key_micro,
+           n_closed, closed_dur_s_total,
+           CASE WHEN n_closed > 0
+                THEN CAST(closed_dur_s_total // n_closed AS BIGINT)
+                ELSE NULL END AS mean_closed_dur_s
+    FROM agg
+    """
