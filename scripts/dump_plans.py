@@ -422,6 +422,20 @@ def main() -> None:
         "per-host state O(cap) on both sides of the exchange.",
     )
 
+    queries["graph_reciprocity (mutual-link share per node)"] = (
+        _entry.queries()["graph_reciprocity"](spark, SF),
+        "r5c: distinct edge set → ONE reversed-pair left_semi self-join "
+        "of slim (src, dst) ids → two algebraic groupBys (partial_count "
+        "map-side); exact BIGINT micro share, self-loops excluded.",
+    )
+
+    queries["kg_volatility (per-predicate churn profile)"] = (
+        _entry.queries()["kg_volatility"](spark, SF),
+        "r5c: one algebraic groupBy over the SCD2 intervals frame — "
+        "hot predicates pre-aggregate map-side; exact integer ratios "
+        "with a both-engine zero-division guard on the mean duration.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
