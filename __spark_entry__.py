@@ -795,6 +795,47 @@ def q_graph_reciprocity(spark, sf_dir):
     return reciprocity(spark.sql(_entity_graph_sql("spark")))
 
 
+def q_jsonld_items(spark, sf_dir):
+    """Schema.org JSON-LD extraction (operators/structured.py): publisher-
+    written structured markup — the highest-precision web-KG source.
+    Pages synthesized closed-form: every doc carries an Organization
+    block; every 5th adds a Person block; every 10th+3 a MALFORMED block
+    that must surface as NULLs, never drop."""
+    from augmented_codebase_indexer_spark.operators.structured import (
+        extract_jsonld,
+        jsonld_items,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    org = F.concat(
+        F.lit('{"@type":"Organization","name":"Entity'), k,
+        F.lit('","url":"https://docs.example/e/'), k, F.lit('"}'),
+    )
+    person = F.concat(
+        F.lit('{"@type":"Person","name":"Author '),
+        (F.col("doc_id") % 20).cast("string"), F.lit('"}'),
+    )
+    bad = F.lit('{"@type":"Organization","name":')
+    tag = '<script type="application/ld+json">'
+    html_str = F.concat(
+        F.lit("<html><body><p>x</p>" + tag), org, F.lit("</script>"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(tag), person, F.lit("</script>"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 10 == 3,
+               F.concat(F.lit(tag), bad, F.lit("</script>"))
+               ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://docs.example/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html_str, "UTF-8").alias("html"),
+    )
+    return jsonld_items(extract_jsonld(pages))
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1725,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "kg_volatility": q_kg_volatility,
         "graph_reciprocity": q_graph_reciprocity,
+        "jsonld_items": q_jsonld_items,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1767,12 +1809,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dedup": q_window_dedup,
         "rrf_fuse": q_rrf_fuse,
         "percentiles": q_percentiles,
-        "lang_stats": q_lang_stats,
-        # ------ driver 50-entry window ends here (#50 = lang_stats) ---
-        # distinct_sources .. score_normalize: r4-driver-green, displaced
-        # by the eight r5c additions (anchor_profile / redirect_resolve /
+        # ------ driver 50-entry window ends here (#50 = percentiles) ---
+        # lang_stats .. score_normalize: r4-driver-green, displaced by
+        # the nine r5c additions (anchor_profile / redirect_resolve /
         # comention_pmi / phrase_search / dedup_containment /
-        # crawl_frontier / kg_volatility / graph_reciprocity)
+        # crawl_frontier / kg_volatility / graph_reciprocity /
+        # jsonld_items)
+        "lang_stats": q_lang_stats,
         "distinct_sources": q_distinct_sources,
         "topk_docs": q_topk_docs,
         "set_ops": q_set_ops,
@@ -2811,6 +2854,28 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["graph_reciprocity"] = reciprocity_oracle_sql(_entity_graph_sql("duckdb"))
+
+    # JSON-LD items: closed-form block reconstruction (same strings the
+    # Spark entry builds into html), field paths via json_valid-guarded
+    # ->> so malformed blocks yield NULLs on both engines
+    from augmented_codebase_indexer_spark.operators.structured import (
+        jsonld_items_sql,
+    )
+
+    _jsonld_url = "'https://docs.example/' || source || '/' || doc_id"
+    sql["jsonld_items"] = jsonld_items_sql(
+        f"SELECT {_jsonld_url} AS url, 1 AS block_idx, "
+        "'{\"@type\":\"Organization\",\"name\":\"Entity' || (doc_id % 50) || "
+        "'\",\"url\":\"https://docs.example/e/' || (doc_id % 50) || '\"}' AS raw "
+        "FROM documents "
+        "UNION ALL "
+        f"SELECT {_jsonld_url}, 2, "
+        "'{\"@type\":\"Person\",\"name\":\"Author ' || (doc_id % 20) || '\"}' "
+        "FROM documents WHERE doc_id % 5 = 0 "
+        "UNION ALL "
+        f"SELECT {_jsonld_url}, 2, '{{\"@type\":\"Organization\",\"name\":' "
+        "FROM documents WHERE doc_id % 10 = 3"
+    )
     sql["kg_snapshot"] = scd2_oracle_sql(_TEMPORAL_FACTS_SQL, as_of=_TEMPORAL_AS_OF)
 
     from augmented_codebase_indexer_spark.operators.temporal import (
