@@ -836,6 +836,39 @@ def q_jsonld_items(spark, sf_dir):
     return jsonld_items(extract_jsonld(pages))
 
 
+def q_web_tables(spark, sf_dir):
+    """WebTables relation recovery (operators/webtables.py): header→value
+    pairs from HTML tables, three codegen explode levels + one slim join.
+    Tables synthesized closed-form: 2-col header + one data row per doc,
+    every 3rd doc a second row."""
+    from augmented_codebase_indexer_spark.operators.webtables import (
+        extract_table_cells,
+        table_relations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    obj = ((F.col("doc_id") * 7 + 13) % 50).cast("string")
+    m = (F.col("doc_id") % 6).cast("string")
+    html_str = F.concat(
+        F.lit('<html><table class="facts"><tr><th>name</th><th>role</th></tr>'
+              "<tr><td>Entity"), k, F.lit("</td><td>R"), m,
+        F.lit("</td></tr>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<tr><td>Entity"), obj,
+                     F.lit("</td><td>partner</td></tr>")),
+        ).otherwise(F.lit("")),
+        F.lit("</table></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://docs.example/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html_str, "UTF-8").alias("html"),
+    )
+    return table_relations(extract_table_cells(pages))
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1767,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_volatility": q_kg_volatility,
         "graph_reciprocity": q_graph_reciprocity,
         "jsonld_items": q_jsonld_items,
+        "web_tables": q_web_tables,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1808,13 +1842,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window": q_event_window,
         "window_dedup": q_window_dedup,
         "rrf_fuse": q_rrf_fuse,
-        "percentiles": q_percentiles,
-        # ------ driver 50-entry window ends here (#50 = percentiles) ---
-        # lang_stats .. score_normalize: r4-driver-green, displaced by
-        # the nine r5c additions (anchor_profile / redirect_resolve /
+        # ------ driver 50-entry window ends here (#50 = rrf_fuse) ---
+        # percentiles .. score_normalize: r4-driver-green, displaced by
+        # the ten r5c additions (anchor_profile / redirect_resolve /
         # comention_pmi / phrase_search / dedup_containment /
         # crawl_frontier / kg_volatility / graph_reciprocity /
-        # jsonld_items)
+        # jsonld_items / web_tables)
+        "percentiles": q_percentiles,
         "lang_stats": q_lang_stats,
         "distinct_sources": q_distinct_sources,
         "topk_docs": q_topk_docs,
@@ -2860,6 +2894,28 @@ def oracle_sql() -> dict[str, str]:
     # ->> so malformed blocks yield NULLs on both engines
     from augmented_codebase_indexer_spark.operators.structured import (
         jsonld_items_sql,
+    )
+
+    # web tables: closed-form cell reconstruction feeding the relation
+    # mirror (row 1 header; every 3rd doc a second data row)
+    from augmented_codebase_indexer_spark.operators.webtables import (
+        table_relations_sql,
+    )
+
+    _wt_url = "'https://docs.example/' || source || '/' || doc_id"
+    sql["web_tables"] = table_relations_sql(
+        f"SELECT {_wt_url} AS url, 1 AS table_idx, 1 AS row_idx, "
+        "1 AS col_idx, 'name' AS cell FROM documents "
+        f"UNION ALL SELECT {_wt_url}, 1, 1, 2, 'role' FROM documents "
+        f"UNION ALL SELECT {_wt_url}, 1, 2, 1, 'Entity' || (doc_id % 50) "
+        "FROM documents "
+        f"UNION ALL SELECT {_wt_url}, 1, 2, 2, 'R' || (doc_id % 6) "
+        "FROM documents "
+        f"UNION ALL SELECT {_wt_url}, 1, 3, 1, "
+        "'Entity' || ((doc_id * 7 + 13) % 50) "
+        "FROM documents WHERE doc_id % 3 = 0 "
+        f"UNION ALL SELECT {_wt_url}, 1, 3, 2, 'partner' "
+        "FROM documents WHERE doc_id % 3 = 0"
     )
 
     _jsonld_url = "'https://docs.example/' || source || '/' || doc_id"
