@@ -869,6 +869,43 @@ def q_web_tables(spark, sf_dir):
     return table_relations(extract_table_cells(pages))
 
 
+def q_sitemap_recrawl(spark, sf_dir):
+    """Sitemap changed-since recrawl selection (operators/sitemaps.py):
+    parse per-domain sitemap XML (assembled closed-form, one <url> block
+    per doc with a lastmod date from doc_id arithmetic), diff against a
+    synthesized fetch log — never-fetched urls are 'new', stale ones
+    'modified', fresh ones skipped. The oracle reconstructs entries and
+    log with pure integer epoch arithmetic (UTC session timezone)."""
+    from augmented_codebase_indexer_spark.operators.sitemaps import (
+        parse_sitemap,
+        recrawl_candidates,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    site = (F.col("doc_id") % 7).cast("string")
+    url = F.concat(F.lit("https://site"), site, F.lit(".example.com/p/"),
+                   F.col("doc_id").cast("string"))
+    day = F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0")
+    block = F.concat(
+        F.lit("<url><loc>"), url, F.lit("</loc><lastmod>2026-01-"), day,
+        F.lit("</lastmod></url>"),
+    )
+    sitemaps = (
+        d.select(F.concat(F.lit("site"), site, F.lit(".example.com"))
+                 .alias("domain"), block.alias("block"))
+        .groupBy("domain")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("block"))).alias("xml"))
+        .select("domain", F.concat(F.lit("<urlset>"), F.col("xml"),
+                                   F.lit("</urlset>")).alias("xml"))
+    )
+    log = d.filter(F.col("doc_id") % 2 == 0).select(
+        url.alias("url"),
+        (F.lit(1767225600) + (F.col("doc_id") % 31) * 86400 + 3600)
+        .cast("long").alias("fetched_at"),
+    )
+    return recrawl_candidates(parse_sitemap(sitemaps), log)
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1801,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": q_graph_reciprocity,
         "jsonld_items": q_jsonld_items,
         "web_tables": q_web_tables,
+        "sitemap_recrawl": q_sitemap_recrawl,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1841,13 +1879,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_topk_revenue": q_join_topk_revenue,
         "event_window": q_event_window,
         "window_dedup": q_window_dedup,
-        "rrf_fuse": q_rrf_fuse,
-        # ------ driver 50-entry window ends here (#50 = rrf_fuse) ---
-        # percentiles .. score_normalize: r4-driver-green, displaced by
-        # the ten r5c additions (anchor_profile / redirect_resolve /
+        # ------ driver 50-entry window ends here (#50 = window_dedup) ---
+        # rrf_fuse .. score_normalize: r4-driver-green, displaced by the
+        # eleven r5c additions (anchor_profile / redirect_resolve /
         # comention_pmi / phrase_search / dedup_containment /
         # crawl_frontier / kg_volatility / graph_reciprocity /
-        # jsonld_items / web_tables)
+        # jsonld_items / web_tables / sitemap_recrawl)
+        "rrf_fuse": q_rrf_fuse,
         "percentiles": q_percentiles,
         "lang_stats": q_lang_stats,
         "distinct_sources": q_distinct_sources,
@@ -2894,6 +2932,23 @@ def oracle_sql() -> dict[str, str]:
     # ->> so malformed blocks yield NULLs on both engines
     from augmented_codebase_indexer_spark.operators.structured import (
         jsonld_items_sql,
+    )
+
+    # sitemap recrawl: entries + fetch log reconstructed with pure
+    # integer epoch arithmetic (1767225600 = 2026-01-01T00:00Z; lastmod
+    # day = doc_id % 27 + 1; even docs fetched at day doc_id % 31 + 1h)
+    from augmented_codebase_indexer_spark.operators.sitemaps import (
+        recrawl_candidates_sql,
+    )
+
+    _sm_url = ("'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id")
+    sql["sitemap_recrawl"] = recrawl_candidates_sql(
+        f"SELECT {_sm_url} AS loc, "
+        "CAST(1767225600 + (doc_id % 27) * 86400 AS BIGINT) AS lastmod_epoch "
+        "FROM documents",
+        f"SELECT {_sm_url} AS url, "
+        "CAST(1767225600 + (doc_id % 31) * 86400 + 3600 AS BIGINT) "
+        "AS fetched_at FROM documents WHERE doc_id % 2 = 0",
     )
 
     # web tables: closed-form cell reconstruction feeding the relation
