@@ -615,7 +615,8 @@ def main() -> None:
         # co-mention PMI — same frozen best-of-2 method
         "anchor_profile", "redirect_resolve", "comention_pmi",
         "phrase_search", "dedup_containment", "crawl_frontier",
-        "kg_volatility", "graph_reciprocity",
+        "kg_volatility", "graph_reciprocity", "jsonld_items",
+        "web_tables", "sitemap_recrawl",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every

@@ -436,6 +436,27 @@ def main() -> None:
         "with a both-engine zero-division guard on the mean duration.",
     )
 
+    queries["jsonld_items (schema.org structured markup)"] = (
+        _entry.queries()["jsonld_items"](spark, SF),
+        "r5c: one codegen scan regexes JSON-LD blocks in document order "
+        "— the html payload dies inside the scan; JSON path extraction "
+        "is a builtin projection; malformed blocks surface as NULLs.",
+    )
+
+    queries["web_tables (WebTables relation recovery)"] = (
+        _entry.queries()["web_tables"](spark, SF),
+        "r5c: three chained posexplode levels inside codegen (table → "
+        "tr → td/th), then ONE slim (url, table, col)-keyed join pairing "
+        "data cells with row-1 headers — no html over any exchange.",
+    )
+
+    queries["sitemap_recrawl (changed-since selection)"] = (
+        _entry.queries()["sitemap_recrawl"](spark, SF),
+        "r5c: codegen url-block explode + UTC epoch parse, then one "
+        "url-keyed left join of slim (url, epoch) rows against the "
+        "fetch log; verdicts are pure CASE arithmetic.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
