@@ -906,6 +906,74 @@ def q_sitemap_recrawl(spark, sf_dir):
     return recrawl_candidates(parse_sitemap(sitemaps), log)
 
 
+def q_kg_multisource(spark, sf_dir):
+    """The multi-source KG merge: triples from all four extraction
+    families — pattern OpenIE (the planted relation facts), LIVE Hearst
+    regex extraction, LIVE JSON-LD extraction, LIVE web-table relation
+    recovery — unioned with provenance and aggregated per fact:
+    (subj, pred, obj, n_obs, srcs). The oracle reconstructs every
+    family closed-form (Hearst/JSON-LD/web-table plants are doc_id
+    arithmetic), so three real extraction chains are cross-checked
+    inside ONE composed gate."""
+    openie = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("Entity"), (F.col("doc_id") % 50).cast("string"))
+        .alias("subj"),
+        F.expr(
+            "CASE doc_id % 6 WHEN 0 THEN 'acquired' WHEN 1 THEN 'founded_by' "
+            "WHEN 2 THEN 'located_in' WHEN 3 THEN 'partnered_with' "
+            "WHEN 4 THEN 'subsidiary_of' ELSE 'works_for' END"
+        ).alias("pred"),
+        F.concat(F.lit("Entity"),
+                 ((F.col("doc_id") * 7 + 13) % 50).cast("string")).alias("obj"),
+        F.lit("openie").alias("src"),
+    )
+    hearst = q_hearst_isa(spark, sf_dir).select(
+        F.col("hypo").alias("subj"), "pred", F.col("hyper").alias("obj"),
+        F.lit("hearst").alias("src"),
+    )
+    jsonld = (
+        q_jsonld_items(spark, sf_dir)
+        .filter(F.col("name").isNotNull() & F.col("item_type").isNotNull())
+        .select(
+            F.col("name").alias("subj"),
+            F.lit("instance_of").alias("pred"),
+            F.col("item_type").alias("obj"),
+            F.lit("jsonld").alias("src"),
+        )
+    )
+    wt = q_web_tables(spark, sf_dir)
+    names = wt.filter(F.col("header") == "name").select(
+        "url", "table_idx", "row_idx", F.col("value").alias("subj")
+    )
+    webtable = (
+        wt.filter(F.col("header") != "name")
+        .join(names, ["url", "table_idx", "row_idx"])
+        .select("subj", F.col("header").alias("pred"),
+                F.col("value").alias("obj"), F.lit("webtable").alias("src"))
+    )
+    # seed-KB priors overlap the JSON-LD type assertions on purpose, so
+    # the provenance merge (srcs='jsonld,kb') is exercised in the gate
+    kb = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 50).alias("k")).distinct()
+        .select(
+            F.concat(F.lit("Entity"), F.col("k").cast("string")).alias("subj"),
+            F.lit("instance_of").alias("pred"),
+            F.lit("Organization").alias("obj"),
+            F.lit("kb").alias("src"),
+        )
+    )
+    return (
+        openie.unionByName(hearst).unionByName(jsonld).unionByName(webtable)
+        .unionByName(kb)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.array_join(F.array_sort(F.collect_set("src")), ",").alias("srcs"),
+        )
+    )
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1839,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_items": q_jsonld_items,
         "web_tables": q_web_tables,
         "sitemap_recrawl": q_sitemap_recrawl,
+        "kg_multisource": q_kg_multisource,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1878,13 +1947,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "join_topk_revenue": q_join_topk_revenue,
         "event_window": q_event_window,
-        "window_dedup": q_window_dedup,
-        # ------ driver 50-entry window ends here (#50 = window_dedup) ---
-        # rrf_fuse .. score_normalize: r4-driver-green, displaced by the
-        # eleven r5c additions (anchor_profile / redirect_resolve /
+        # ------ driver 50-entry window ends here (#50 = event_window) ---
+        # window_dedup .. score_normalize: r4-driver-green, displaced by
+        # the twelve r5c additions (anchor_profile / redirect_resolve /
         # comention_pmi / phrase_search / dedup_containment /
         # crawl_frontier / kg_volatility / graph_reciprocity /
-        # jsonld_items / web_tables / sitemap_recrawl)
+        # jsonld_items / web_tables / sitemap_recrawl / kg_multisource)
+        "window_dedup": q_window_dedup,
         "rrf_fuse": q_rrf_fuse,
         "percentiles": q_percentiles,
         "lang_stats": q_lang_stats,
@@ -2933,6 +3002,45 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.structured import (
         jsonld_items_sql,
     )
+
+    # multi-source KG merge: every family reconstructed closed-form and
+    # unioned with src tags; srcs = sorted comma-joined distinct tags
+    sql["kg_multisource"] = f"""
+    WITH openie AS (
+      SELECT 'Entity' || (doc_id % 50) AS subj,
+             CASE doc_id % 6 WHEN 0 THEN 'acquired' WHEN 1 THEN 'founded_by'
+               WHEN 2 THEN 'located_in' WHEN 3 THEN 'partnered_with'
+               WHEN 4 THEN 'subsidiary_of' ELSE 'works_for' END AS pred,
+             'Entity' || ((doc_id * 7 + 13) % 50) AS obj,
+             'openie' AS src
+      FROM documents),
+    hearst AS (
+      SELECT hypo AS subj, pred, hyper AS obj, 'hearst' AS src
+      FROM ({_hearst_expected_sql()})),
+    jsonld AS (
+      SELECT 'Entity' || (doc_id % 50) AS subj, 'instance_of' AS pred,
+             'Organization' AS obj, 'jsonld' AS src FROM documents
+      UNION ALL
+      SELECT 'Author ' || (doc_id % 20), 'instance_of', 'Person', 'jsonld'
+      FROM documents WHERE doc_id % 5 = 0),
+    webtable AS (
+      SELECT 'Entity' || (doc_id % 50) AS subj, 'role' AS pred,
+             'R' || (doc_id % 6) AS obj, 'webtable' AS src FROM documents
+      UNION ALL
+      SELECT 'Entity' || ((doc_id * 7 + 13) % 50), 'role', 'partner',
+             'webtable' FROM documents WHERE doc_id % 3 = 0),
+    kb AS (
+      SELECT DISTINCT 'Entity' || (doc_id % 50) AS subj,
+             'instance_of' AS pred, 'Organization' AS obj, 'kb' AS src
+      FROM documents),
+    allsrc AS (
+      SELECT * FROM openie UNION ALL SELECT * FROM hearst
+      UNION ALL SELECT * FROM jsonld UNION ALL SELECT * FROM webtable
+      UNION ALL SELECT * FROM kb)
+    SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_obs,
+           string_agg(DISTINCT src, ',' ORDER BY src) AS srcs
+    FROM allsrc GROUP BY subj, pred, obj
+    """
 
     # sitemap recrawl: entries + fetch log reconstructed with pure
     # integer epoch arithmetic (1767225600 = 2026-01-01T00:00Z; lastmod
