@@ -974,6 +974,19 @@ def q_kg_multisource(spark, sf_dir):
     )
 
 
+def q_crawl_novelty(spark, sf_dir):
+    """Crawl-increment novelty (operators/dedup.py::gram_novelty): per new
+    doc (every 10th, the 'increment'), the exact share of distinct grams
+    the rest of the corpus has never seen — the crawl-yield metric."""
+    from augmented_codebase_indexer_spark.operators.dedup import gram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return gram_novelty(
+        d.filter(F.col("doc_id") % 10 == 7),
+        d.filter(F.col("doc_id") % 10 != 7),
+    )
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1908,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_tables": q_web_tables,
         "sitemap_recrawl": q_sitemap_recrawl,
         "kg_multisource": q_kg_multisource,
+        "crawl_novelty": q_crawl_novelty,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1946,13 +1960,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "artifact_search": q_artifact_search,
         "q1_pricing_summary": q1_pricing_summary,
         "join_topk_revenue": q_join_topk_revenue,
-        "event_window": q_event_window,
-        # ------ driver 50-entry window ends here (#50 = event_window) ---
-        # window_dedup .. score_normalize: r4-driver-green, displaced by
-        # the twelve r5c additions (anchor_profile / redirect_resolve /
+        # ------ driver 50-entry window ends here (#50 = join_topk) ---
+        # event_window .. score_normalize: r4-driver-green, displaced by
+        # the thirteen r5c additions (anchor_profile / redirect_resolve /
         # comention_pmi / phrase_search / dedup_containment /
         # crawl_frontier / kg_volatility / graph_reciprocity /
-        # jsonld_items / web_tables / sitemap_recrawl / kg_multisource)
+        # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
+        # crawl_novelty)
+        "event_window": q_event_window,
         "window_dedup": q_window_dedup,
         "rrf_fuse": q_rrf_fuse,
         "percentiles": q_percentiles,
@@ -3001,6 +3016,14 @@ def oracle_sql() -> dict[str, str]:
     # ->> so malformed blocks yield NULLs on both engines
     from augmented_codebase_indexer_spark.operators.structured import (
         jsonld_items_sql,
+    )
+
+    # crawl novelty: the exact unigram mirror over the same %10 split
+    from augmented_codebase_indexer_spark.operators.dedup import gram_novelty_sql
+
+    sql["crawl_novelty"] = gram_novelty_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7",
     )
 
     # multi-source KG merge: every family reconstructed closed-form and

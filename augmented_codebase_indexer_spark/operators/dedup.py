@@ -174,6 +174,80 @@ def ngram_containment_pairs(
     return a_in_b.unionByName(b_in_a)
 
 
+def gram_novelty(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document NOVELTY of a crawl increment against the existing
+    corpus: the share of a new doc's distinct n-grams never seen in the
+    corpus — the standard "did this crawl add anything" yield metric
+    (the complement of Bernstein & Zobel's containment-style redundancy,
+    and what incremental corpus reports track per batch). The reference's
+    analog is the content-hash diff (changed-or-not per url); this is the
+    graded version (how MUCH changed, at gram granularity).
+
+    → (doc_id, n_grams, n_new, novelty_micro), all BIGINT; the gate is
+    the exact cross-multiplied share. Shape: distinct grams both sides,
+    one gram-keyed LEFT ANTI join (only fixed-width gram strings move —
+    at corpus scale hash the gram first; here grams stay raw so the
+    DuckDB oracle is trivially identical), two algebraic counts."""
+    def grams_of(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        if n == 1:
+            g = F.array_distinct(toks)
+        else:
+            g = F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            )
+        return df.select(F.col(id_col).alias("id"), F.explode(g).alias("gram"))
+
+    new_g = grams_of(new_docs)
+    seen = grams_of(corpus).select("gram").distinct()
+    fresh = new_g.join(seen, "gram", "left_anti")
+    totals = new_g.groupBy("id").agg(F.count("*").cast("long").alias("n_grams"))
+    news = fresh.groupBy("id").agg(F.count("*").cast("long").alias("n_new"))
+    return (
+        totals.join(news, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.expr("coalesce(n_new, 0) * 1000000 DIV n_grams")
+            .alias("novelty_micro"),
+        )
+    )
+
+
+def gram_novelty_sql(new_sql: str, corpus_sql: str) -> str:
+    """DuckDB mirror (n=1 unigram form) over closed-form (doc_id, text)
+    relations."""
+    return f"""
+    WITH new_g AS (
+      SELECT DISTINCT doc_id AS id, g.gram
+      FROM ({new_sql}), unnest(string_split(text, ' ')) AS g(gram)),
+    seen AS (
+      SELECT DISTINCT g.gram
+      FROM ({corpus_sql}), unnest(string_split(text, ' ')) AS g(gram)),
+    fresh AS (SELECT id, gram FROM new_g
+              WHERE gram NOT IN (SELECT gram FROM seen)),
+    totals AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+               FROM new_g GROUP BY id),
+    news AS (SELECT id, CAST(count(*) AS BIGINT) AS n_new
+             FROM fresh GROUP BY id)
+    SELECT t.id AS doc_id, t.n_grams,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST((coalesce(n.n_new, 0) * 1000000) // t.n_grams AS BIGINT)
+             AS novelty_micro
+    FROM totals t LEFT JOIN news n ON n.id = t.id
+    """
+
+
 def with_minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -77,3 +77,44 @@ def test_duckdb_parity(spark):
     )
     want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == want
+
+
+def test_gram_novelty_hand_computed(spark):
+    from augmented_codebase_indexer_spark.operators.dedup import gram_novelty
+
+    corpus = spark.createDataFrame(
+        [(100, "x y z"), (101, "p q")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x y NEW"),       # 1 of 3 grams new
+         (2, "a b c"),         # all new
+         (3, "x y z p")],      # none new
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_new"], r["novelty_micro"])
+           for r in gram_novelty(new, corpus).collect()}
+    assert got == {
+        1: (3, 1, 333_333),
+        2: (3, 3, 1_000_000),
+        3: (4, 0, 0),
+    }
+
+
+def test_gram_novelty_duckdb_parity(spark):
+    import duckdb
+
+    from augmented_codebase_indexer_spark.operators.dedup import (
+        gram_novelty,
+        gram_novelty_sql,
+    )
+
+    corpus_rows = [(100, "x y z"), (101, "p q")]
+    new_rows = [(1, "x y NEW"), (2, "a b c"), (3, "x y z p")]
+    mk = lambda rows: " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in rows)
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = sorted(map(tuple, gram_novelty(new, corpus).collect()))
+    want = sorted(map(tuple, duckdb.connect().execute(
+        gram_novelty_sql(mk(new_rows), mk(corpus_rows))).fetchall()))
+    assert got == want
