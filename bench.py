@@ -616,7 +616,7 @@ def main() -> None:
         "anchor_profile", "redirect_resolve", "comention_pmi",
         "phrase_search", "dedup_containment", "crawl_frontier",
         "kg_volatility", "graph_reciprocity", "jsonld_items",
-        "web_tables", "sitemap_recrawl",
+        "web_tables", "sitemap_recrawl", "kg_multisource", "crawl_novelty",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every

@@ -457,6 +457,20 @@ def main() -> None:
         "fetch log; verdicts are pure CASE arithmetic.",
     )
 
+    queries["kg_multisource (five-family provenance merge)"] = (
+        _entry.queries()["kg_multisource"](spark, SF),
+        "r5c: three live extraction chains (Hearst regex, JSON-LD, "
+        "web-table recovery) + planted OpenIE + KB priors union into "
+        "one (subj, pred, obj) groupBy — the merge is a single "
+        "map-side-combined exchange of fact keys + src tags.",
+    )
+
+    queries["crawl_novelty (per-doc never-seen gram share)"] = (
+        _entry.queries()["crawl_novelty"](spark, SF),
+        "r5c: distinct grams both sides, one gram-keyed LEFT ANTI join, "
+        "two algebraic counts; gated share is BIGINT cross-multiply.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
