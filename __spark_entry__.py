@@ -987,6 +987,20 @@ def q_crawl_novelty(spark, sf_dir):
     )
 
 
+def q_hll_vocab(spark, sf_dir):
+    """HyperLogLog register table over the corpus vocabulary (operators/
+    hll.py): the mergeable distinct-counting sketch — the gate hashes the
+    exact integer registers, the float estimate stays display-path."""
+    from augmented_codebase_indexer_spark.operators.hll import hll_registers
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("value"))
+        .filter(F.col("value") != "")
+    )
+    return hll_registers(toks)
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1922,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_recrawl": q_sitemap_recrawl,
         "kg_multisource": q_kg_multisource,
         "crawl_novelty": q_crawl_novelty,
+        "hll_vocab": q_hll_vocab,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1959,14 +1974,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "artifact_search": q_artifact_search,
         "q1_pricing_summary": q1_pricing_summary,
-        "join_topk_revenue": q_join_topk_revenue,
-        # ------ driver 50-entry window ends here (#50 = join_topk) ---
-        # event_window .. score_normalize: r4-driver-green, displaced by
-        # the thirteen r5c additions (anchor_profile / redirect_resolve /
-        # comention_pmi / phrase_search / dedup_containment /
+        # ------ driver 50-entry window ends here (#50 = q1_pricing) ---
+        # join_topk_revenue .. score_normalize: r4-driver-green, displaced
+        # by the fourteen r5c additions (anchor_profile / redirect_resolve
+        # / comention_pmi / phrase_search / dedup_containment /
         # crawl_frontier / kg_volatility / graph_reciprocity /
         # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
-        # crawl_novelty)
+        # crawl_novelty / hll_vocab)
+        "join_topk_revenue": q_join_topk_revenue,
         "event_window": q_event_window,
         "window_dedup": q_window_dedup,
         "rrf_fuse": q_rrf_fuse,
@@ -3016,6 +3031,17 @@ def oracle_sql() -> dict[str, str]:
     # ->> so malformed blocks yield NULLs on both engines
     from augmented_codebase_indexer_spark.operators.structured import (
         jsonld_items_sql,
+    )
+
+    # HLL vocab registers: identical md5-hex register expressions both
+    # engines; the gate is the integer (bucket, max_rho) table
+    from augmented_codebase_indexer_spark.operators.hll import (
+        hll_registers_oracle_sql,
+    )
+
+    sql["hll_vocab"] = hll_registers_oracle_sql(
+        "SELECT g.tok AS value FROM documents, "
+        "unnest(string_split(text, ' ')) AS g(tok) WHERE g.tok <> ''"
     )
 
     # crawl novelty: the exact unigram mirror over the same %10 split

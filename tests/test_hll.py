@@ -1,0 +1,66 @@
+"""HLL registers (operators/hll.py): cross-engine register identity,
+mergeability (sketch of union == max of sketches), estimator accuracy,
+and rho edge semantics."""
+
+from augmented_codebase_indexer_spark.operators.hll import (
+    M,
+    hll_estimate,
+    hll_registers,
+    hll_registers_oracle_sql,
+)
+
+
+def _vals(spark, n, prefix="tok"):
+    return spark.range(n).selectExpr(f"concat('{prefix}', id) AS value")
+
+
+def test_registers_match_duckdb(spark):
+    import duckdb
+
+    got = sorted(
+        map(tuple, hll_registers(_vals(spark, 500)).collect())
+    )
+    want = sorted(map(tuple, duckdb.connect().execute(
+        hll_registers_oracle_sql(
+            "SELECT 'tok' || CAST(range AS VARCHAR) AS value FROM range(500)"
+        )
+    ).fetchall()))
+    assert got == want
+
+
+def test_merge_equals_union(spark):
+    import pyspark.sql.functions as F
+
+    a = _vals(spark, 300, "a")
+    b = _vals(spark, 300, "b")
+    direct = {r["bucket"]: r["max_rho"]
+              for r in hll_registers(a.unionAll(b)).collect()}
+    merged = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(a).unionByName(hll_registers(b))
+        .groupBy("bucket").agg(F.max("max_rho").alias("max_rho")).collect()
+    }
+    assert direct == merged  # the algebraic-merge property
+
+
+def test_estimate_within_expected_error(spark):
+    for n in (200, 2000):
+        regs = {r["bucket"]: r["max_rho"]
+                for r in hll_registers(_vals(spark, n)).collect()}
+        est = hll_estimate(regs)
+        # m=64 → σ ≈ 13%; allow 4σ
+        assert abs(est - n) / n < 0.52, (n, est)
+
+
+def test_duplicates_do_not_move_registers(spark):
+    once = {r["bucket"]: r["max_rho"]
+            for r in hll_registers(_vals(spark, 100)).collect()}
+    tripled = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(
+            _vals(spark, 100).unionAll(_vals(spark, 100))
+            .unionAll(_vals(spark, 100))
+        ).collect()
+    }
+    assert once == tripled
+    assert sum(1 for _ in once) <= M
