@@ -471,6 +471,13 @@ def main() -> None:
         "two algebraic counts; gated share is BIGINT cross-multiply.",
     )
 
+    queries["hll_vocab (mergeable distinct-count sketch)"] = (
+        _entry.queries()["hll_vocab"](spark, SF),
+        "r5c: md5-hex register expressions inside codegen, then an "
+        "algebraic max-per-bucket aggregate — partial_max collapses "
+        "each partition to ≤64 rows before the single exchange.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
