@@ -1001,6 +1001,15 @@ def q_hll_vocab(spark, sf_dir):
     return hll_registers(toks)
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-k tf·idf terms per document (operators/keywords.py): ONE
+    quantized float (idf_micro, tie-distance-audited), exact BIGINT
+    scores downstream, WindowGroupLimit-planned top-k."""
+    from augmented_codebase_indexer_spark.operators.keywords import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1937,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_multisource": q_kg_multisource,
         "crawl_novelty": q_crawl_novelty,
         "hll_vocab": q_hll_vocab,
+        "tfidf_keywords": q_tfidf_keywords,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1973,14 +1983,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "hybrid_search": q_hybrid_search,
         "artifact_search": q_artifact_search,
+        # ------ driver 50-entry window ends here (#50 = artifact_search)
+        # q1_pricing_summary .. score_normalize: r4-driver-green,
+        # displaced by the fifteen r5c additions (anchor_profile /
+        # redirect_resolve / comention_pmi / phrase_search /
+        # dedup_containment / crawl_frontier / kg_volatility /
+        # graph_reciprocity / jsonld_items / web_tables / sitemap_recrawl
+        # / kg_multisource / crawl_novelty / hll_vocab / tfidf_keywords)
         "q1_pricing_summary": q1_pricing_summary,
-        # ------ driver 50-entry window ends here (#50 = q1_pricing) ---
-        # join_topk_revenue .. score_normalize: r4-driver-green, displaced
-        # by the fourteen r5c additions (anchor_profile / redirect_resolve
-        # / comention_pmi / phrase_search / dedup_containment /
-        # crawl_frontier / kg_volatility / graph_reciprocity /
-        # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
-        # crawl_novelty / hll_vocab)
         "join_topk_revenue": q_join_topk_revenue,
         "event_window": q_event_window,
         "window_dedup": q_window_dedup,
@@ -3032,6 +3042,14 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.structured import (
         jsonld_items_sql,
     )
+
+    # tf-idf keywords: identical tokenization/quantization/tie-break;
+    # the single float quantization (idf_micro) is tie-distance-audited
+    from augmented_codebase_indexer_spark.operators.keywords import (
+        tfidf_keywords_sql,
+    )
+
+    sql["tfidf_keywords"] = tfidf_keywords_sql(k=3)
 
     # HLL vocab registers: identical md5-hex register expressions both
     # engines; the gate is the integer (bucket, max_rho) table

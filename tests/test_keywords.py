@@ -1,0 +1,71 @@
+"""TF-IDF keywords (operators/keywords.py): hand-computed scores,
+rare-beats-common semantics, tie-breaks, DuckDB parity on driver data,
+and the rounding-boundary audit for the one quantized float."""
+
+import math
+
+from augmented_codebase_indexer_spark.operators.keywords import (
+    tfidf_keywords,
+    tfidf_keywords_sql,
+)
+
+DOCS = [
+    (1, "apple apple common"),
+    (2, "banana common common"),
+    (3, "common apple zebra"),
+]
+# N=3; df: apple 2, banana 1, common 3, zebra 1; idf(common)=0
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_rare_beats_common(spark):
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["score_micro"])
+           for r in tfidf_keywords(_df(spark), k=2).collect()}
+    idf = lambda df_: round(1_000_000 * math.log(3 / df_))
+    assert got == {
+        (1, 1): ("apple", 2 * idf(2)),
+        (1, 2): ("common", 0),
+        (2, 1): ("banana", idf(1)),
+        (2, 2): ("common", 0),
+        # doc 3: apple and zebra tie on tf=1? no — zebra idf(1) > apple idf(2)
+        (3, 1): ("zebra", idf(1)),
+        (3, 2): ("apple", idf(2)),
+    }
+
+
+def test_duckdb_parity_on_driver_corpus(spark):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(map(tuple, tfidf_keywords(docs, k=3).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(tfidf_keywords_sql(k=3)).fetchall()))
+    assert got == want
+
+
+def test_idf_rounding_boundary_audit(spark):
+    """The one float→int quantization: measure how close any (N, df)
+    pair of the sf0.01 corpus lands to a round-half boundary. The AA
+    precedent treats <100× float noise as a red flag."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT count(DISTINCT doc_id) AS n FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchone()
+    n = rows[0]
+    dist = min(
+        abs((1_000_000 * math.log(n / df_)) % 1 - 0.5)
+        for df_ in range(1, n + 1)
+        if df_ != n  # ln(1) = 0 exactly — integer, not a boundary case
+    )
+    # float noise on 1e6*ln(x) is ~1e-10; require 100× clearance
+    assert dist > 1e-8, dist
