@@ -478,6 +478,13 @@ def main() -> None:
         "each partition to ≤64 rows before the single exchange.",
     )
 
+    queries["tfidf_keywords (top-k characteristic terms)"] = (
+        _entry.queries()["tfidf_keywords"](spark, SF),
+        "r5c: tf and df are map-side-combined groupBys; idf joins back "
+        "through the counted broadcast guard; the per-doc top-k filter "
+        "plans as WindowGroupLimit (O(k) state per doc).",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
