@@ -1010,6 +1010,33 @@ def q_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_feed_items(spark, sf_dir):
+    """RSS feed parsing (operators/feeds.py): per-domain feeds assembled
+    closed-form (one item per doc, RFC-1123 pubDate from doc_id day
+    arithmetic), parsed back to (link, title, epoch). The oracle
+    reconstructs items without parsing xml; item order inside a feed is
+    the lexical block order == string order of doc_id."""
+    from augmented_codebase_indexer_spark.operators.feeds import parse_feed
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    site = (F.col("doc_id") % 7).cast("string")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://site"), site, F.lit(".example.com/p/"), sid)
+    day = F.lpad((F.col("doc_id") % 27 + 1).cast("string"), 2, "0")
+    block = F.concat(
+        F.lit("<item><title>Doc "), sid, F.lit("</title><link>"), url,
+        F.lit("</link><pubDate>Fri, "), day,
+        F.lit(" Jan 2026 08:30:00 GMT</pubDate></item>"),
+    )
+    feeds = (
+        d.select(F.concat(F.lit("site"), site, F.lit(".example.com"))
+                 .alias("feed_url"), block.alias("block"))
+        .groupBy("feed_url")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("block"))).alias("xml"))
+    )
+    return parse_feed(feeds)
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1947,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_novelty": q_crawl_novelty,
         "hll_vocab": q_hll_vocab,
         "tfidf_keywords": q_tfidf_keywords,
+        "feed_items": q_feed_items,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -1982,14 +2010,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_antijoin": q_interval_antijoin,
         "sessionize": q_sessionize,
         "hybrid_search": q_hybrid_search,
+        # ------ driver 50-entry window ends here (#50 = hybrid_search)
+        # artifact_search .. score_normalize: r4-driver-green, displaced
+        # by the sixteen r5c additions (anchor_profile / redirect_resolve
+        # / comention_pmi / phrase_search / dedup_containment /
+        # crawl_frontier / kg_volatility / graph_reciprocity /
+        # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
+        # crawl_novelty / hll_vocab / tfidf_keywords / feed_items)
         "artifact_search": q_artifact_search,
-        # ------ driver 50-entry window ends here (#50 = artifact_search)
-        # q1_pricing_summary .. score_normalize: r4-driver-green,
-        # displaced by the fifteen r5c additions (anchor_profile /
-        # redirect_resolve / comention_pmi / phrase_search /
-        # dedup_containment / crawl_frontier / kg_volatility /
-        # graph_reciprocity / jsonld_items / web_tables / sitemap_recrawl
-        # / kg_multisource / crawl_novelty / hll_vocab / tfidf_keywords)
         "q1_pricing_summary": q1_pricing_summary,
         "join_topk_revenue": q_join_topk_revenue,
         "event_window": q_event_window,
@@ -3042,6 +3070,31 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.structured import (
         jsonld_items_sql,
     )
+
+    # feed items: closed-form reconstruction; item_idx = lexical order
+    # of the FULL block string (doc-id-string order is NOT the same:
+    # '21</title>' sorts after '210</title>' because '<' > '0'), so the
+    # oracle rebuilds the exact block text as the sort key
+    sql["feed_items"] = """
+    WITH b AS (
+      SELECT 'site' || (doc_id % 7) || '.example.com' AS feed_url,
+             '<item><title>Doc ' || doc_id || '</title><link>'
+               || 'https://site' || (doc_id % 7) || '.example.com/p/'
+               || doc_id || '</link><pubDate>Fri, '
+               || lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0')
+               || ' Jan 2026 08:30:00 GMT</pubDate></item>' AS ord,
+             'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+               AS link,
+             'Doc ' || doc_id AS title,
+             CAST(1767225600 + (doc_id % 27) * 86400 + 30600 AS BIGINT)
+               AS published_epoch
+      FROM documents)
+    SELECT feed_url,
+           CAST(row_number() OVER (PARTITION BY feed_url ORDER BY ord)
+                AS BIGINT) AS item_idx,
+           link, title, published_epoch
+    FROM b
+    """
 
     # tf-idf keywords: identical tokenization/quantization/tie-break;
     # the single float quantization (idf_micro) is tie-distance-audited
