@@ -485,6 +485,13 @@ def main() -> None:
         "plans as WindowGroupLimit (O(k) state per doc).",
     )
 
+    queries["feed_items (RSS/Atom discovery parsing)"] = (
+        _entry.queries()["feed_items"](spark, SF),
+        "r5c: per-feed item explode + field regexes in one codegen "
+        "projection; dates via try_to_timestamp (NULL on bad input, "
+        "no task failure).",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
