@@ -58,3 +58,53 @@ def test_temporal_kg_job_runs_and_resumes(tmp_path, corpus_dir):
         assert os.path.isdir(os.path.join(wh, t)), t
     c2 = _run_temporal(wh, corpus_dir, as_of)
     assert c2 == c1
+
+
+def _run_refresh(wh_dir, inputs_dir):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "refresh_crawl.py"),
+         "--sitemaps", os.path.join(inputs_dir, "sitemaps.parquet"),
+         "--robots", os.path.join(inputs_dir, "robots.parquet"),
+         "--fetch-log", os.path.join(inputs_dir, "fetchlog.parquet"),
+         "--warehouse", wh_dir, "--run-id", "t-refresh",
+         "--per-host-cap", "3"],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_refresh_crawl_job_runs_and_resumes(tmp_path, spark):
+    # 2 domains x 5 urls; b.example disallows /p/ for everyone; half the
+    # urls already fetched after their lastmod (skip), the rest recrawl
+    inputs = str(tmp_path / "in")
+    xml = lambda dom: "<urlset>" + "".join(
+        f"<url><loc>https://{dom}/p/{i}</loc>"
+        f"<lastmod>2026-01-{i + 10:02d}</lastmod></url>" for i in range(5)
+    ) + "</urlset>"
+    spark.createDataFrame(
+        [("a.example", xml("a.example")), ("b.example", xml("b.example"))],
+        "domain string, xml string",
+    ).write.parquet(os.path.join(inputs, "sitemaps.parquet"))
+    spark.createDataFrame(
+        [("b.example", "User-agent: *\nDisallow: /p/\n")],
+        "domain string, robots_txt string",
+    ).write.parquet(os.path.join(inputs, "robots.parquet"))
+    # urls 0-1 of each domain fetched far in the future (fresh → skip)
+    spark.createDataFrame(
+        [(f"https://{d}/p/{i}", 2_000_000_000)
+         for d in ("a.example", "b.example") for i in range(2)],
+        "url string, fetched_at long",
+    ).write.parquet(os.path.join(inputs, "fetchlog.parquet"))
+
+    wh = str(tmp_path / "wh_r")
+    c1 = _run_refresh(wh, inputs)
+    assert c1["sitemap_entries"] == 10
+    assert c1["recrawl_new"] == 6 and c1["recrawl_modified"] == 0
+    # b.example's 3 candidates die at the robots gate; a.example keeps 3
+    assert c1["queued"] == 3 and c1["hosts"] == 1
+    for t in ("sitemap_entries", "recrawl_candidates", "fetch_queue",
+              "_lineage"):
+        assert os.path.isdir(os.path.join(wh, t)), t
+    c2 = _run_refresh(wh, inputs)
+    assert c2 == c1
