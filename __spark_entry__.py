@@ -1037,6 +1037,19 @@ def q_feed_items(spark, sf_dir):
     return parse_feed(feeds)
 
 
+def q_dedup_ngram_prefix(spark, sf_dir):
+    """PPJoin prefix-filtered exact Jaccard (operators/dedup.py): the
+    candidate join runs over rarest-first prefixes instead of every
+    gram — identical output to dedup_ngram by construction, so the
+    oracle IS the plain tier's SQL."""
+    from augmented_codebase_indexer_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(d, threshold=0.8, max_df=50)
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1975,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_vocab": q_hll_vocab,
         "tfidf_keywords": q_tfidf_keywords,
         "feed_items": q_feed_items,
+        "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -2009,14 +2023,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_diff": q_incremental_diff,
         "interval_antijoin": q_interval_antijoin,
         "sessionize": q_sessionize,
-        "hybrid_search": q_hybrid_search,
-        # ------ driver 50-entry window ends here (#50 = hybrid_search)
-        # artifact_search .. score_normalize: r4-driver-green, displaced
-        # by the sixteen r5c additions (anchor_profile / redirect_resolve
+        # ------ driver 50-entry window ends here (#50 = sessionize) ---
+        # hybrid_search .. score_normalize: r4-driver-green, displaced by
+        # the seventeen r5c additions (anchor_profile / redirect_resolve
         # / comention_pmi / phrase_search / dedup_containment /
         # crawl_frontier / kg_volatility / graph_reciprocity /
         # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
-        # crawl_novelty / hll_vocab / tfidf_keywords / feed_items)
+        # crawl_novelty / hll_vocab / tfidf_keywords / feed_items /
+        # dedup_ngram_prefix)
+        "hybrid_search": q_hybrid_search,
         "artifact_search": q_artifact_search,
         "q1_pricing_summary": q1_pricing_summary,
         "join_topk_revenue": q_join_topk_revenue,
@@ -2417,6 +2432,10 @@ def oracle_sql() -> dict[str, str]:
     FROM inter JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
     WHERE n * 1000000 >= 800000 * (sa.sz + sb.sz - n)
     """
+
+    # prefix-filtered tier: IDENTICAL output to the plain exact tier by
+    # the prefix-filtering theorem, so it shares the oracle verbatim
+    sql["dedup_ngram_prefix"] = sql["dedup_ngram"]
 
     sql["dedup_minhash"] = _minhash_oracle_sql(threshold=0.5, max_bucket_size=200)
     # cluster winners: the same pair SQL, closed into components by a

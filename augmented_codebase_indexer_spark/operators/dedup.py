@@ -174,6 +174,79 @@ def ngram_containment_pairs(
     return a_in_b.unionByName(b_in_a)
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` (unigram form) with PREFIX FILTERING
+    (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08 PPJoin): two docs with
+    Jaccard ≥ t MUST share a gram among the first
+    ``|g| − ⌈t·|g|⌉ + 1`` grams of each, taken in one global total
+    order — so the candidate self-join runs over the PREFIXES (ordered
+    rarest-first, which makes them the low-df grams) instead of every
+    gram. Identical output to the plain tier by construction; the win is
+    candidate volume. Plan notes: the global order is the (df, gram)
+    TUPLE carried on each row — never a materialized global rank, so
+    there is no unpartitioned window anywhere; the per-doc prefix window
+    partitions by doc (bounded by the doc's gram count); the verify
+    joins are candidate-bounded and key on (id, gram)."""
+    toks = F.split(F.col(text_col), " ")
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(toks)).alias("gram"),
+    )
+    dfreq = g.groupBy("gram").agg(F.count("*").alias("gdf"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("gdf") <= max_df)
+    g = g.join(dfreq, "gram")  # carries (id, gram, gdf); max_df applied
+    sizes = g.groupBy("id").agg(F.count("*").alias("sz"))
+
+    thr_micro = int(round(threshold * 1_000_000))
+    # prefix length p = sz - ceil(t*sz) + 1, integer-exact:
+    # ceil(t·sz) = (thr_micro·sz + 999999) DIV 1000000
+    w = Window.partitionBy("id").orderBy(F.asc("gdf"), F.asc("gram"))
+    prefix = (
+        g.join(sizes, "id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("sz")
+            - F.expr(f"({thr_micro}L * sz + 999999) DIV 1000000")
+            + 1
+        )
+        .select("id", "gram")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+    # candidate-bounded exact verification: each side keys on (id, gram)
+    a_side = g.select(F.col("id").alias("ida"), "gram")
+    b_side = g.select(F.col("id").alias("idb"), "gram")
+    inter = (
+        cands.join(a_side, "ida")
+        .join(b_side, ["idb", "gram"])
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
+        .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+        .withColumn("union_sz", F.col("sza") + F.col("szb") - F.col("inter"))
+        .filter(F.col("inter") * 1_000_000 >= F.lit(thr_micro) * F.col("union_sz"))
+        .select(
+            "ida", "idb",
+            F.expr("(inter * 1000000) DIV union_sz").alias("jaccard_micro"),
+        )
+    )
+
+
 def gram_novelty(
     new_docs: DataFrame,
     corpus: DataFrame,

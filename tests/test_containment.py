@@ -118,3 +118,33 @@ def test_gram_novelty_duckdb_parity(spark):
     want = sorted(map(tuple, duckdb.connect().execute(
         gram_novelty_sql(mk(new_rows), mk(corpus_rows))).fetchall()))
     assert got == want
+
+
+def test_prefix_filter_equals_plain_jaccard(spark):
+    """PPJoin prefix filtering must be a pure optimization: identical
+    output to the plain exact tier, including boundary-exact pairs."""
+    from augmented_codebase_indexer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rows = [
+        (1, "a b c d e"), (2, "a b c d f"),      # J = 4/6 = 0.667
+        (3, "a b c"), (4, "a b c"),              # J = 1
+        (5, "x y"), (6, "y z"),                  # J = 1/3
+        (7, "p q r s"), (8, "p q r t"),          # J = 3/5 = 0.6 exactly
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.6, 0.667, 0.8):
+        plain = sorted(map(tuple,
+                           ngram_jaccard_pairs(df, threshold=thr).collect()))
+        pref = sorted(map(tuple,
+                          ngram_jaccard_pairs_prefix(df, threshold=thr).collect()))
+        assert pref == plain, thr
+    # and on the real sf0.001 corpus with the entry's parameters
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, threshold=0.8, max_df=50).collect()))
+    pref = sorted(map(tuple, ngram_jaccard_pairs_prefix(
+        docs, threshold=0.8, max_df=50).collect()))
+    assert pref == plain and plain  # non-empty on the planted dups
