@@ -492,6 +492,15 @@ def main() -> None:
         "no task failure).",
     )
 
+    queries["dedup_ngram_prefix (PPJoin prefix-filtered tier)"] = (
+        _entry.queries()["dedup_ngram_prefix"](spark, SF),
+        "r5c: the candidate self-join reads PREFIXES only (rarest-first "
+        "per-doc window, bounded by each doc's gram count — no "
+        "unpartitioned window); verification joins are candidate-"
+        "bounded and key on (id, gram); output == plain tier by the "
+        "prefix-filtering theorem.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
