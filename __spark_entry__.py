@@ -1050,6 +1050,20 @@ def q_dedup_ngram_prefix(spark, sf_dir):
     return ngram_jaccard_pairs_prefix(d, threshold=0.8, max_df=50)
 
 
+def q_cm_sketch(spark, sf_dir):
+    """Count-Min register table over corpus tokens (operators/hll.py):
+    the sum-mergeable frequency sketch — exact integer gate, estimates
+    display-path."""
+    from augmented_codebase_indexer_spark.operators.hll import cm_registers
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("value"))
+        .filter(F.col("value") != "")
+    )
+    return cm_registers(toks)
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -1989,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "feed_items": q_feed_items,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
+        "cm_sketch": q_cm_sketch,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -2022,15 +2037,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_layers": q_topo_layers,
         "incremental_diff": q_incremental_diff,
         "interval_antijoin": q_interval_antijoin,
-        "sessionize": q_sessionize,
-        # ------ driver 50-entry window ends here (#50 = sessionize) ---
-        # hybrid_search .. score_normalize: r4-driver-green, displaced by
-        # the seventeen r5c additions (anchor_profile / redirect_resolve
+        # ------ driver 50-entry window ends here (#50 = antijoin) ---
+        # sessionize .. score_normalize: r4-driver-green, displaced by
+        # the eighteen r5c additions (anchor_profile / redirect_resolve
         # / comention_pmi / phrase_search / dedup_containment /
         # crawl_frontier / kg_volatility / graph_reciprocity /
         # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
         # crawl_novelty / hll_vocab / tfidf_keywords / feed_items /
-        # dedup_ngram_prefix)
+        # dedup_ngram_prefix / cm_sketch)
+        "sessionize": q_sessionize,
         "hybrid_search": q_hybrid_search,
         "artifact_search": q_artifact_search,
         "q1_pricing_summary": q1_pricing_summary,
@@ -3126,7 +3141,13 @@ def oracle_sql() -> dict[str, str]:
     # HLL vocab registers: identical md5-hex register expressions both
     # engines; the gate is the integer (bucket, max_rho) table
     from augmented_codebase_indexer_spark.operators.hll import (
+        cm_registers_oracle_sql,
         hll_registers_oracle_sql,
+    )
+
+    sql["cm_sketch"] = cm_registers_oracle_sql(
+        "SELECT g.tok AS value FROM documents, "
+        "unnest(string_split(text, ' ')) AS g(tok) WHERE g.tok <> ''"
     )
 
     sql["hll_vocab"] = hll_registers_oracle_sql(

@@ -99,3 +99,74 @@ def hll_estimate(registers: dict[int, int]) -> float:
     if raw <= 2.5 * M and zeros:
         return M * math.log(M / zeros)
     return raw
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05): the frequency
+# sibling of the HLL registers — d independent hash rows × w buckets of
+# occurrence COUNTS. Counts are a SUM-mergeable algebraic aggregate (two
+# corpora's sketches add cell-wise), point estimates are min over rows
+# and one-sided (est ≥ true). Same discipline as HLL: the register table
+# is the exact integer gate; estimates are display-path.
+# --------------------------------------------------------------------------
+
+CM_D = 4   # hash rows
+CM_W = 64  # buckets per row
+
+
+def cm_bucket_sql(val_expr: str, row_expr: str) -> str:
+    """Bucket for hash row ``row_expr``: first byte of
+    md5(val || '#' || row) mod CM_W — standard SQL, both engines."""
+    h = f"md5(CAST({val_expr} AS STRING) || '#' || CAST({row_expr} AS STRING))"  # STRING: valid in both engines
+    c1 = _HEXVAL.format(c=f"substr({h}, 1, 1)")
+    c2 = _HEXVAL.format(c=f"substr({h}, 2, 1)")
+    return f"((({c1}) * 16 + ({c2})) % {CM_W})"
+
+
+def cm_registers(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """df → (row_idx, bucket, cnt): the d×w Count-Min table, BIGINT."""
+    rows = df.select(
+        F.col(value_col).alias("value"),
+        F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("row_idx"),
+    )
+    bucket = cm_bucket_sql("value", "row_idx")
+    return (
+        rows.select(
+            F.col("row_idx").cast("long").alias("row_idx"),
+            F.expr(bucket).cast("long").alias("bucket"),
+        )
+        .groupBy("row_idx", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_registers_oracle_sql(values_sql: str, value_expr: str = "value") -> str:
+    """DuckDB mirror — same bucket expressions, lateral row explode."""
+    bucket = cm_bucket_sql(value_expr, "r.row_idx")
+    return f"""
+    WITH v AS ({values_sql}),
+    rows_ AS (
+      SELECT {value_expr} AS value, r.row_idx
+      FROM v, LATERAL (
+        SELECT unnest(generate_series(0, {CM_D - 1})) AS row_idx) r),
+    regs AS (
+      SELECT CAST(row_idx AS BIGINT) AS row_idx,
+             CAST({cm_bucket_sql("value", "row_idx")} AS BIGINT) AS bucket
+      FROM rows_)
+    SELECT row_idx, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM regs GROUP BY row_idx, bucket
+    """
+
+
+def cm_estimate(registers: dict[tuple[int, int], int], value: str) -> int:
+    """Display-path point estimate (≥ true count): min over hash rows.
+    Python md5 mirrors the SQL expression exactly."""
+    import hashlib
+
+    est = None
+    for i in range(CM_D):
+        h = hashlib.md5(f"{value}#{i}".encode()).hexdigest()
+        b = (int(h[0], 16) * 16 + int(h[1], 16)) % CM_W
+        c = registers.get((i, b), 0)
+        est = c if est is None else min(est, c)
+    return est or 0

@@ -64,3 +64,48 @@ def test_duplicates_do_not_move_registers(spark):
     }
     assert once == tripled
     assert sum(1 for _ in once) <= M
+
+
+def test_cm_registers_match_duckdb(spark):
+    import duckdb
+
+    from augmented_codebase_indexer_spark.operators.hll import (
+        cm_registers,
+        cm_registers_oracle_sql,
+    )
+
+    vals = spark.range(400).selectExpr("concat('t', id % 37) AS value")
+    got = sorted(map(tuple, cm_registers(vals).collect()))
+    want = sorted(map(tuple, duckdb.connect().execute(
+        cm_registers_oracle_sql(
+            "SELECT 't' || CAST(range % 37 AS VARCHAR) AS value FROM range(400)"
+        )
+    ).fetchall()))
+    assert got == want
+
+
+def test_cm_estimate_one_sided_and_merge(spark):
+    import pyspark.sql.functions as F
+
+    from augmented_codebase_indexer_spark.operators.hll import (
+        CM_W,
+        cm_estimate,
+        cm_registers,
+    )
+
+    # heavy hitter 'hot' x 200 over light tail
+    hot = spark.range(200).selectExpr("'hot' AS value")
+    tail = spark.range(300).selectExpr("concat('u', id) AS value")
+    regs = {(r["row_idx"], r["bucket"]): r["cnt"]
+            for r in cm_registers(hot.unionAll(tail)).collect()}
+    est = cm_estimate(regs, "hot")
+    assert est >= 200                       # one-sided guarantee
+    assert est <= 200 + (500 * 4) // CM_W   # loose collision bound
+    # merge: sum of two sketches == sketch of the multiset union
+    a, b = hot, tail
+    merged = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in cm_registers(a).unionByName(cm_registers(b))
+        .groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == regs
