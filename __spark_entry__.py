@@ -1064,6 +1064,34 @@ def q_cm_sketch(spark, sf_dir):
     return cm_registers(toks)
 
 
+def q_asset_metadata(spark, sf_dir):
+    """Binary asset metadata without codecs (sources/multimodal.py):
+    magic-byte format sniffing + PNG (big-endian u32) / GIF (little-
+    endian u16) header dimensions as pure byte arithmetic. Assets are
+    synthesized closed-form as unhex(hex-string) from doc_id, so the
+    oracle reconstructs (fmt, width, height) arithmetically."""
+    from augmented_codebase_indexer_spark.sources.multimodal import (
+        sniff_and_dimensions,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    w_png = "doc_id % 640 + 16"
+    h_png = "doc_id % 480 + 16"
+    w_gif = "doc_id % 320 + 1"
+    h_gif = "doc_id % 200 + 1"
+    hexstr = F.expr(
+        "CASE doc_id % 3 "
+        "WHEN 0 THEN concat('89504E470D0A1A0A0000000D49484452', "
+        f"  lpad(hex({w_png}), 8, '0'), lpad(hex({h_png}), 8, '0'), '0806') "
+        "WHEN 1 THEN concat('474946383961', "
+        f"  lpad(hex(({w_gif}) % 256), 2, '0'), lpad(hex(({w_gif}) DIV 256), 2, '0'), "
+        f"  lpad(hex(({h_gif}) % 256), 2, '0'), lpad(hex(({h_gif}) DIV 256), 2, '0'), '00') "
+        "ELSE '0001DEADBEEF' END"
+    )
+    assets = d.select("doc_id", F.unhex(hexstr).alias("content"))
+    return sniff_and_dimensions(assets).select("doc_id", "fmt", "width", "height")
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -2004,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": q_feed_items,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "cm_sketch": q_cm_sketch,
+        "asset_metadata": q_asset_metadata,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -2036,15 +2065,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traverse": q_traverse,
         "topo_layers": q_topo_layers,
         "incremental_diff": q_incremental_diff,
+        # ------ driver 50-entry window ends here (#50 = incr_diff) ---
+        # interval_antijoin .. score_normalize: r4-driver-green,
+        # displaced by the nineteen r5c additions (anchor_profile /
+        # redirect_resolve / comention_pmi / phrase_search /
+        # dedup_containment / crawl_frontier / kg_volatility /
+        # graph_reciprocity / jsonld_items / web_tables / sitemap_recrawl
+        # / kg_multisource / crawl_novelty / hll_vocab / tfidf_keywords /
+        # feed_items / dedup_ngram_prefix / cm_sketch / asset_metadata)
         "interval_antijoin": q_interval_antijoin,
-        # ------ driver 50-entry window ends here (#50 = antijoin) ---
-        # sessionize .. score_normalize: r4-driver-green, displaced by
-        # the eighteen r5c additions (anchor_profile / redirect_resolve
-        # / comention_pmi / phrase_search / dedup_containment /
-        # crawl_frontier / kg_volatility / graph_reciprocity /
-        # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
-        # crawl_novelty / hll_vocab / tfidf_keywords / feed_items /
-        # dedup_ngram_prefix / cm_sketch)
         "sessionize": q_sessionize,
         "hybrid_search": q_hybrid_search,
         "artifact_search": q_artifact_search,
@@ -3149,6 +3178,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT g.tok AS value FROM documents, "
         "unnest(string_split(text, ' ')) AS g(tok) WHERE g.tok <> ''"
     )
+
+    # asset metadata: (fmt, width, height) by the same doc_id arithmetic
+    # that synthesized the binary headers — no blob parsing in the oracle
+    sql["asset_metadata"] = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'unknown' END AS fmt,
+           CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 640 + 16 AS BIGINT)
+                WHEN 1 THEN CAST(doc_id % 320 + 1 AS BIGINT)
+                ELSE NULL END AS width,
+           CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 480 + 16 AS BIGINT)
+                WHEN 1 THEN CAST(doc_id % 200 + 1 AS BIGINT)
+                ELSE NULL END AS height
+    FROM documents
+    """
 
     sql["hll_vocab"] = hll_registers_oracle_sql(
         "SELECT g.tok AS value FROM documents, "

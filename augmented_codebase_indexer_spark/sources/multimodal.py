@@ -135,3 +135,59 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Binary metadata WITHOUT codecs (r5): format sniffing by magic bytes and
+# container-header dimension parsing are pure byte arithmetic — the PNG
+# IHDR carries width/height as big-endian u32 at offsets 16/20 (PNG spec
+# §11.2.2), GIF as little-endian u16 at 6/8 (GIF89a §18) — so the REAL
+# metadata tier of the multimodal stack needs no image library at all.
+# All JVM builtins: hex(substring(binary)) → conv(hex, 16, 10). Only the
+# pixel DECODE stays stubbed (sandbox has no codec libs).
+# --------------------------------------------------------------------------
+
+_MAGIC = {
+    "png": "89504E47",
+    "jpeg": "FFD8FF",
+    "gif": "47494638",
+    "pdf": "25504446",
+}
+
+
+def _be_u32(col: str, offset_1based: int) -> F.Column:
+    """Big-endian u32 at a 1-based byte offset of a binary column."""
+    return F.expr(
+        f"CAST(conv(hex(substring({col}, {offset_1based}, 4)), 16, 10) AS BIGINT)"
+    )
+
+
+def _le_u16(col: str, offset_1based: int) -> F.Column:
+    """Little-endian u16: swap the two bytes, then parse."""
+    b0 = f"hex(substring({col}, {offset_1based}, 1))"
+    b1 = f"hex(substring({col}, {offset_1based + 1}, 1))"
+    return F.expr(f"CAST(conv(concat({b1}, {b0}), 16, 10) AS BIGINT)")
+
+
+def sniff_and_dimensions(
+    assets: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """+ (fmt, width, height): format from magic bytes; dimensions parsed
+    from the PNG/GIF headers (big-/little-endian respectively); other
+    formats and truncated/junk payloads get NULL dimensions — surfaced,
+    never a task failure."""
+    prefix = F.expr(f"hex(substring({content_col}, 1, 8))")
+    fmt = F.when(prefix.startswith(_MAGIC["png"]), F.lit("png"))
+    for name in ("jpeg", "gif", "pdf"):
+        fmt = fmt.when(prefix.startswith(_MAGIC[name]), F.lit(name))
+    fmt = fmt.otherwise(F.lit("unknown"))
+    long_enough = F.length(F.col(content_col))
+    width = F.when(
+        (fmt == "png") & (long_enough >= 24), _be_u32(content_col, 17)
+    ).when((fmt == "gif") & (long_enough >= 10), _le_u16(content_col, 7))
+    height = F.when(
+        (fmt == "png") & (long_enough >= 24), _be_u32(content_col, 21)
+    ).when((fmt == "gif") & (long_enough >= 10), _le_u16(content_col, 9))
+    return assets.withColumns(
+        {"fmt": fmt, "width": width.cast("long"), "height": height.cast("long")}
+    )
