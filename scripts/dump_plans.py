@@ -501,6 +501,20 @@ def main() -> None:
         "prefix-filtering theorem.",
     )
 
+    queries["cm_sketch (sum-mergeable frequency sketch)"] = (
+        _entry.queries()["cm_sketch"](spark, SF),
+        "r5c: md5 bucket expressions in codegen, then an algebraic "
+        "count aggregate — each partition contributes at most d*w rows "
+        "to the single exchange; sketches merge by groupBy-sum.",
+    )
+
+    queries["asset_metadata (codec-free binary headers)"] = (
+        _entry.queries()["asset_metadata"](spark, SF),
+        "r5c: hex/conv byte arithmetic inside one codegen projection — "
+        "no Python, no exchange, no image library; NULLs for "
+        "truncated/unknown payloads.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
