@@ -1092,6 +1092,29 @@ def q_asset_metadata(spark, sf_dir):
     return sniff_and_dimensions(assets).select("doc_id", "fmt", "width", "height")
 
 
+def q_anchor_aliases(spark, sf_dir):
+    """The loop the anchors module promises: anchor-term profiles on
+    entity pages become gazetteer ALIAS CANDIDATES — (ent_id, alias,
+    n votes, rank), entity recovered from the /entity/<id> href."""
+    from augmented_codebase_indexer_spark.operators.anchors import (
+        anchor_profile,
+        anchor_texts,
+    )
+    from augmented_codebase_indexer_spark.sources.pages import (
+        derive_pages_from_documents,
+    )
+
+    prof = anchor_profile(
+        anchor_texts(derive_pages_from_documents(spark, sf_dir)), k=3
+    )
+    return prof.filter(F.col("href").startswith("/entity/")).select(
+        F.regexp_extract("href", "^/entity/(.+)$", 1).alias("ent_id"),
+        F.col("tok").alias("alias"),
+        "n",
+        "rank",
+    )
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -2033,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "cm_sketch": q_cm_sketch,
         "asset_metadata": q_asset_metadata,
+        "anchor_aliases": q_anchor_aliases,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -2064,15 +2088,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "traverse": q_traverse,
         "topo_layers": q_topo_layers,
+        # ------ driver 50-entry window ends here (#50 = topo_layers) ---
+        # incremental_diff .. score_normalize: r4-driver-green, displaced
+        # by the twenty r5c additions (anchor_profile / redirect_resolve
+        # / comention_pmi / phrase_search / dedup_containment /
+        # crawl_frontier / kg_volatility / graph_reciprocity /
+        # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
+        # crawl_novelty / hll_vocab / tfidf_keywords / feed_items /
+        # dedup_ngram_prefix / cm_sketch / asset_metadata /
+        # anchor_aliases)
         "incremental_diff": q_incremental_diff,
-        # ------ driver 50-entry window ends here (#50 = incr_diff) ---
-        # interval_antijoin .. score_normalize: r4-driver-green,
-        # displaced by the nineteen r5c additions (anchor_profile /
-        # redirect_resolve / comention_pmi / phrase_search /
-        # dedup_containment / crawl_frontier / kg_volatility /
-        # graph_reciprocity / jsonld_items / web_tables / sitemap_recrawl
-        # / kg_multisource / crawl_novelty / hll_vocab / tfidf_keywords /
-        # feed_items / dedup_ngram_prefix / cm_sketch / asset_metadata)
         "interval_antijoin": q_interval_antijoin,
         "sessionize": q_sessionize,
         "hybrid_search": q_hybrid_search,
@@ -2762,6 +2787,14 @@ def oracle_sql() -> dict[str, str]:
       FROM c)
     SELECT href, tok, n, rank FROM r WHERE rank <= 3
     """
+
+    # anchor → alias candidates: the same profile filtered to entity
+    # pages, entity id recovered from the href
+    sql["anchor_aliases"] = (
+        "SELECT regexp_extract(href, '^/entity/(.+)$', 1) AS ent_id, "
+        "tok AS alias, n, rank "
+        f"FROM ({sql['anchor_profile']}) WHERE href LIKE '/entity/%'"
+    )
 
     # redirect resolution: recursive-CTE mirror over the same closed-form
     # edge relation (chains of 5 per bucket, every 500th bucket looped);
