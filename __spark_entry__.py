@@ -1115,6 +1115,48 @@ def q_anchor_aliases(spark, sf_dir):
     )
 
 
+def q_bloom_vocab(spark, sf_dir):
+    """Bloom-filter set-bit table over the corpus vocabulary (operators/
+    hll.py): the OR-mergeable membership sketch completing the trio —
+    exact bit-table gate, membership tests display-path."""
+    from augmented_codebase_indexer_spark.operators.hll import bloom_bits
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("value"))
+        .filter(F.col("value") != "")
+    )
+    return bloom_bits(toks)
+
+
+def q_dup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: which sources copy which — the
+    near-dup pairs joined back to each side's source, counted per
+    unordered source pair. The syndication-diagnosis report a curation
+    operator reads before setting per-source weights."""
+    from augmented_codebase_indexer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.8, n=1, max_df=50)
+    s = d.select("doc_id", "source")
+    j = (
+        pairs.join(s.select(F.col("doc_id").alias("ida"),
+                            F.col("source").alias("sa")), "ida")
+        .join(s.select(F.col("doc_id").alias("idb"),
+                       F.col("source").alias("sb")), "idb")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_dup_pairs"))
+    )
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -2057,6 +2099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_sketch": q_cm_sketch,
         "asset_metadata": q_asset_metadata,
         "anchor_aliases": q_anchor_aliases,
+        "bloom_vocab": q_bloom_vocab,
+        "dup_source_matrix": q_dup_source_matrix,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -2086,17 +2130,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (b) last driver row r3 ---
         "ann_lsh": q_ann_lsh,
         "pagerank": q_pagerank,
-        "traverse": q_traverse,
-        "topo_layers": q_topo_layers,
-        # ------ driver 50-entry window ends here (#50 = topo_layers) ---
-        # incremental_diff .. score_normalize: r4-driver-green, displaced
-        # by the twenty r5c additions (anchor_profile / redirect_resolve
-        # / comention_pmi / phrase_search / dedup_containment /
+        # ------ driver 50-entry window ends here (#50 = pagerank) ---
+        # traverse .. score_normalize: r4-driver-green, displaced by
+        # the 22 r5c additions (anchor_profile / redirect_resolve /
+        # comention_pmi / phrase_search / dedup_containment /
         # crawl_frontier / kg_volatility / graph_reciprocity /
         # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
         # crawl_novelty / hll_vocab / tfidf_keywords / feed_items /
         # dedup_ngram_prefix / cm_sketch / asset_metadata /
-        # anchor_aliases)
+        # anchor_aliases / bloom_vocab / dup_source_matrix)
+        "traverse": q_traverse,
+        "topo_layers": q_topo_layers,
         "incremental_diff": q_incremental_diff,
         "interval_antijoin": q_interval_antijoin,
         "sessionize": q_sessionize,
@@ -3211,6 +3255,30 @@ def oracle_sql() -> dict[str, str]:
         "SELECT g.tok AS value FROM documents, "
         "unnest(string_split(text, ' ')) AS g(tok) WHERE g.tok <> ''"
     )
+
+    # bloom set-bit table: same shared md5 expressions
+    from augmented_codebase_indexer_spark.operators.hll import (
+        bloom_bits_oracle_sql,
+    )
+
+    sql["bloom_vocab"] = bloom_bits_oracle_sql(
+        "SELECT g.tok AS value FROM documents, "
+        "unnest(string_split(text, ' ')) AS g(tok) WHERE g.tok <> ''"
+    )
+
+    # cross-source duplication matrix: the dedup_ngram pair SQL joined
+    # back to each side's source, counted per unordered source pair
+    sql["dup_source_matrix"] = f"""
+    WITH pairs AS ({{pairs}}),
+    s AS (SELECT doc_id, source FROM documents),
+    j AS (
+      SELECT sa.source AS sa, sb.source AS sb
+      FROM pairs JOIN s sa ON sa.doc_id = pairs.ida
+                 JOIN s sb ON sb.doc_id = pairs.idb)
+    SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM j GROUP BY 1, 2
+    """.format(pairs=sql["dedup_ngram"])
 
     # asset metadata: (fmt, width, height) by the same doc_id arithmetic
     # that synthesized the binary headers — no blob parsing in the oracle

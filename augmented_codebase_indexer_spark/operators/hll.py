@@ -170,3 +170,64 @@ def cm_estimate(registers: dict[tuple[int, int], int], value: str) -> int:
         c = registers.get((i, b), 0)
         est = c if est is None else min(est, c)
     return est or 0
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (Bloom, CACM'70): the membership sibling — k bit positions
+# per value over an m-bit array; the set-bit table is OR-mergeable
+# (distinct union) and the membership test is one-sided (no false
+# negatives). Gate = the exact sorted bit table; tests are display-path.
+# --------------------------------------------------------------------------
+
+BLOOM_M = 512  # bits
+BLOOM_K = 3    # hash rows
+
+
+def bloom_bit_sql(val_expr: str, row_expr: str) -> str:
+    """Bit index for hash row ``row_expr``: first 12 bits of
+    md5(val || '#' || row) mod BLOOM_M — standard SQL, both engines."""
+    h = f"md5(CAST({val_expr} AS STRING) || '#' || CAST({row_expr} AS STRING))"
+    c1 = _HEXVAL.format(c=f"substr({h}, 1, 1)")
+    c2 = _HEXVAL.format(c=f"substr({h}, 2, 1)")
+    c3 = _HEXVAL.format(c=f"substr({h}, 3, 1)")
+    return f"((({c1}) * 256 + ({c2}) * 16 + ({c3})) % {BLOOM_M})"
+
+
+def bloom_bits(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """df → (bit,): the distinct set-bit table, BIGINT, ≤ BLOOM_M rows."""
+    rows = df.select(
+        F.col(value_col).alias("value"),
+        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("row_idx"),
+    )
+    return (
+        rows.select(
+            F.expr(bloom_bit_sql("value", "row_idx")).cast("long").alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_bits_oracle_sql(values_sql: str, value_expr: str = "value") -> str:
+    """DuckDB mirror — same bit expressions (STRING cast valid in both)."""
+    return f"""
+    WITH v AS ({values_sql}),
+    rows_ AS (
+      SELECT {value_expr} AS value, r.row_idx
+      FROM v, LATERAL (
+        SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS row_idx) r)
+    SELECT DISTINCT CAST({bloom_bit_sql("value", "row_idx")} AS BIGINT) AS bit
+    FROM rows_
+    """
+
+
+def bloom_contains(bits: set[int], value: str) -> bool:
+    """Display-path membership test: all k bits set ⇒ maybe-present
+    (one-sided — a clear bit proves absence). Python md5 mirror."""
+    import hashlib
+
+    for i in range(BLOOM_K):
+        h = hashlib.md5(f"{value}#{i}".encode()).hexdigest()
+        b = (int(h[0], 16) * 256 + int(h[1], 16) * 16 + int(h[2], 16)) % BLOOM_M
+        if b not in bits:
+            return False
+    return True

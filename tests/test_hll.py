@@ -109,3 +109,28 @@ def test_cm_estimate_one_sided_and_merge(spark):
         .groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt")).collect()
     }
     assert merged == regs
+
+
+def test_bloom_bits_match_duckdb_and_no_false_negatives(spark):
+    import duckdb
+
+    from augmented_codebase_indexer_spark.operators.hll import (
+        bloom_bits,
+        bloom_bits_oracle_sql,
+        bloom_contains,
+    )
+
+    vals = spark.range(150).selectExpr("concat('k', id) AS value")
+    got = sorted(r["bit"] for r in bloom_bits(vals).collect())
+    want = sorted(r[0] for r in duckdb.connect().execute(
+        bloom_bits_oracle_sql(
+            "SELECT 'k' || CAST(range AS VARCHAR) AS value FROM range(150)"
+        )
+    ).fetchall())
+    assert got == want
+    bits = set(got)
+    # one-sided: every inserted key tests positive
+    assert all(bloom_contains(bits, f"k{i}") for i in range(150))
+    # and absence is mostly detected (fp rate for m=512,k=3,n=150 ≈ 11%)
+    fp = sum(bloom_contains(bits, f"absent{i}") for i in range(400))
+    assert fp < 400 * 0.3, fp
