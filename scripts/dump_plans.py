@@ -515,6 +515,20 @@ def main() -> None:
         "truncated/unknown payloads.",
     )
 
+    queries["bloom_vocab (OR-mergeable membership sketch)"] = (
+        _entry.queries()["bloom_vocab"](spark, SF),
+        "r5c: md5 bit expressions in codegen, then a distinct over "
+        "<=512 bit values — partial aggregation collapses each "
+        "partition before the exchange; sketches merge by union.",
+    )
+
+    queries["dup_source_matrix (cross-source syndication report)"] = (
+        _entry.queries()["dup_source_matrix"](spark, SF),
+        "r5c: the guarded near-dup pair set joins back to (doc_id, "
+        "source) twice — slim id-keyed joins — then one combined "
+        "source-pair count exchange.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
