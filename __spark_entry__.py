@@ -1157,6 +1157,30 @@ def q_dup_source_matrix(spark, sf_dir):
     )
 
 
+def q_component_sizes(spark, sf_dir):
+    """Connected-component size histogram over the entity graph: the CC
+    operator (min-label propagation) gated DIRECTLY — (size,
+    n_components), the graph-fragmentation diagnostic entity resolution
+    reads (one giant component = over-merge; dust = under-merge)."""
+    from augmented_codebase_indexer_spark.operators.components import (
+        connected_components,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql(_entity_graph_sql("spark")).filter("src <> dst")
+    nodes = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    cc = connected_components(nodes, edges)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_components"))
+        .select(F.col("size").cast("long").alias("size"), "n_components")
+    )
+
+
 def q_rerank_search(spark, sf_dir):
     from augmented_codebase_indexer_spark.plans.search import rerank_search
 
@@ -2101,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_aliases": q_anchor_aliases,
         "bloom_vocab": q_bloom_vocab,
         "dup_source_matrix": q_dup_source_matrix,
+        "component_sizes": q_component_sizes,
         "kg_truth_fusion": q_kg_truth_fusion,
         "kg_source_trust": q_kg_source_trust,
         "hearst_isa": q_hearst_isa,
@@ -2129,8 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v5": q_curation_v5,
         # --- (b) last driver row r3 ---
         "ann_lsh": q_ann_lsh,
+        # ------ driver 50-entry window ends here (#50 = ann_lsh) ---
         "pagerank": q_pagerank,
-        # ------ driver 50-entry window ends here (#50 = pagerank) ---
         # traverse .. score_normalize: r4-driver-green, displaced by
         # the 22 r5c additions (anchor_profile / redirect_resolve /
         # comention_pmi / phrase_search / dedup_containment /
@@ -3255,6 +3280,23 @@ def oracle_sql() -> dict[str, str]:
         "SELECT g.tok AS value FROM documents, "
         "unnest(string_split(text, ' ')) AS g(tok) WHERE g.tok <> ''"
     )
+
+    # component-size histogram: recursive-CTE min-label CC over the
+    # shared entity graph (self-loops excluded both sides)
+    sql["component_sizes"] = f"""
+    WITH RECURSIVE raw AS (
+      SELECT src, dst FROM ({_entity_graph_sql("duckdb")}) WHERE src <> dst),
+    edges AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+    cc AS (
+      SELECT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.dst AS id, c.label FROM cc c JOIN edges e ON e.src = c.id),
+    comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+    sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY component)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY size
+    """
 
     # bloom set-bit table: same shared md5 expressions
     from augmented_codebase_indexer_spark.operators.hll import (

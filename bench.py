@@ -617,7 +617,7 @@ def main() -> None:
         "phrase_search", "dedup_containment", "crawl_frontier",
         "kg_volatility", "graph_reciprocity", "jsonld_items",
         "web_tables", "sitemap_recrawl", "kg_multisource", "crawl_novelty",
-        "hll_vocab", "tfidf_keywords", "feed_items", "dedup_ngram_prefix", "cm_sketch", "asset_metadata", "anchor_aliases", "bloom_vocab", "dup_source_matrix",
+        "hll_vocab", "tfidf_keywords", "feed_items", "dedup_ngram_prefix", "cm_sketch", "asset_metadata", "anchor_aliases", "bloom_vocab", "dup_source_matrix", "component_sizes",
     ):
         # best-of-2: a single timed pass samples one phase of this VM's
         # hypervisor-steal noise (the round-2 driver artifact recorded every
