@@ -1409,6 +1409,22 @@ def q_data_split(spark, sf_dir):
     )
 
 
+def q_lm_vocab(spark, sf_dir):
+    # the LM register table ITSELF, gated directly (VERDICT r5 Next #1a,
+    # the hll_vocab precedent): (tok, lp_micro) for the doc_id%10
+    # reference-slice unigram LM, log-probs via the libm-free fixed-point
+    # integer log (functions/intlog.py). If lm_quality ever reds again,
+    # this row bisects vocab-vs-aggregation from the artifact alone.
+    from augmented_codebase_indexer_spark.operators.lmquality import (
+        token_frame,
+        unigram_logprobs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab, _ = unigram_logprobs(token_frame(d.filter(F.col("doc_id") % 10 == 0)))
+    return vocab
+
+
 def q_lm_quality(spark, sf_dir):
     # CCNet-style perplexity scoring: add-one unigram LM trained on the
     # doc_id%10 reference slice, per-doc cross-entropy in exact integer
@@ -2092,78 +2108,26 @@ def q_artifact_search(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness artifact covers the FIRST
-    50 entries only (VERDICT r3 Wrong #1), so the window leads with (a)
-    the r5 additions and every entry whose GATED OUTPUT changed this
-    round (the integer-exactness sweep: quality_micro / jaccard_micro /
-    ce_micro / llr_per_tok_micro / rerank_micro), then (b) the 31
-    entries whose last driver row is r3 (no entry goes >2 rounds without
-    a driver check — VERDICT r4 Next #3), then (c) r4-green entries whose
-    runtime changed (pin-scope wraps). Everything below the 50-line is
-    r4-driver-green and unchanged; ``scripts/selfcheck.py`` still runs
-    ALL of them."""
+    50 entries only, so the window leads with (a) lm_vocab + every entry
+    whose GATED OUTPUT changed in the r6 libm-free intlog sweep
+    (VERDICT r5 Next #1: lp_micro / oov / idf_micro / kl lp now come
+    from the fixed-point BIGINT log, so their values moved by ~1-2
+    micro-nats), then rotates strictly oldest-first (VERDICT r5 Next
+    #3): (b) the 30 entries whose last driver row is r3, then (c) the
+    oldest r4 entries up to the 50-line.  Everything below the line is
+    r4/r5-driver-green and unchanged; ``scripts/selfcheck.py`` still
+    runs ALL of them."""
     return {
-        # --- (a) r5: new entries + changed gated outputs ---
-        "anchor_profile": q_anchor_profile,
-        "redirect_resolve": q_redirect_resolve,
-        "comention_pmi": q_comention_pmi,
-        "phrase_search": q_phrase_search,
-        "dedup_containment": q_dedup_containment,
-        "crawl_frontier": q_crawl_frontier,
-        "kg_volatility": q_kg_volatility,
-        "graph_reciprocity": q_graph_reciprocity,
-        "jsonld_items": q_jsonld_items,
-        "web_tables": q_web_tables,
-        "sitemap_recrawl": q_sitemap_recrawl,
-        "kg_multisource": q_kg_multisource,
-        "crawl_novelty": q_crawl_novelty,
-        "hll_vocab": q_hll_vocab,
-        "tfidf_keywords": q_tfidf_keywords,
-        "feed_items": q_feed_items,
-        "dedup_ngram_prefix": q_dedup_ngram_prefix,
-        "cm_sketch": q_cm_sketch,
-        "asset_metadata": q_asset_metadata,
-        "anchor_aliases": q_anchor_aliases,
-        "bloom_vocab": q_bloom_vocab,
-        "dup_source_matrix": q_dup_source_matrix,
-        "component_sizes": q_component_sizes,
-        "kg_truth_fusion": q_kg_truth_fusion,
-        "kg_source_trust": q_kg_source_trust,
-        "hearst_isa": q_hearst_isa,
-        "kg_domain_range": q_kg_domain_range,
-        "kg_publish": q_kg_publish,
-        "taxonomy_closure": q_taxonomy_closure,
-        "lang_id": q_lang_id,
-        "slice_kl": q_slice_kl,
-        "zipf_profile": q_zipf_profile,
-        "robots_filter": q_robots_filter,
-        "url_canonical": q_url_canonical,
-        "cdx_latest": q_cdx_latest,
-        "kg_profile": q_kg_profile,
-        "kg_functional_violations": q_kg_functional_violations,
+        # --- (a) r6: new + intlog-swept gated outputs ---
+        "lm_vocab": q_lm_vocab,
         "lm_quality": q_lm_quality,
         "dsir_weights": q_dsir_weights,
-        "graph_jaccard": q_graph_jaccard,
+        "lang_id": q_lang_id,
+        "slice_kl": q_slice_kl,
+        "tfidf_keywords": q_tfidf_keywords,
         "graph_adamic_adar": q_graph_adamic_adar,
-        "dedup_ngram": q_dedup_ngram,
-        "text_stats": q_text_stats,
-        "rerank_search": q_rerank_search,
-        "curation": q_curation,
-        "curation_v2": q_curation_v2,
-        "curation_v3": q_curation_v3,
-        "curation_v4": q_curation_v4,
-        "curation_v5": q_curation_v5,
-        # --- (b) last driver row r3 ---
-        "ann_lsh": q_ann_lsh,
-        # ------ driver 50-entry window ends here (#50 = ann_lsh) ---
+        # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
-        # traverse .. score_normalize: r4-driver-green, displaced by
-        # the 22 r5c additions (anchor_profile / redirect_resolve /
-        # comention_pmi / phrase_search / dedup_containment /
-        # crawl_frontier / kg_volatility / graph_reciprocity /
-        # jsonld_items / web_tables / sitemap_recrawl / kg_multisource /
-        # crawl_novelty / hll_vocab / tfidf_keywords / feed_items /
-        # dedup_ngram_prefix / cm_sketch / asset_metadata /
-        # anchor_aliases / bloom_vocab / dup_source_matrix)
         "traverse": q_traverse,
         "topo_layers": q_topo_layers,
         "incremental_diff": q_incremental_diff,
@@ -2186,10 +2150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
-        # --- r3-green, displaced from the window by the seven r5b
-        #     entries (fusion ×2 / hearst / domain-range / publish /
-        #     taxonomy closure; new entries lead, VERDICT r4 #3); all are
-        #     unchanged since r3 and stay covered by selfcheck.py ---
         "outer_join_histogram": q_outer_join_histogram,
         "having_filter": q_having_filter,
         "cube_stats": q_cube_stats,
@@ -2197,14 +2157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_search": q_pattern_search,
         "summaries": q_summaries,
         "outlinks": q_outlinks,
-        # --- (c) r4-green, runtime touched by the pin-scope sweep ---
+        # --- (c) last driver row r4, oldest-listed first ---
         "curation_funnel": q_curation_funnel,
         "ppr": q_ppr,
         "exactsubstr_spans": q_exactsubstr_spans,
         "decontam": q_decontam,
-        # --- r4-driver-green (decontam_spans/gopher_quality slid below
-        #     the line to make room for the r5 corpusstats entries; their
-        #     runtime-only pin-scope change is covered by pytest) ---
         "decontam_spans": q_decontam_spans,
         "gopher_quality": q_gopher_quality,
         "triples_scd2": q_triples_scd2,
@@ -2214,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "domain_normalize": q_domain_normalize,
         "domain_cap_url": q_domain_cap_url,
+        # ------ driver 50-entry window ends here (#50 = domain_cap_url) ---
+        # --- r4-green remainder (next rotation's candidates) ---
         "contam_report": q_contam_report,
         "pii_redact": q_pii_redact,
         "training_mix": q_training_mix,
@@ -2241,6 +2200,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
+        # --- r5-driver-green, unchanged this round ---
+        "anchor_profile": q_anchor_profile,
+        "redirect_resolve": q_redirect_resolve,
+        "comention_pmi": q_comention_pmi,
+        "phrase_search": q_phrase_search,
+        "dedup_containment": q_dedup_containment,
+        "crawl_frontier": q_crawl_frontier,
+        "kg_volatility": q_kg_volatility,
+        "graph_reciprocity": q_graph_reciprocity,
+        "jsonld_items": q_jsonld_items,
+        "web_tables": q_web_tables,
+        "sitemap_recrawl": q_sitemap_recrawl,
+        "kg_multisource": q_kg_multisource,
+        "crawl_novelty": q_crawl_novelty,
+        "hll_vocab": q_hll_vocab,
+        "feed_items": q_feed_items,
+        "dedup_ngram_prefix": q_dedup_ngram_prefix,
+        "cm_sketch": q_cm_sketch,
+        "asset_metadata": q_asset_metadata,
+        "anchor_aliases": q_anchor_aliases,
+        "bloom_vocab": q_bloom_vocab,
+        "dup_source_matrix": q_dup_source_matrix,
+        "component_sizes": q_component_sizes,
+        "kg_truth_fusion": q_kg_truth_fusion,
+        "kg_source_trust": q_kg_source_trust,
+        "hearst_isa": q_hearst_isa,
+        "kg_domain_range": q_kg_domain_range,
+        "kg_publish": q_kg_publish,
+        "taxonomy_closure": q_taxonomy_closure,
+        "zipf_profile": q_zipf_profile,
+        "robots_filter": q_robots_filter,
+        "url_canonical": q_url_canonical,
+        "cdx_latest": q_cdx_latest,
+        "kg_profile": q_kg_profile,
+        "kg_functional_violations": q_kg_functional_violations,
+        "graph_jaccard": q_graph_jaccard,
+        "dedup_ngram": q_dedup_ngram,
+        "text_stats": q_text_stats,
+        "rerank_search": q_rerank_search,
+        "curation": q_curation,
+        "curation_v2": q_curation_v2,
+        "curation_v3": q_curation_v3,
+        "curation_v4": q_curation_v4,
+        "curation_v5": q_curation_v5,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -3059,6 +3063,7 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.lmquality import (
         dsir_oracle_sql,
         lm_quality_oracle_sql,
+        lm_vocab_oracle_sql,
     )
 
     from augmented_codebase_indexer_spark.operators.langid import (
@@ -3066,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["lang_id"] = lang_id_oracle_sql(["de", "en", "es", "fr", "zh"])
+    sql["lm_vocab"] = lm_vocab_oracle_sql()
     sql["lm_quality"] = lm_quality_oracle_sql()
     sql["dsir_weights"] = dsir_oracle_sql()
 

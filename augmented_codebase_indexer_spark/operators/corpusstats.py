@@ -39,9 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.intlog import duckdb_ln_micro_sql, with_ln_micro
 from .lmquality import token_frame
-
-_MICRO = 1_000_000
 
 
 def slice_kl_divergence(
@@ -82,7 +81,7 @@ def slice_kl_divergence(
     )
     # densify: every (slice, union-vocab token) gets a row, absent tokens
     # at c = 0 — the smoothed support both engines share
-    dense = (
+    dense = with_ln_micro(
         totals.crossJoin(vocab)
         .join(counts, ["source", "tok"], "left")
         .select(
@@ -90,12 +89,8 @@ def slice_kl_divergence(
             "tok",
             (F.coalesce("c", F.lit(0)) + 1).cast("long").alias("cp1"),
             (F.col("T") + F.col("V") + 1).cast("long").alias("D"),
-        )
-        .withColumn(
-            "lp_micro",
-            F.round(F.log(F.col("cp1") / F.col("D").cast("double")) * _MICRO)
-            .cast("long"),
-        )
+        ),
+        "cp1", "D", "lp_micro",
     )
     a = dense.select(
         F.col("source").alias("src_a"), "tok",
@@ -137,14 +132,13 @@ def slice_kl_oracle_sql(table: str = "documents") -> str:
     toks AS (SELECT DISTINCT tok FROM cnt),
     v AS (SELECT CAST(count(*) AS BIGINT) AS V FROM toks),
     tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS T FROM cnt GROUP BY source),
-    dense AS (
-      SELECT t.source, k.tok,
+    dense AS ({duckdb_ln_micro_sql(
+        '''SELECT t.source, k.tok,
              CAST(coalesce(c.c, 0) + 1 AS BIGINT) AS cp1,
-             CAST(t.T + v.V + 1 AS BIGINT) AS D,
-             CAST(round(ln((coalesce(c.c, 0) + 1.0) / (t.T + v.V + 1.0))
-                        * 1000000) AS BIGINT) AS lp
+             CAST(t.T + v.V + 1 AS BIGINT) AS D
       FROM tot t CROSS JOIN v CROSS JOIN toks k
-      LEFT JOIN cnt c ON c.source = t.source AND c.tok = k.tok)
+      LEFT JOIN cnt c ON c.source = t.source AND c.tok = k.tok''',
+        "cp1", "D", "lp", keep_cols="source, tok, cp1, D")})
     SELECT a.source AS src_a, b.source AS src_b,
            CAST(sum(a.cp1 * (a.lp - b.lp)) AS BIGINT) AS kl_num_micro,
            CAST(sum(a.cp1 * (a.lp - b.lp)) // any_value(a.D) AS BIGINT)

@@ -9,9 +9,10 @@ One codegen scan per feed: item blocks (``<item>`` for RSS,
 ``<entry>`` for Atom — both matched) via ``regexp_extract_all``
 explode, then per-item link/title/pubDate. Links come from either
 ``<link>text</link>`` (RSS) or ``<link href="..."/>`` (Atom) —
-coalesced, the non-matching form yielding ''. Dates are RFC-1123-ish
-(``dd MMM yyyy HH:mm:ss``) parsed to UTC epoch via one shared format;
-unparseable/missing dates surface as NULL, never drop the item.
+coalesced, the non-matching form yielding ''. Dates are RFC-1123
+(weekday optional, 1- or 2-digit day, numeric ``+hhmm`` zones applied
+as real offsets, alphabetic 3-letter zones assumed UTC) parsed to UTC
+epoch; unparseable/missing dates surface as NULL, never drop the item.
 Output is strings/BIGINT — the DuckDB oracle reconstructs items
 closed-form (same discipline as the sitemap/webtable oracles).
 """
@@ -26,8 +27,6 @@ _LINK_TEXT_RE = r"(?s)<link>(.*?)</link>"
 _LINK_HREF_RE = r'<link href="([^"]*)"'
 _TITLE_RE = r"(?s)<title>(.*?)</title>"
 _DATE_RE = r"(?s)<(?:pubDate|updated)>(.*?)</(?:pubDate|updated)>"
-# RFC 1123 without weekday/zone (both stripped below): 02 Jan 2026 03:04:05
-_DATE_FMT = "dd MMM yyyy HH:mm:ss"
 
 
 def parse_feed(
@@ -46,16 +45,21 @@ def parse_feed(
         F.regexp_extract("item", _LINK_TEXT_RE, 1),
     ).otherwise(F.regexp_extract("item", _LINK_HREF_RE, 1))
     raw_date = F.regexp_extract("item", _DATE_RE, 1)
-    # strip optional leading weekday ("Fri, ") and trailing zone (" GMT")
-    clean = F.regexp_replace(
-        F.regexp_replace(raw_date, r"^[A-Za-z]{3}, ", ""), r" [A-Z]{3}$", ""
+    # RFC-1123 pubDate handling (ADVICE r5): strip the optional leading
+    # weekday ("Fri, "), then try the NUMERIC-zone form first ('+0000',
+    # '+0530', … — 'Z' applies the real offset, 'd' accepts 1- and
+    # 2-digit days), falling back to an alphabetic zone (' GMT')
+    # stripped-and-assumed-UTC, the pre-r6 behavior
+    no_weekday = F.regexp_replace(raw_date, r"^[A-Za-z]{3}, ", "")
+    no_alpha_zone = F.regexp_replace(no_weekday, r" [A-Z]{3}$", "")
+    parsed = F.coalesce(
+        F.try_to_timestamp(no_weekday, F.lit("d MMM yyyy HH:mm:ss Z")),
+        F.try_to_timestamp(no_alpha_zone, F.lit("d MMM yyyy HH:mm:ss")),
     )
     return items.select(
         "feed_url",
         (F.col("pos") + 1).cast("long").alias("item_idx"),
         link.alias("link"),
         F.regexp_extract("item", _TITLE_RE, 1).alias("title"),
-        F.when(
-            clean != "", F.try_to_timestamp(clean, F.lit(_DATE_FMT)).cast("long")
-        ).alias("published_epoch"),
+        F.when(raw_date != "", parsed.cast("long")).alias("published_epoch"),
     ).filter(F.col("link") != "")

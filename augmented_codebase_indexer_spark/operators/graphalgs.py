@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.intlog import duckdb_ln_micro_sql, with_ln_micro
+
 
 def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Canonical undirected simple edges: (a < b), self-loops dropped,
@@ -159,25 +161,23 @@ def adamic_adar(
 
     Returns (a, b, n_common, aa_micro) with a < b. Following the repo's
     cross-engine exactness discipline, each center's weight is quantized
-    ONCE to micro units (``round(1e6/ln(deg))`` as BIGINT, per node), so
-    ``aa_micro`` is an exact integer sum; display score = aa_micro / 1e6
-    (the rounded-float convenience was dropped from the gated output —
-    aa_micro/1e6 rounded to 6 dp is exactly the half-way-tie class that
-    made lm_quality's r4 driver row red). The per-degree ``w_micro``
-    quantization itself rounds a transcendental quotient (1e6/ln(deg)),
-    whose distance from a .5 tie is audited in
-    ``tests/test_lmquality.py::test_rounding_tie_distance_audit``.
+    ONCE to micro units per node — since r6 as the LIBM-FREE
+    ``w_micro = round(1e12 / ln_micro(deg))`` with ``ln_micro`` the
+    fixed-point BIGINT log (``functions/intlog.py``; rounding is the
+    integer ``(1e12 + lnm DIV 2) DIV lnm``, identical in both engines by
+    construction, so no libm build can flip a weight) — and ``aa_micro``
+    is an exact integer sum; display score = aa_micro / 1e6.
     A shared neighbor always has deg ≥ 2, so ln(deg) > 0. ``max_degree``
     caps wedge centers exactly as in :func:`jaccard_similarity` (hubs
     carry ~no signal and cost Θ(deg²)).
     """
     und = undirected_edges(edges, src, dst)
     deg = _degrees(und)
-    w = deg.select(
-        F.col("node").alias("n"),
-        F.round(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double")))
-        .cast("long")
-        .alias("w_micro"),
+    w = with_ln_micro(
+        deg.select(F.col("node").alias("n"), "deg"), "deg", "1", "_lnm"
+    ).select(
+        "n",
+        F.expr("(1000000000000 + _lnm DIV 2) DIV _lnm").alias("w_micro"),
         "deg",
     )
     if max_degree is not None:
@@ -292,10 +292,9 @@ def triangle_oracle_sql(edges_sql: str) -> str:
 def adamic_adar_oracle_sql(edges_sql: str, min_common: int = 1) -> str:
     return _und_ctes(edges_sql) + f""",
     w AS (
-      SELECT node AS n,
-             CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)
-               AS w_micro
-      FROM deg),
+      SELECT n, (1000000000000 + _lnm // 2) // _lnm AS w_micro
+      FROM ({duckdb_ln_micro_sql("SELECT node AS n, deg FROM deg",
+                                 "deg", "1", "_lnm", keep_cols="n, deg")})),
     adj AS (
       SELECT a AS n, b AS x FROM und UNION ALL SELECT b, a FROM und),
     centers AS (SELECT adj.n, w.w_micro, adj.x FROM adj JOIN w ON w.n = adj.n)

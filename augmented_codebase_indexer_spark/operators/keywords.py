@@ -6,12 +6,12 @@ THIS doc but rare in the corpus. The reference's analog is the symbol
 ranking inside summaries; the web form feeds doc labeling, facet
 suggestion, and the summary templates.
 
-Exactness follows the repo's quantize-once discipline (same as the
-Adamic-Adar weights): ``idf_micro = round(1e6 · ln(N/df))`` is the ONE
-float→int quantization, computed by the same libm expression in both
-engines and guarded by the tie-distance audit pattern
-(tests/test_keywords.py measures how close any corpus (N, df) pair
-lands to a rounding boundary); everything downstream is exact BIGINT
+Exactness: ``idf_micro = ln_micro(N / df)`` via the LIBM-FREE
+fixed-point integer log (``functions/intlog.py`` — pure BIGINT shift/
+multiply/divide, bit-identical across engines by construction; r6
+replaced the libm ``round(1e6·ln(N/df))`` quantize-once, which was
+exact only as long as both engines' libm builds agreed — VERDICT r5
+Next #1 sweep). Everything downstream is exact BIGINT
 (``score_micro = tf · idf_micro``, rank by (score desc, term asc)).
 
 Shape: tf is one (doc, term) groupBy (map-side combined); df is one
@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.intlog import duckdb_ln_micro_sql, with_ln_micro
 from .guards import guarded_broadcast
 
 _TOK_SPLIT = "[^a-z0-9]+"
@@ -48,15 +49,11 @@ def tfidf_keywords(
         F.count("*").cast("long").alias("tf")
     )
     n_docs = docs.select(id_col).distinct().count()
-    df_t = (
+    df_t = with_ln_micro(
         toks.select("doc_id", "term").distinct()
         .groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
-        .withColumn(
-            "idf_micro",
-            F.round(F.lit(1_000_000.0) * F.log(F.lit(float(n_docs)) / F.col("df")))
-            .cast("long"),
-        )
+        .agg(F.count("*").cast("long").alias("df")),
+        str(n_docs), "df", "idf_micro",
     )
     scored = tf.join(guarded_broadcast(df_t), "term").select(
         "doc_id", "term", "tf", "df",
@@ -87,11 +84,9 @@ def tfidf_keywords_sql(
     dft AS (
       SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
       FROM tok GROUP BY term),
-    idf AS (
-      SELECT term, df,
-             CAST(round(1000000.0 * ln(CAST(nd.n AS DOUBLE) / df)) AS BIGINT)
-               AS idf_micro
-      FROM dft CROSS JOIN nd),
+    idf AS ({duckdb_ln_micro_sql(
+        "SELECT term, df, nd.n FROM dft CROSS JOIN nd",
+        "n", "df", "idf_micro", keep_cols="term, df")}),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, idf.df,
              tf.tf * idf.idf_micro AS score_micro

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.intlog import duckdb_ln_micro_sql, with_ln_micro
 from .guards import guarded_broadcast, register_pin
 
 _MICRO = 1_000_000
@@ -113,26 +114,16 @@ def train_char_lm(
         .agg(F.sum("c").cast("long").alias("T"))
         .crossJoin(F.broadcast(v_frame))
     )
-    lp = counts.join(totals, "lang").select(
-        "gram",
-        "lang",
-        F.round(
-            F.log((F.col("c") + F.lit(1.0)) / (F.col("T") + F.col("V") + F.lit(1.0)))
-            * _MICRO
-        )
-        .cast("long")
-        .alias("lp_micro"),
-    )
+    lp = with_ln_micro(
+        counts.join(totals, "lang"), "c + 1", "T + V + 1", "lp_micro"
+    ).select("gram", "lang", "lp_micro")
     vocab = lp.groupBy("gram").pivot("lang", langs).agg(F.first("lp_micro"))
     vocab = vocab.select(
         "gram", *[F.col(lg).alias(f"lp_{lg}") for lg in langs]
     )
-    oov = totals.select(
-        "lang",
-        F.round(F.log(F.lit(1.0) / (F.col("T") + F.col("V") + F.lit(1.0))) * _MICRO)
-        .cast("long")
-        .alias("oov_micro"),
-    )
+    oov = with_ln_micro(
+        totals, "1", "T + V + 1", "oov_micro"
+    ).select("lang", "oov_micro")
     oov_wide = oov.groupBy().pivot("lang", langs).agg(F.first("oov_micro"))
     oov_wide = oov_wide.select(*[F.col(lg).alias(f"oov_{lg}") for lg in langs])
     return vocab, oov_wide
@@ -256,19 +247,17 @@ def lang_id_oracle_sql(
     vsz AS (SELECT count(DISTINCT gram) AS V FROM kcounts),
     tot AS (SELECT lang, sum(c) AS T, (SELECT V FROM vsz) AS V
             FROM kcounts GROUP BY lang),
-    lp AS (
-      SELECT k.gram, k.lang,
-             CAST(round(ln((k.c + 1.0) / (t.T + t.V + 1.0)) * 1000000) AS BIGINT)
-               AS lp_micro
-      FROM kcounts k JOIN tot t ON t.lang = k.lang),
+    lp AS ({duckdb_ln_micro_sql(
+        "SELECT k.gram, k.lang, k.c, t.T, t.V FROM kcounts k JOIN tot t ON t.lang = k.lang",
+        "c + 1", "T + V + 1", "lp_micro", keep_cols="gram, lang")}),
     vocab AS (SELECT gram,
            {lp_cols}
       FROM lp GROUP BY gram),
     oov AS (SELECT
            {oov_cols}
-      FROM (SELECT lang,
-                   CAST(round(ln(1.0 / (T + V + 1.0)) * 1000000) AS BIGINT)
-                     AS oov_micro FROM tot)),
+      FROM ({duckdb_ln_micro_sql(
+        "SELECT lang, T, V FROM tot",
+        "1", "T + V + 1", "oov_micro", keep_cols="lang")})),
     dg AS (SELECT doc_id, unnest({grams}) AS gram FROM {table}),
     scored AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,

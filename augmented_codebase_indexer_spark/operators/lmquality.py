@@ -19,16 +19,21 @@ Two published web-pipeline operators the suite lacked:
 
 Cross-engine exactness (the repo's oracle discipline): per-token
 log-probs are quantized ONCE per vocabulary entry to integer micro-nats
-(``CAST(round(ln(p) * 1e6) AS BIGINT)``), so every per-document score is
-a BIGINT sum — exact, order-independent, and byte-identical between
-Spark and the DuckDB oracle. Every GATED column is integer-derived:
-``ce_micro = (-sum_lp_micro) DIV n_tokens`` (truncating BIGINT division,
-identical in Spark ``DIV`` and DuckDB ``//``) and the ppl bucket is an
-integer cross-multiply against micro-nat cut points, so no float round
-ever crosses the engine boundary. (Round 4's single red driver cell was
-exactly this hazard: ``round(ce, 6)`` on docs whose small-denominator
-rational entropy lands on a 6-dp half-way tie resolves ulp-dependently
-across engine builds — 6/500 sf0.01 docs sat exactly on the tie.)
+by the LIBM-FREE fixed-point binary log in ``functions/intlog.py``
+(msb cascade + 20 mantissa squarings, pure BIGINT in both engines), so
+every per-document score is a BIGINT sum — exact, order-independent,
+and bit-identical between Spark and the DuckDB oracle BY CONSTRUCTION,
+independent of either engine's libm build. Every GATED column is
+integer-derived: ``ce_micro = (-sum_lp_micro) DIV n_tokens``
+(truncating BIGINT division, identical in Spark ``DIV`` and DuckDB
+``//``) and the ppl bucket is an integer cross-multiply against
+micro-nat cut points. (History: round 4's red driver cell was
+``round(ce, 6)`` half-way ties; round 5 made everything downstream
+BIGINT but kept ``round(ln(p)·1e6)`` at the vocab quantize-once, and
+the driver's DuckDB libm disagreed with the JVM's at ≥1 vocab point —
+rows ✓ schema ✓ hash ✗ two rounds running. ``intlog`` removes libm
+from the dataflow entirely; the ``lm_vocab`` entry gates the register
+table itself so any future divergence bisects to vocab vs aggregation.)
 
 Scale shape at 10^12 docs: the vocab build is one token-keyed shuffle
 over the (much smaller) reference slice; scoring is a narrow
@@ -50,6 +55,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.intlog import duckdb_ln_micro_sql, with_ln_micro
 from .guards import guarded_broadcast, register_pin
 
 # default head/middle/tail cross-entropy cut points (nats/token), tuned
@@ -77,11 +83,12 @@ def unigram_logprobs(
     """Add-one unigram LM from a (doc_id, tok) reference slice.
 
     Returns ``(vocab, totals)``: vocab is (tok, lp_micro BIGINT) with
-    lp = ln((c+1)/(T+V+1)) quantized to micro-nats; totals is the 1-row
-    (T, V, oov_lp_micro) frame (OOV mass = 1/(T+V+1)). ``max_vocab_rows``
-    keeps the top-K tokens by (count desc, tok) — CCNet-style pruning
-    that guarantees the vocab broadcasts; pruned tokens fall into OOV on
-    BOTH engines, so the oracle stays exact.
+    lp = ln((c+1)/(T+V+1)) in micro-nats via the libm-free integer log
+    (``intlog.with_ln_micro``); totals is the 1-row (T, V, oov_lp_micro)
+    frame (OOV mass = 1/(T+V+1)). ``max_vocab_rows`` keeps the top-K
+    tokens by (count desc, tok) — CCNet-style pruning that guarantees
+    the vocab broadcasts; pruned tokens fall into OOV on BOTH engines,
+    so the oracle stays exact.
     """
     counts = ref_tokens.groupBy("tok").agg(F.count("*").alias("c"))
     if max_vocab_rows is not None:
@@ -95,22 +102,17 @@ def unigram_logprobs(
     # reference-slice token shuffle runs once, not once per consumer
     # (vocab-sized rows: one per distinct token)
     counts = register_pin(counts.persist())
-    totals = counts.agg(
-        F.sum("c").cast("long").alias("T"), F.count("*").cast("long").alias("V")
-    ).withColumn(
-        "oov_lp_micro",
-        F.round(F.log(F.lit(1.0) / (F.col("T") + F.col("V") + F.lit(1.0))) * _MICRO)
-        .cast("long"),
+    totals = with_ln_micro(
+        counts.agg(
+            F.sum("c").cast("long").alias("T"),
+            F.count("*").cast("long").alias("V"),
+        ),
+        "1", "T + V + 1", "oov_lp_micro",
     )
-    vocab = counts.crossJoin(F.broadcast(totals.select("T", "V"))).select(
-        "tok",
-        F.round(
-            F.log((F.col("c") + F.lit(1.0)) / (F.col("T") + F.col("V") + F.lit(1.0)))
-            * _MICRO
-        )
-        .cast("long")
-        .alias("lp_micro"),
-    )
+    vocab = with_ln_micro(
+        counts.crossJoin(F.broadcast(totals.select("T", "V"))),
+        "c + 1", "T + V + 1", "lp_micro",
+    ).select("tok", "lp_micro")
     return vocab, totals
 
 
@@ -221,20 +223,23 @@ def dsir_log_ratio(
 # ---------------------------------------------------------------------------
 
 def _vocab_ctes(prefix: str, src_pred: str) -> str:
-    """CTE block building (tok, lp BIGINT) + 1-row OOV for one LM."""
+    """CTE block building (tok, lp BIGINT) + 1-row OOV for one LM —
+    log-probs via the libm-free nested-chain integer log (`intlog`)."""
+    lp_sql = duckdb_ln_micro_sql(
+        f"SELECT tok, c, T, V FROM {prefix}vocab, {prefix}tot",
+        "c + 1", "T + V + 1", "lp", keep_cols="tok",
+    )
+    oov_sql = duckdb_ln_micro_sql(
+        f"SELECT T, V FROM {prefix}tot", "1", "T + V + 1", "lp", keep_cols="",
+    )
     return f"""
     {prefix}vocab AS (
       SELECT tok, count(*) AS c FROM tf WHERE {src_pred} GROUP BY tok),
     {prefix}tot AS (
-      SELECT CAST(sum(c) AS DOUBLE) AS T, CAST(count(*) AS DOUBLE) AS V
+      SELECT CAST(sum(c) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS V
       FROM {prefix}vocab),
-    {prefix}lp AS (
-      SELECT tok,
-             CAST(round(ln((c + 1.0) / (T + V + 1.0)) * 1000000) AS BIGINT) AS lp
-      FROM {prefix}vocab, {prefix}tot),
-    {prefix}oov AS (
-      SELECT CAST(round(ln(1.0 / (T + V + 1.0)) * 1000000) AS BIGINT) AS lp
-      FROM {prefix}tot)"""
+    {prefix}lp AS ({lp_sql}),
+    {prefix}oov AS ({oov_sql})"""
 
 
 def _tf_cte(table: str, with_source: bool) -> str:
@@ -247,6 +252,19 @@ def _tf_cte(table: str, with_source: bool) -> str:
 
 
 _TF_CTE = _tf_cte("documents", with_source=True)
+
+
+def lm_vocab_oracle_sql(
+    ref_pred: str = "doc_id % 10 = 0", table: str = "documents"
+) -> str:
+    """Gate the (tok, lp_micro) LM register table ITSELF (VERDICT r5
+    Next #1a, the ``hll_vocab`` precedent): if a driver round ever
+    disagrees on lm_quality again, this entry says whether the
+    divergence is in the vocabulary quantization or the per-doc
+    aggregation."""
+    return f"""{_tf_cte(table, with_source=False)},{_vocab_ctes("u", ref_pred)}
+    SELECT tok, lp AS lp_micro FROM ulp
+    """
 
 
 def lm_quality_oracle_sql(

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .domains import host_sql_expr
 from .guards import guarded_broadcast
 
 # host (group 1) and path (group 2) of an absolute http(s) url; the path
@@ -270,8 +271,10 @@ def apply_robots_oracle_sql(
       WHERE rl.agent = '*'),
     u AS (
       SELECT urls.*,
-        regexp_replace(lower(regexp_extract(url,
-          '^https?://([^/?#]+)([^?#]*)', 1)), '\\.$', '') AS _dom,
+        -- ADVICE r5: mirror domains.host_col EXACTLY (strip ':port' and
+        -- leading 'userinfo@'), not the authority regex '[^/?#]+' which
+        -- keeps both and can match a different robots domain
+        {host_sql_expr("url")} AS _dom,
         CASE WHEN regexp_extract(url, '^https?://([^/?#]+)([^?#]*)', 2) = ''
              THEN '/' ELSE regexp_extract(url,
                '^https?://([^/?#]+)([^?#]*)', 2) END AS _path

@@ -9,10 +9,15 @@ fetching instead of after).
 
 * :func:`parse_sitemap` — (domain, xml) → (domain, loc, lastmod_epoch):
   ``<url>`` blocks via one codegen ``regexp_extract_all`` explode, loc/
-  lastmod per block; lastmod is a date (``yyyy-MM-dd``, the sitemaps.org
-  minimum form) parsed to epoch seconds in UTC (the session timezone —
-  ``session.py`` pins UTC so both engines agree). Missing/unparseable
-  lastmod surfaces as NULL, never drops the url.
+  lastmod per block; lastmod accepts the sitemaps.org-allowed W3C
+  datetime forms — date-only ``yyyy-MM-dd`` plus full datetimes
+  ``yyyy-MM-ddTHH:mm[:ss]`` with a ``Z``/``±hh:mm`` zone — parsed to
+  epoch seconds in UTC via ``try_to_timestamp`` (ADVICE r5: plain
+  ``to_timestamp`` under Spark 4's ANSI default THROWS on any other
+  form, e.g. '2026-01-02T03:04:05+00:00', killing the nightly
+  refresh_crawl planner on common real-world sitemaps). Missing or
+  unparseable lastmod surfaces as NULL, never drops the url and never
+  fails the task.
 * :func:`recrawl_candidates` — sitemap entries ⟕ fetch log:
   never-fetched urls are ``new``; fetched urls whose lastmod is STRICTLY
   newer than fetched_at are ``modified``; fetched urls with NULL lastmod
@@ -44,13 +49,18 @@ def parse_sitemap(
         ).alias("block"),
     )
     lastmod = F.regexp_extract("block", _LASTMOD_RE, 1)
+    # sitemaps.org allows any W3C datetime; try the common forms in
+    # specificity order — try_to_timestamp yields NULL (not an ANSI
+    # exception) on mismatch, so one url's odd stamp can't kill the job
+    parsed = F.coalesce(
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd")),
+    )
     return blocks.select(
         "domain",
         F.regexp_extract("block", _LOC_RE, 1).alias("loc"),
-        F.when(
-            lastmod != "",
-            F.to_timestamp(lastmod, "yyyy-MM-dd").cast("long"),
-        ).alias("lastmod_epoch"),
+        F.when(lastmod != "", parsed.cast("long")).alias("lastmod_epoch"),
     ).filter(F.col("loc") != "")
 
 

@@ -40,13 +40,22 @@ def merge_prefer(
     winning ties — the deterministic merge primitive shared by
     ``import_graph`` and the CLI import verb (a bare ``dropDuplicates``
     after a union has a nondeterministic winner; ADVICE r4). One
-    key-partitioned window, no collect."""
+    key-partitioned window, no collect.
+
+    Determinism holds WITHIN one input too (ADVICE r5): after ``__pri``
+    the window orders by every remaining non-key column (name-sorted),
+    so duplicate keys inside ``first`` or ``second`` pick a stable
+    winner instead of whichever partition arrives first."""
     from pyspark.sql import Window
 
     u = first.withColumn("__pri", F.lit(0)).unionByName(
         second.withColumn("__pri", F.lit(1)), allowMissingColumns=True
     )
-    w = Window.partitionBy(*key).orderBy(F.asc("__pri"))
+    tiebreak = [
+        F.asc_nulls_last(c) for c in sorted(u.columns)
+        if c not in key and c != "__pri"
+    ]
+    w = Window.partitionBy(*key).orderBy(F.asc("__pri"), *tiebreak)
     return (
         u.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -9,6 +9,7 @@ from collections import Counter
 
 import pyspark.sql.functions as F  # noqa: F401
 
+from augmented_codebase_indexer_spark.functions.intlog import ln_micro_py
 from augmented_codebase_indexer_spark.operators.corpusstats import (
     slice_kl_divergence,
     zipf_profile,
@@ -23,8 +24,7 @@ def _py_kl(slices: dict) -> dict:
     T = {s: sum(c.values()) for s, c in counts.items()}
     lp = {
         s: {
-            tok: int(round(math.log(
-                (counts[s][tok] + 1.0) / (T[s] + V + 1.0)) * 1e6))
+            tok: ln_micro_py(counts[s][tok] + 1, T[s] + V + 1)
             for tok in vocab
         }
         for s in counts

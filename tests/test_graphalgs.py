@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 
 import math
 
+from augmented_codebase_indexer_spark.functions.intlog import ln_micro_py
 from augmented_codebase_indexer_spark.operators.graphalgs import (
     adamic_adar,
     jaccard_similarity,
@@ -110,7 +111,12 @@ def test_adamic_adar_matches_bruteforce(spark):
         if not common:
             continue
         want_pairs.add((a, b))
-        micro = sum(int(round(1e6 / math.log(len(adj[n])))) for n in common)
+        # r6: per-degree weight via the libm-free integer log
+        def _w(deg):
+            lnm = ln_micro_py(deg, 1)
+            return (10**12 + lnm // 2) // lnm
+
+        micro = sum(_w(len(adj[n])) for n in common)
         r = got[(a, b)]
         assert r["aa_micro"] == micro  # exact integer parity
         assert r["n_common"] == len(common)

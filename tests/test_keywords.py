@@ -1,9 +1,10 @@
 """TF-IDF keywords (operators/keywords.py): hand-computed scores,
 rare-beats-common semantics, tie-breaks, DuckDB parity on driver data,
-and the rounding-boundary audit for the one quantized float."""
+and the semantic guard on the r6 libm-free idf quantization."""
 
 import math
 
+from augmented_codebase_indexer_spark.functions.intlog import ln_micro_py
 from augmented_codebase_indexer_spark.operators.keywords import (
     tfidf_keywords,
     tfidf_keywords_sql,
@@ -24,7 +25,7 @@ def _df(spark):
 def test_rare_beats_common(spark):
     got = {(r["doc_id"], r["rank"]): (r["term"], r["score_micro"])
            for r in tfidf_keywords(_df(spark), k=2).collect()}
-    idf = lambda df_: round(1_000_000 * math.log(3 / df_))
+    idf = lambda df_: ln_micro_py(3, df_)  # r6: libm-free integer log
     assert got == {
         (1, 1): ("apple", 2 * idf(2)),
         (1, 2): ("common", 0),
@@ -51,21 +52,19 @@ def test_duckdb_parity_on_driver_corpus(spark):
     assert got == want
 
 
-def test_idf_rounding_boundary_audit(spark):
-    """The one float→int quantization: measure how close any (N, df)
-    pair of the sf0.01 corpus lands to a round-half boundary. The AA
-    precedent treats <100× float noise as a red flag."""
+def test_idf_intlog_semantic_guard(spark):
+    """r6: idf_micro comes from the libm-free integer log (exactness is
+    by construction, parity asserted in test_intlog.py). This guard
+    pins the SEMANTICS instead: over every (N, df) pair of the sf0.01
+    corpus the integer idf stays within 2 micro-nats of true
+    1e6·ln(N/df), and idf(df=N) == 0 exactly."""
     import duckdb
 
-    rows = duckdb.connect().execute(
+    n = duckdb.connect().execute(
         "SELECT count(DISTINCT doc_id) AS n FROM "
         "read_parquet('/root/testdata/sf0.01/documents.parquet')"
-    ).fetchone()
-    n = rows[0]
-    dist = min(
-        abs((1_000_000 * math.log(n / df_)) % 1 - 0.5)
-        for df_ in range(1, n + 1)
-        if df_ != n  # ln(1) = 0 exactly — integer, not a boundary case
-    )
-    # float noise on 1e6*ln(x) is ~1e-10; require 100× clearance
-    assert dist > 1e-8, dist
+    ).fetchone()[0]
+    assert ln_micro_py(n, n) == 0
+    for df_ in range(1, n + 1):
+        got = ln_micro_py(n, df_)
+        assert abs(got - 1_000_000 * math.log(n / df_)) <= 2, (df_, got)

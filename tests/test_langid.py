@@ -7,6 +7,7 @@ import math
 import pyspark.sql.functions as F
 import pytest
 
+from augmented_codebase_indexer_spark.functions.intlog import ln_micro_py
 from augmented_codebase_indexer_spark.operators.langid import (
     gram_frame,
     lang_id_ngram,
@@ -105,12 +106,10 @@ def test_scores_match_python_mirror(spark, planted):
     for lg, d in counts.items():
         tot[lg] = sum(d.values())
     lp = {
-        lg: {g: int(round(math.log((d.get(g, 0) + 1.0) / (tot[lg] + V + 1.0)) * 1e6))
-             for g in vocab}
+        lg: {g: ln_micro_py(d.get(g, 0) + 1, tot[lg] + V + 1) for g in vocab}
         for lg, d in counts.items()
     }
-    oov = {lg: int(round(math.log(1.0 / (tot[lg] + V + 1.0)) * 1e6))
-           for lg in counts}
+    oov = {lg: ln_micro_py(1, tot[lg] + V + 1) for lg in counts}
     out = {r["doc_id"]: r for r in lang_id_ngram(planted).collect()}
     for r in rows:
         gs = grams(r["text"])

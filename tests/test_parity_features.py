@@ -74,6 +74,24 @@ def test_graph_export_import_roundtrip(spark, tmp_path):
     assert n3.count() == 1 and e3.count() == 1
 
 
+def test_merge_prefer_deterministic_within_one_frame(spark):
+    """ADVICE r5: duplicate keys INSIDE one input must pick a stable
+    winner (ordered by the remaining columns), not whichever partition
+    arrives first — asserted by running the merge repeatedly over a
+    many-partition dupe set."""
+    from augmented_codebase_indexer_spark.sources.graph_io import merge_prefer
+
+    dupes = spark.createDataFrame(
+        [("k1", v) for v in ("zz", "aa", "mm")] + [("k2", "bb")],
+        ["node_id", "val"],
+    ).repartition(8)
+    empty = spark.createDataFrame([], "node_id string, val string")
+    for _ in range(3):
+        got = {r["node_id"]: r["val"]
+               for r in merge_prefer(dupes, empty, ["node_id"]).collect()}
+        assert got == {"k1": "aa", "k2": "bb"}  # min by non-key column
+
+
 def test_ntriples_roundtrip(spark, tmp_path):
     """RDF N-Triples: IRIs url-encoded (spaces, angle brackets), literals
     escaped per the W3C grammar INCLUDING the pathological

@@ -135,3 +135,45 @@ def test_oracle_parity_on_planted_corpus(spark, duckdb_conn=None):
         ).fetchall()
     )
     assert got == want
+
+
+def test_oracle_parity_with_port_and_userinfo(spark):
+    """ADVICE r5: the oracle's old '[^/?#]+' authority regex kept ':port'
+    and 'userinfo@' while Spark's host_col strips both, so such URLs
+    matched DIFFERENT robots domains across engines. Both engines must
+    now gate 'https://user@a.example.com:8443/private/x' by
+    a.example.com's rules."""
+    import duckdb
+
+    from augmented_codebase_indexer_spark.operators.robots import (
+        apply_robots_oracle_sql,
+    )
+
+    urls = [
+        "https://a.example.com:8443/private/x",
+        "https://user@a.example.com/private/press/1",
+        "https://user:pw@a.example.com:8080/docs/a",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    rules = parse_robots(_robots_df(spark))
+    got = sorted(
+        (r["doc_id"], r["robots_allowed"], r["matched_rule"])
+        for r in apply_robots(df, rules, agent="aci-bot").collect()
+    )
+    # the port/userinfo urls hit a.example.com's groups — not no_match
+    assert all(rule != "no_match" for _, _, rule in got)
+    con = duckdb.connect()
+    urls_sql = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{u}' AS url" for i, u in enumerate(urls)
+    )
+    robots_sql = ("SELECT 'a.example.com' AS domain, '"
+                  + ROBOTS.replace("\n", "' || chr(10) || '") + "' AS robots_txt")
+    want = sorted(
+        (r[0], r[2], r[3])
+        for r in con.execute(
+            apply_robots_oracle_sql(urls_sql, robots_sql, "aci-bot")
+        ).fetchall()
+    )
+    assert got == want

@@ -38,6 +38,33 @@ def test_parse_blocks_and_epochs(spark):
     }
 
 
+def test_w3c_datetime_and_malformed_lastmod(spark):
+    """ADVICE r5: sitemaps.org explicitly allows full W3C datetimes in
+    <lastmod>; plain to_timestamp under ANSI threw on them and killed
+    the job. Full datetimes (Z and ±hh:mm zones, with/without seconds)
+    must parse to the exact UTC epoch; garbage must surface NULL and
+    never raise."""
+    xml = (
+        "<urlset>"
+        "<url><loc>u1</loc><lastmod>2026-01-02T03:04:05+00:00</lastmod></url>"
+        "<url><loc>u2</loc><lastmod>2026-01-02T03:04:05Z</lastmod></url>"
+        "<url><loc>u3</loc><lastmod>2026-01-02T04:04:05+01:00</lastmod></url>"
+        "<url><loc>u4</loc><lastmod>2026-01-02T03:04Z</lastmod></url>"
+        "<url><loc>u5</loc><lastmod>next tuesday</lastmod></url>"
+        "<url><loc>u6</loc><lastmod>2026-13-45</lastmod></url>"
+        "</urlset>"
+    )
+    got = {r["loc"]: r["lastmod_epoch"] for r in parse_sitemap(
+        spark.createDataFrame([("d", xml)], "domain string, xml string")
+    ).collect()}
+    t = EPOCH_0102 + 3 * 3600 + 4 * 60 + 5
+    assert got == {
+        "u1": t, "u2": t, "u3": t,  # +01:00 wall 04:04 == same instant
+        "u4": t - 5,
+        "u5": None, "u6": None,
+    }
+
+
 def test_recrawl_semantics(spark):
     log = spark.createDataFrame(LOG, "url string, fetched_at long")
     got = {r["url"]: r["reason"]
