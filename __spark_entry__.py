@@ -1067,9 +1067,12 @@ def q_cm_sketch(spark, sf_dir):
 def q_asset_metadata(spark, sf_dir):
     """Binary asset metadata without codecs (sources/multimodal.py):
     magic-byte format sniffing + PNG (big-endian u32) / GIF (little-
-    endian u16) header dimensions as pure byte arithmetic. Assets are
-    synthesized closed-form as unhex(hex-string) from doc_id, so the
-    oracle reconstructs (fmt, width, height) arithmetically."""
+    endian u16) header dimensions + — r6 — JPEG SOF0 dimensions found by
+    the bounded segment-list walk (SOI → APP0 → DQT → SOF0 here, so the
+    walker must skip two length-prefixed segments before the frame
+    header). Assets are synthesized closed-form as unhex(hex-string)
+    from doc_id, so the oracle reconstructs (fmt, width, height)
+    arithmetically."""
     from augmented_codebase_indexer_spark.sources.multimodal import (
         sniff_and_dimensions,
     )
@@ -1079,13 +1082,19 @@ def q_asset_metadata(spark, sf_dir):
     h_png = "doc_id % 480 + 16"
     w_gif = "doc_id % 320 + 1"
     h_gif = "doc_id % 200 + 1"
+    w_jpg = "doc_id % 500 + 1"
+    h_jpg = "doc_id % 300 + 1"
     hexstr = F.expr(
-        "CASE doc_id % 3 "
+        "CASE doc_id % 4 "
         "WHEN 0 THEN concat('89504E470D0A1A0A0000000D49484452', "
         f"  lpad(hex({w_png}), 8, '0'), lpad(hex({h_png}), 8, '0'), '0806') "
         "WHEN 1 THEN concat('474946383961', "
         f"  lpad(hex(({w_gif}) % 256), 2, '0'), lpad(hex(({w_gif}) DIV 256), 2, '0'), "
         f"  lpad(hex(({h_gif}) % 256), 2, '0'), lpad(hex(({h_gif}) DIV 256), 2, '0'), '00') "
+        # JPEG: FFD8 | APP0 len 4 + 2 payload | DQT len 3 + 1 payload |
+        # SOF0 len 0x11, precision 8, height u16, width u16
+        "WHEN 2 THEN concat('FFD8', 'FFE00004ABCD', 'FFDB000377', 'FFC0001108', "
+        f"  lpad(hex({h_jpg}), 4, '0'), lpad(hex({w_jpg}), 4, '0'), '03') "
         "ELSE '0001DEADBEEF' END"
     )
     assets = d.select("doc_id", F.unhex(hexstr).alias("content"))
@@ -1273,6 +1282,21 @@ def q_curation_v5(spark, sf_dir):
 
     return curation_pipeline_v5(
         _t(spark, sf_dir, "documents"), decontam_n=3
+    )
+
+
+def q_curation_v6(spark, sf_dir):
+    # v5 with the TRAINED char-n-gram LID in place of the marker
+    # heuristic (VERDICT r5 Next #4): the CCNet LID → LM quality →
+    # filter chain composed end-to-end. Trained on the documents
+    # table's own lang labels, scoring the boilerplate-pruned text;
+    # keep-set joins back doc_id-keyed (can be ~90% of corpus — never
+    # broadcast).
+    from augmented_codebase_indexer_spark.plans.curation import curation_pipeline_v5
+
+    return curation_pipeline_v5(
+        _t(spark, sf_dir, "documents"), decontam_n=3,
+        lid="trained", lid_langs=["de", "en", "es", "fr", "zh"],
     )
 
 
@@ -2126,6 +2150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_kl": q_slice_kl,
         "tfidf_keywords": q_tfidf_keywords,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "curation_v6": q_curation_v6,
+        "asset_metadata": q_asset_metadata,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2169,10 +2195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
+        # ------ driver 50-entry window ends here (#50 = graph_kcore) ---
+        # --- r4-green remainder (next rotation's candidates) ---
         "domain_normalize": q_domain_normalize,
         "domain_cap_url": q_domain_cap_url,
-        # ------ driver 50-entry window ends here (#50 = domain_cap_url) ---
-        # --- r4-green remainder (next rotation's candidates) ---
         "contam_report": q_contam_report,
         "pii_redact": q_pii_redact,
         "training_mix": q_training_mix,
@@ -2218,7 +2244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_items": q_feed_items,
         "dedup_ngram_prefix": q_dedup_ngram_prefix,
         "cm_sketch": q_cm_sketch,
-        "asset_metadata": q_asset_metadata,
         "anchor_aliases": q_anchor_aliases,
         "bloom_vocab": q_bloom_vocab,
         "dup_source_matrix": q_dup_source_matrix,
@@ -3005,6 +3030,10 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.plans.curation import curation_v5_oracle_sql
 
     sql["curation_v5"] = curation_v5_oracle_sql(decontam_n=3)
+    sql["curation_v6"] = curation_v5_oracle_sql(
+        decontam_n=3, lid="trained",
+        lid_langs=["de", "en", "es", "fr", "zh"],
+    )
     sql["curation_funnel"] = curation_funnel_oracle_sql(decontam_n=3)
 
     from augmented_codebase_indexer_spark.operators.decontam import (
@@ -3332,13 +3361,15 @@ def oracle_sql() -> dict[str, str]:
     # that synthesized the binary headers — no blob parsing in the oracle
     sql["asset_metadata"] = """
     SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                ELSE 'unknown' END AS fmt,
-           CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 640 + 16 AS BIGINT)
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'jpeg' ELSE 'unknown' END AS fmt,
+           CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 640 + 16 AS BIGINT)
                 WHEN 1 THEN CAST(doc_id % 320 + 1 AS BIGINT)
+                WHEN 2 THEN CAST(doc_id % 500 + 1 AS BIGINT)
                 ELSE NULL END AS width,
-           CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 480 + 16 AS BIGINT)
+           CASE doc_id % 4 WHEN 0 THEN CAST(doc_id % 480 + 16 AS BIGINT)
                 WHEN 1 THEN CAST(doc_id % 200 + 1 AS BIGINT)
+                WHEN 2 THEN CAST(doc_id % 300 + 1 AS BIGINT)
                 ELSE NULL END AS height
     FROM documents
     """

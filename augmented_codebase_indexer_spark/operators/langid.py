@@ -206,11 +206,14 @@ def lang_id_oracle_sql(
     table: str = "documents",
     train_pred: str = "TRUE",
     max_vocab_rows: int | None = None,
+    score_table: str | None = None,
 ) -> str:
-    """DuckDB mirror of ``lang_id_ngram`` (self-trained on ``table``'s
-    ``lang`` labels filtered by ``train_pred``): identical add-one
+    """DuckDB mirror of ``lang_id_ngram`` (trained on ``table``'s
+    ``lang`` labels filtered by ``train_pred``, scoring ``score_table``
+    — defaults to ``table``, i.e. self-training): identical add-one
     micro-nat quantization, identical shared-V smoothing, identical
     argmax + lang-code tie-break."""
+    score_table = table if score_table is None else score_table
     langs = sorted(langs)
     grams = _grams_sql("text", n)
     lang_in = ", ".join(f"'{lg}'" for lg in langs)
@@ -258,7 +261,7 @@ def lang_id_oracle_sql(
       FROM ({duckdb_ln_micro_sql(
         "SELECT lang, T, V FROM tot",
         "1", "T + V + 1", "oov_micro", keep_cols="lang")})),
-    dg AS (SELECT doc_id, unnest({grams}) AS gram FROM {table}),
+    dg AS (SELECT doc_id, unnest({grams}) AS gram FROM {score_table}),
     scored AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
            {s_cols}

@@ -62,13 +62,27 @@ def quality_score_col(text: Column) -> Column:
 
 
 def _idiv(a: Column, b: Column | int) -> Column:
-    """Exact integer floor-division for NON-NEGATIVE operands, built from
-    %, - and /: (a - a % b) / b. The float division is exact because the
-    numerator is b·q with both ≤ 2^53 (every quantity in quality_micro_col
-    is ≤ 1e13), so the correctly-rounded IEEE quotient IS the integer q.
-    Matches DuckDB's BIGINT ``//`` on the same operands."""
+    """Exact integer floor-division for NON-NEGATIVE operands:
+    floor(a / b) — matches DuckDB's BIGINT ``//`` on the same operands.
+
+    Exactness: a, b ≤ 2^53 so both cast to double losslessly; the
+    correctly-rounded IEEE quotient is q + r/b ± ulp(quotient). In every
+    quality_micro_col use the quotient is ≤ 1e6 (ulp ≈ 2e-10) and any
+    nonzero remainder has r/b ≥ 1e-6 >> ulp, while r = 0 divides to
+    exactly-representable q — so floor() can never be off by one.
+
+    Why floor and not the algebraic ``(a - a % b) / b`` (the r5 form):
+    that construction references ``a`` TWICE, and the nested divisions in
+    quality_micro_col squared the duplication — the two regexp_count
+    subtrees were evaluated ~4× per row past codegen CSE, a measured
+    ~1.8× wall regression on the curation chain (BENCH.md r6
+    attribution). floor references ``a`` once; the gated VALUES are
+    bit-identical (asserted over the full sf0.01 corpus + planted
+    boundary texts in
+    tests/test_operators.py::test_quality_micro_div_forms_agree, and
+    over sf0.1 by hand during the r6 attribution: 0 diffs / 5000)."""
     b = F.lit(b) if isinstance(b, int) else b
-    return ((a - a % b) / b).cast("long")
+    return F.floor(a / b).cast("long")
 
 
 def quality_micro_col(text: Column) -> Column:

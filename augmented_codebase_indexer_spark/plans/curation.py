@@ -466,15 +466,20 @@ def curation_v4_oracle_sql(
         table="eligible",
     )
     chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
+    # MATERIALIZED is load-bearing (the k_core oracle lesson): DuckDB
+    # inlines plain CTEs at every reference, and `eligible` sits under
+    # the RECURSIVE connected-components iteration — unmaterialized, the
+    # whole filter pipeline re-executes every CC round (v6's trained-LID
+    # clause pushed that from slow to unbounded-looking)
     return f"""
-    WITH RECURSIVE eligible AS (
+    WITH RECURSIVE eligible AS MATERIALIZED (
       SELECT doc_id, text, {QUALITY_SQL} AS quality_micro FROM {cleaned}
       WHERE doc_id % {eval_mod} <> 0
         AND {gopher_passes_sql('text', **gopher)}
         AND doc_id NOT IN (SELECT doc_id FROM ({decontam}) WHERE NOT kept)
         AND ({LANG_EN_SQL})),
-    np AS (SELECT ida, idb FROM ({pairs})),
-    nedges AS (SELECT ida AS src, idb AS dst FROM np
+    np AS MATERIALIZED (SELECT ida, idb FROM ({pairs})),
+    nedges AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM np
                UNION SELECT idb, ida FROM np),
     ncc AS (
       SELECT src AS id, src AS label FROM nedges
@@ -482,7 +487,7 @@ def curation_v4_oracle_sql(
       SELECT e.dst AS id, c.label FROM ncc c JOIN nedges e ON e.src = c.id
     ),
     ncomp AS (SELECT id, min(label) AS component FROM ncc GROUP BY id),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT e.doc_id, e.text, e.quality_micro FROM eligible e
       LEFT JOIN ncomp c ON c.id = e.doc_id
       WHERE coalesce(c.component, e.doc_id) = e.doc_id),
@@ -507,12 +512,28 @@ def curation_pipeline_v5(
     lm_ref_mod: int = 10,
     lm_buckets: tuple = (3.40, 3.43),
     broadcast_max_rows: int | None = None,
+    lid: str = "marker",
+    lid_langs: list[str] | None = None,
+    lid_n: int = 2,
 ) -> DataFrame:
     """v4 plus the CCNet stage: an add-one unigram LM trained on the
     cleaned corpus' ``doc_id % lm_ref_mod == 0`` reference slice scores
     every cleaned doc, and candidates whose cross-entropy lands in the
     'tail' bucket are dropped before dedup (CCNet keeps head, samples
     middle, drops tail — we implement the deterministic keep/drop form).
+
+    ``lid`` selects the language gate (VERDICT r5 Next #4 — this
+    completes the CCNet LID → LM → filter chain end-to-end):
+
+    * ``'marker'`` (default) — the zero-cost marker-word heuristic
+      (``textstats.lang_id_col``), a narrow codegen expression.
+    * ``'trained'`` — the char-n-gram LID (``operators/langid``) trained
+      on ``docs``' own ``lang`` labels (``lid_langs`` pins the label
+      set; None collects the distinct labels — bounded by real language
+      codes), scoring the CLEANED text. Docs whose prediction is not in
+      ``allowed_langs`` — or that are too short to carry an n-gram —
+      are dropped. The keep-set can be ~90% of the corpus, so it joins
+      back doc_id-keyed (slim rows), never broadcast.
 
     Scale: the LM keep-set is 75-90% of the corpus — NEVER broadcast; it
     joins back as a doc_id-keyed inner join of slim (doc_id) rows
@@ -552,10 +573,28 @@ def curation_pipeline_v5(
     eval_docs = cleaned.filter(F.col("doc_id") % eval_mod == 0)
     cands = cleaned.filter(F.col("doc_id") % eval_mod != 0).join(lm_keep, "doc_id")
     gophered = cands.filter(gopher_flag_cols(F.col("text"), **gopher)["passes"])
+    decontammed = decontaminate_filter(
+        gophered, eval_docs, n=decontam_n, broadcast_max_rows=broadcast_max_rows
+    )
+    if lid == "trained":
+        from ..operators.langid import lang_id_ngram
+
+        lid_keep = (
+            lang_id_ngram(
+                cleaned.select("doc_id", "text"), train_docs=docs,
+                langs=lid_langs, n=lid_n,
+                broadcast_max_rows=broadcast_max_rows,
+            )
+            .filter(F.col("lang_pred").isin(*allowed_langs))
+            .select("doc_id")
+        )
+        lang_gated = decontammed.join(lid_keep, "doc_id")
+    else:
+        lang_gated = decontammed.filter(
+            lang_id_col(F.col("text")).isin(*allowed_langs)
+        )
     eligible = (
-        decontaminate_filter(gophered, eval_docs, n=decontam_n,
-                             broadcast_max_rows=broadcast_max_rows)
-        .filter(lang_id_col(F.col("text")).isin(*allowed_langs))
+        lang_gated
         .withColumn("quality_micro", quality_micro_col(F.col("text")))
         .persist()
     )
@@ -584,9 +623,15 @@ def curation_v5_oracle_sql(
     lm_ref_mod: int = 10,
     lm_buckets: tuple = (3.40, 3.43),
     table: str = "documents",
+    lid: str = "marker",
+    lid_langs: list[str] | None = None,
+    lid_n: int = 2,
 ) -> str:
     """DuckDB mirror of ``curation_pipeline_v5`` — the v4 mirror with the
-    LM keep-set membership folded into the eligible CTE."""
+    LM keep-set membership folded into the eligible CTE; with
+    ``lid='trained'`` the marker clause becomes membership in the
+    char-n-gram LID result (trained on ``table``'s labels, scoring the
+    cleaned text — the same shape as the Spark chain)."""
     from ..operators.curation_filters import boilerplate_oracle_sql
     from ..operators.decontam import decontaminate_oracle_sql
     from ..operators.dedup import minhash_oracle_sql
@@ -614,16 +659,28 @@ def curation_v5_oracle_sql(
         table="eligible",
     )
     chunks = chunk_oracle_sql(size=size, overlap=overlap, table="kept")
+    if lid == "trained":
+        from ..operators.langid import lang_id_oracle_sql
+
+        lid_sql = lang_id_oracle_sql(
+            lid_langs, n=lid_n, table=table, score_table=cleaned
+        )
+        lang_clause = (
+            f"doc_id IN (SELECT doc_id FROM ({lid_sql}) "
+            f"WHERE lang_pred = 'en')"
+        )
+    else:
+        lang_clause = LANG_EN_SQL
     return f"""
-    WITH RECURSIVE eligible AS (
+    WITH RECURSIVE eligible AS MATERIALIZED (
       SELECT doc_id, text, {QUALITY_SQL} AS quality_micro FROM {cleaned}
       WHERE doc_id % {eval_mod} <> 0
         AND doc_id IN (SELECT doc_id FROM ({lm}) WHERE ppl_bucket <> 'tail')
         AND {gopher_passes_sql('text', **gopher)}
         AND doc_id NOT IN (SELECT doc_id FROM ({decontam}) WHERE NOT kept)
-        AND ({LANG_EN_SQL})),
-    np AS (SELECT ida, idb FROM ({pairs})),
-    nedges AS (SELECT ida AS src, idb AS dst FROM np
+        AND ({lang_clause})),
+    np AS MATERIALIZED (SELECT ida, idb FROM ({pairs})),
+    nedges AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM np
                UNION SELECT idb, ida FROM np),
     ncc AS (
       SELECT src AS id, src AS label FROM nedges
@@ -631,7 +688,7 @@ def curation_v5_oracle_sql(
       SELECT e.dst AS id, c.label FROM ncc c JOIN nedges e ON e.src = c.id
     ),
     ncomp AS (SELECT id, min(label) AS component FROM ncc GROUP BY id),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT e.doc_id, e.text, e.quality_micro FROM eligible e
       LEFT JOIN ncomp c ON c.id = e.doc_id
       WHERE coalesce(c.component, e.doc_id) = e.doc_id),

@@ -169,25 +169,101 @@ def _le_u16(col: str, offset_1based: int) -> F.Column:
     return F.expr(f"CAST(conv(concat({b1}, {b0}), 16, 10) AS BIGINT)")
 
 
+# SOF markers that carry frame dimensions (ITU T.81 table B.1): C0-C3,
+# C5-C7, C9-CB, CD-CF — i.e. every FFCx except DHT (C4), JPG (C8), DAC (CC)
+_SOF_MARKERS = (
+    "FFC0", "FFC1", "FFC2", "FFC3", "FFC5", "FFC6", "FFC7",
+    "FFC9", "FFCA", "FFCB", "FFCD", "FFCE", "FFCF",
+)
+_JPEG_MAX_SEGMENTS = 16
+
+
+def _jpeg_sof_steps(content_col: str, max_segments: int = _JPEG_MAX_SEGMENTS):
+    """(alias, expr) chain locating the JPEG SOF marker by walking the
+    segment list from offset 3 (1-based; right after FFD8) — ITU T.81
+    B.2: each header segment is FF <marker> <u16 BE length incl. itself>.
+    Fill bytes (extra FFs before a marker) are stepped over one byte at
+    a time; SOS/EOI, a non-FF byte, a truncated length, or exhausting
+    ``max_segments`` ends the walk with no SOF → NULL dims, never an
+    error. Emitted as one alias per chained select (the intlog
+    discipline: each step references its predecessor several times, so
+    a flat expression tree would grow exponentially)."""
+    sofs = ", ".join(f"'{m}'" for m in _SOF_MARKERS)
+    steps = [
+        ("_jp_off_0",
+         f"CASE WHEN upper(hex(substring({content_col}, 1, 3))) = 'FFD8FF' "
+         "THEN CAST(3 AS BIGINT) END"),
+        ("_jp_sof_0", "CAST(NULL AS BIGINT)"),
+    ]
+    for k in range(1, max_segments + 1):
+        off, sof = f"_jp_off_{k - 1}", f"_jp_sof_{k - 1}"
+        m = f"_jp_m_{k}"
+        steps.append(
+            (m,
+             f"CASE WHEN {sof} IS NULL AND {off} IS NOT NULL "
+             f"THEN upper(hex(substring({content_col}, CAST({off} AS INT), 2))) END")
+        )
+        steps.append(
+            (f"_jp_sof_{k}",
+             f"CASE WHEN {sof} IS NOT NULL THEN {sof} "
+             f"WHEN {m} IN ({sofs}) THEN {off} END")
+        )
+        # advance: fill byte 'FFFF' → +1; marker with length → skip the
+        # segment; SOS/EOI/short read/non-FF → stop (NULL)
+        steps.append(
+            (f"_jp_off_{k}",
+             f"CASE WHEN _jp_sof_{k} IS NOT NULL OR {m} IS NULL "
+             f"OR substring({m}, 1, 2) <> 'FF' OR length({m}) < 4 "
+             f"OR {m} IN ('FFDA', 'FFD9') THEN CAST(NULL AS BIGINT) "
+             f"WHEN {m} = 'FFFF' THEN {off} + 1 "
+             f"ELSE {off} + 2 + CAST(conv(hex(substring({content_col}, "
+             f"CAST({off} AS INT) + 2, 2)), 16, 10) AS BIGINT) END")
+        )
+    last = f"_jp_sof_{max_segments}"
+    steps.append(
+        ("_jp_h",
+         f"CASE WHEN {last} IS NOT NULL AND length({content_col}) >= {last} + 8 "
+         f"THEN CAST(conv(hex(substring({content_col}, CAST({last} AS INT) + 5, 2)), "
+         "16, 10) AS BIGINT) END")
+    )
+    steps.append(
+        ("_jp_w",
+         f"CASE WHEN {last} IS NOT NULL AND length({content_col}) >= {last} + 8 "
+         f"THEN CAST(conv(hex(substring({content_col}, CAST({last} AS INT) + 7, 2)), "
+         "16, 10) AS BIGINT) END")
+    )
+    return steps
+
+
 def sniff_and_dimensions(
     assets: DataFrame, content_col: str = "content"
 ) -> DataFrame:
     """+ (fmt, width, height): format from magic bytes; dimensions parsed
-    from the PNG/GIF headers (big-/little-endian respectively); other
-    formats and truncated/junk payloads get NULL dimensions — surfaced,
-    never a task failure."""
+    from the PNG/GIF headers (big-/little-endian respectively) and — r6,
+    VERDICT r5 Next #6 — from the JPEG SOF0/SOF2 frame header via a
+    bounded segment-list walk (big-endian u16s, same codec-free byte
+    arithmetic). Other formats and truncated/junk payloads get NULL
+    dimensions — surfaced, never a task failure."""
     prefix = F.expr(f"hex(substring({content_col}, 1, 8))")
     fmt = F.when(prefix.startswith(_MAGIC["png"]), F.lit("png"))
     for name in ("jpeg", "gif", "pdf"):
         fmt = fmt.when(prefix.startswith(_MAGIC[name]), F.lit(name))
     fmt = fmt.otherwise(F.lit("unknown"))
+    out = assets.withColumn("fmt", fmt)
+    jpeg_steps = _jpeg_sof_steps(content_col)
+    for alias, expr in jpeg_steps:
+        out = out.selectExpr("*", f"{expr} AS {alias}")
     long_enough = F.length(F.col(content_col))
-    width = F.when(
-        (fmt == "png") & (long_enough >= 24), _be_u32(content_col, 17)
-    ).when((fmt == "gif") & (long_enough >= 10), _le_u16(content_col, 7))
-    height = F.when(
-        (fmt == "png") & (long_enough >= 24), _be_u32(content_col, 21)
-    ).when((fmt == "gif") & (long_enough >= 10), _le_u16(content_col, 9))
-    return assets.withColumns(
-        {"fmt": fmt, "width": width.cast("long"), "height": height.cast("long")}
+    width = (
+        F.when((F.col("fmt") == "png") & (long_enough >= 24), _be_u32(content_col, 17))
+        .when((F.col("fmt") == "gif") & (long_enough >= 10), _le_u16(content_col, 7))
+        .when(F.col("fmt") == "jpeg", F.col("_jp_w"))
     )
+    height = (
+        F.when((F.col("fmt") == "png") & (long_enough >= 24), _be_u32(content_col, 21))
+        .when((F.col("fmt") == "gif") & (long_enough >= 10), _le_u16(content_col, 9))
+        .when(F.col("fmt") == "jpeg", F.col("_jp_h"))
+    )
+    return out.withColumns(
+        {"width": width.cast("long"), "height": height.cast("long")}
+    ).drop(*[a for a, _ in jpeg_steps])

@@ -284,6 +284,52 @@ def test_curation_v5_drops_lm_tail_v4_keeps(spark):
     assert v5_ids == {10, 20}
 
 
+def test_v6_trained_lid_catches_marker_false_positive(spark):
+    """VERDICT r5 Next #4: a German doc stuffed with English MARKER
+    tokens ('of the' borrowings) fools the marker heuristic (en markers
+    6 > de markers 1 → predicted 'en', wrongly kept by v5); the trained
+    char-n-gram LID sees German character statistics and drops it. Both
+    modes keep the genuine English prose."""
+    from augmented_codebase_indexer_spark.plans.curation import (
+        curation_pipeline_v5,
+    )
+
+    en1 = ("the quick brown fox jumps over a lazy dog and then it runs to "
+           "the old river bank where the other animals wait for it in the "
+           "morning sun with a calm mood and the day goes on for a while")
+    en2 = ("a small boat drifts down the wide green valley while birds "
+           "sing in the tall trees and the warm wind moves over the "
+           "quiet fields of corn near the farm and the water shines")
+    de_trained = ("der schnelle braune fuchs springt ueber den faulen hund "
+                  "und rennt dann zum alten flussufer wo die anderen tiere "
+                  "morgens in der sonne auf ihn warten und der tag beginnt "
+                  "ganz ruhig und die voegel singen in den hohen baeumen")
+    # German content whose only marker hits are ENGLISH ones ('of the'
+    # loan phrases); no der/die/und/das/mit tokens at all
+    de_tricky = ("besuchen sie den shop of the zukunft heute denn dort "
+                 "gibt es viele neue sachen of the woche zum ansehen "
+                 "kaufen sparen bei jedem einkauf im laden of the stadt "
+                 "immer offen taeglich gerne schnell guenstig freundlich")
+    rows = [(10, en1, "en"), (20, en2, "en"), (30, de_trained, "de"),
+            (21, de_tricky, "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kw = dict(size=10, overlap=0, boiler_min_df=3, decontam_n=5, eval_mod=53,
+              lm_buckets=(0.5, 9.0),  # nothing lands in 'tail'
+              gopher=dict(min_words=20, min_stopwords=1, min_frac_alpha=0.5,
+                          max_dup_2gram=0.6))
+    from augmented_codebase_indexer_spark.operators.textstats import lang_id_col
+    import pyspark.sql.functions as F
+
+    marker = {r["doc_id"]: r["p"] for r in df.select(
+        "doc_id", lang_id_col(F.col("text")).alias("p")).collect()}
+    assert marker[21] == "en"  # the heuristic is fooled
+    v5_ids = {r["doc_id"] for r in curation_pipeline_v5(df, **kw).collect()}
+    assert 21 in v5_ids  # marker mode wrongly keeps the German doc
+    v6_ids = {r["doc_id"] for r in curation_pipeline_v5(
+        df, lid="trained", lid_langs=["de", "en"], **kw).collect()}
+    assert v6_ids == {10, 20}  # trained LID drops BOTH German docs
+
+
 def test_repetition_zero_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()

@@ -385,3 +385,49 @@ def test_embedding_lsh_recall_on_planted_neardups(spark):
     assert approx <= exact
     for j in range(5):
         assert (j, 100 + j) in approx, f"planted near-dup {j} missed"
+
+
+def test_quality_micro_div_forms_agree(spark):
+    """r6 perf fix (BENCH.md attribution): _idiv switched from the
+    algebraic (a - a%b)/b to floor(a/b) — floor references its numerator
+    ONCE, so the regexp_count subtrees stop being evaluated ~4x per row.
+    The two forms must be value-identical: asserted over the full sf0.01
+    corpus plus planted boundary texts (empty, 1-char, all-punct,
+    stopword-only, 400+-char)."""
+    from augmented_codebase_indexer_spark.operators.textstats import (
+        STOPWORD_RE,
+        quality_micro_col,
+    )
+
+    def algebraic(text):
+        def old(a, b):
+            b = F.lit(b) if isinstance(b, int) else b
+            return ((a - a % b) / b).cast("long")
+
+        nc = F.length(text).cast("long")
+        nt = F.greatest(F.size(F.split(text, " ")), F.lit(1)).cast("long")
+        stop = F.regexp_count(text, F.lit(STOPWORD_RE)).cast("long")
+        punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("long")
+        nc2 = F.greatest(nc, F.lit(1))
+        len_micro = F.least(nc, F.lit(400)) * 2500
+        stop_micro = old(F.least(stop * 5, nt) * 1_000_000, nt)
+        pen_micro = old(F.least(punct * 10, nc2) * 1_000_000, nc2)
+        return old(
+            (old(len_micro, 2) + old(stop_micro * 3, 10))
+            * (F.lit(1_000_000) - old(pen_micro, 2)),
+            1_000_000,
+        )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    planted = spark.createDataFrame(
+        [(9001, ""), (9002, "x"), (9003, "!!! ??? ..."),
+         (9004, "the the the the"), (9005, "a" * 500),
+         (9006, "the cat! sat? on... the mat " * 20)],
+        "doc_id long, text string",
+    )
+    docs = corpus.select("doc_id", "text").unionByName(planted)
+    diffs = docs.select(
+        quality_micro_col(F.col("text")).alias("a"),
+        algebraic(F.col("text")).alias("b"),
+    ).filter("a <> b OR (a IS NULL) <> (b IS NULL)").count()
+    assert diffs == 0
