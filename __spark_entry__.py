@@ -1300,6 +1300,41 @@ def q_curation_v6(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    # BM25 ranked retrieval (Okapi k1=1.2, b=0.75) with the repo's exact
+    # integer gate: Robertson idf through the libm-free intlog
+    # (ln((N-df+0.5)/(df+0.5)) as the doubled-integer rational), staged
+    # trunc-division tf/length normalization, one quantize-once
+    # (adl_micro). Three narrow aggregations + a broadcast idf join;
+    # top-k plans as TakeOrderedAndProject.
+    from augmented_codebase_indexer_spark.operators.bm25 import bm25_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_search(d, ["spark", "window", "join"], k=25)
+
+
+def q_er_matches(spark, sf_dir):
+    # blocked pairwise entity resolution (operators/er.py): surface-form
+    # variants synthesized closed-form from doc_id ('Brand7' / 'Brand 7' /
+    # 'brand-7x' / 'Brund7'), normalized, blocked on the 5-char prefix,
+    # matched by exact integer levenshtein ≤ 1 or containment — the
+    # dedup step a multi-source KG runs over its entity table. The
+    # block-size guard is raised for this deliberately two-block corpus;
+    # the guard itself is pytest-gated (test_er.py).
+    from augmented_codebase_indexer_spark.operators.er import er_matches
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    name = F.expr(
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN concat('Brand', doc_id % 50) "
+        "WHEN 1 THEN concat('Brand ', doc_id % 50) "
+        "WHEN 2 THEN concat('brand-', doc_id % 50, 'x') "
+        "ELSE concat('Brund', doc_id % 50) END"
+    )
+    ents = d.select(F.col("doc_id").alias("ent_id"), name.alias("name"))
+    return er_matches(ents, max_dist=1, block_prefix=5, max_block_size=10000)
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2152,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": q_graph_adamic_adar,
         "curation_v6": q_curation_v6,
         "asset_metadata": q_asset_metadata,
+        "bm25_search": q_bm25_search,
+        "er_matches": q_er_matches,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2193,10 +2230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_scd2": q_triples_scd2,
         "kg_snapshot": q_kg_snapshot,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        # ------ driver 50-entry window ends here (#50 = kg_snapshot_diff) ---
+        # --- r4-green remainder (next rotation's candidates) ---
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
-        # ------ driver 50-entry window ends here (#50 = graph_kcore) ---
-        # --- r4-green remainder (next rotation's candidates) ---
         "domain_normalize": q_domain_normalize,
         "domain_cap_url": q_domain_cap_url,
         "contam_report": q_contam_report,
@@ -3033,6 +3070,23 @@ def oracle_sql() -> dict[str, str]:
     sql["curation_v6"] = curation_v5_oracle_sql(
         decontam_n=3, lid="trained",
         lid_langs=["de", "en", "es", "fr", "zh"],
+    )
+
+    from augmented_codebase_indexer_spark.operators.bm25 import bm25_oracle_sql
+
+    sql["bm25_search"] = bm25_oracle_sql(["spark", "window", "join"], k=25)
+
+    from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
+
+    sql["er_matches"] = er_matches_oracle_sql(
+        """SELECT doc_id AS ent_id,
+                  CASE doc_id % 4
+                    WHEN 0 THEN concat('Brand', doc_id % 50)
+                    WHEN 1 THEN concat('Brand ', doc_id % 50)
+                    WHEN 2 THEN concat('brand-', doc_id % 50, 'x')
+                    ELSE concat('Brund', doc_id % 50) END AS name
+           FROM documents""",
+        max_dist=1, block_prefix=5, max_block_size=10000,
     )
     sql["curation_funnel"] = curation_funnel_oracle_sql(decontam_n=3)
 

@@ -529,6 +529,40 @@ def main() -> None:
         "source-pair count exchange.",
     )
 
+    queries["lm_vocab (libm-free intlog register table)"] = (
+        _entry.queries()["lm_vocab"](spark, SF),
+        "r6: the fixed-point BIGINT log is a 97-step projection CHAIN "
+        "(one step per select — a flat expression tree would square at "
+        "every self-referencing step); evaluated once per VOCAB row "
+        "(post-aggregation), so the per-row cost sits on the small side "
+        "of the shuffle. No libm anywhere in the gate.",
+    )
+
+    queries["bm25_search (exact-integer Okapi BM25)"] = (
+        _entry.queries()["bm25_search"](spark, SF),
+        "r6: three narrow aggregations (dl, tf-over-query-terms-only — "
+        "filtered BEFORE the shuffle, df); idf through intlog on the "
+        "term-count-sized frame; broadcast idf join; top-k plans as "
+        "TakeOrderedAndProject; the post-limit rank window holds <= k "
+        "rows.",
+    )
+
+    queries["er_matches (blocked entity resolution)"] = (
+        _entry.queries()["er_matches"](spark, SF),
+        "r6: block-keyed SELF-join — names only ever pair within a "
+        "block (the blocking contract); oversized blocks are dropped "
+        "whole through the counted size gate (observable via "
+        "oversized_blocks); levenshtein/contains are JVM built-ins in "
+        "codegen, no UDF.",
+    )
+
+    queries["curation_v6 (trained-LID hygiene chain)"] = (
+        _entry.queries()["curation_v6"](spark, SF),
+        "r6: v5 with the char-n-gram LID keep-set joined doc_id-keyed "
+        "(slim rows, never broadcast — it can be ~90% of the corpus); "
+        "LID training is one gram-keyed shuffle over the labeled slice.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
