@@ -1335,6 +1335,19 @@ def q_er_matches(spark, sf_dir):
     return er_matches(ents, max_dist=1, block_prefix=5, max_block_size=10000)
 
 
+def q_proximity_search(spark, sf_dir):
+    # positional-postings proximity query (operators/postings.py): all
+    # terms within a 12-token window, minimal covering span per doc —
+    # the inverted-index complement to the scan-based phrase tier.
+    # doc_id-keyed k-way join of capped postings, pruned per join step.
+    from augmented_codebase_indexer_spark.operators.postings import (
+        proximity_search,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return proximity_search(d, ["spark", "window", "join"], window=12)
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2167,15 +2180,16 @@ def q_artifact_search(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness artifact covers the FIRST
-    50 entries only, so the window leads with (a) lm_vocab + every entry
-    whose GATED OUTPUT changed in the r6 libm-free intlog sweep
-    (VERDICT r5 Next #1: lp_micro / oov / idf_micro / kl lp now come
-    from the fixed-point BIGINT log, so their values moved by ~1-2
-    micro-nats), then rotates strictly oldest-first (VERDICT r5 Next
-    #3): (b) the 30 entries whose last driver row is r3, then (c) the
-    oldest r4 entries up to the 50-line.  Everything below the line is
-    r4/r5-driver-green and unchanged; ``scripts/selfcheck.py`` still
-    runs ALL of them."""
+    50 entries only, so the window leads with (a) the 11 new/changed
+    entries: lm_vocab + the intlog sweep (VERDICT r5 Next #1 — lp_micro
+    / oov / idf_micro / kl lp / AA w_micro now come from the libm-free
+    fixed-point BIGINT log, so their values moved by ~1-2 micro-nats),
+    curation_v6 (trained LID), asset_metadata (new JPEG case),
+    bm25_search and er_matches (new operators); then strictly
+    oldest-first (VERDICT r5 Next #3): (b) the 30 entries whose last
+    driver row is r3, then (c) the oldest r4 entries up to the 50-line.
+    Everything below the line is r4/r5-driver-green and unchanged;
+    ``scripts/selfcheck.py`` still runs ALL of them."""
     return {
         # --- (a) r6: new + intlog-swept gated outputs ---
         "lm_vocab": q_lm_vocab,
@@ -2189,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asset_metadata": q_asset_metadata,
         "bm25_search": q_bm25_search,
         "er_matches": q_er_matches,
+        "proximity_search": q_proximity_search,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2229,9 +2244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "triples_scd2": q_triples_scd2,
         "kg_snapshot": q_kg_snapshot,
-        "kg_snapshot_diff": q_kg_snapshot_diff,
-        # ------ driver 50-entry window ends here (#50 = kg_snapshot_diff) ---
+        # ------ driver 50-entry window ends here (#50 = kg_snapshot) ---
         # --- r4-green remainder (next rotation's candidates) ---
+        "kg_snapshot_diff": q_kg_snapshot_diff,
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
         "domain_normalize": q_domain_normalize,
@@ -3077,6 +3092,14 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_search"] = bm25_oracle_sql(["spark", "window", "join"], k=25)
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
+
+    from augmented_codebase_indexer_spark.operators.postings import (
+        proximity_oracle_sql,
+    )
+
+    sql["proximity_search"] = proximity_oracle_sql(
+        ["spark", "window", "join"], window=12
+    )
 
     sql["er_matches"] = er_matches_oracle_sql(
         """SELECT doc_id AS ent_id,
