@@ -1348,6 +1348,21 @@ def q_proximity_search(spark, sf_dir):
     return proximity_search(d, ["spark", "window", "join"], window=12)
 
 
+def q_graph_walks(spark, sf_dir):
+    # deterministic random walks over the entity graph (operators/
+    # walks.py): the DeepWalk/node2vec training-corpus generator with a
+    # hash-based next-hop choice both engines evaluate identically —
+    # walk sequences are TRAINING DATA, so they get the full oracle gate.
+    from augmented_codebase_indexer_spark.operators.walks import (
+        deterministic_walks,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return deterministic_walks(
+        spark.sql(_entity_graph_sql("spark")), walk_len=4, walks_per_node=2
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2204,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "er_matches": q_er_matches,
         "proximity_search": q_proximity_search,
+        "graph_walks": q_graph_walks,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2243,9 +2259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_spans": q_decontam_spans,
         "gopher_quality": q_gopher_quality,
         "triples_scd2": q_triples_scd2,
-        "kg_snapshot": q_kg_snapshot,
-        # ------ driver 50-entry window ends here (#50 = kg_snapshot) ---
+        # ------ driver 50-entry window ends here (#50 = triples_scd2) ---
         # --- r4-green remainder (next rotation's candidates) ---
+        "kg_snapshot": q_kg_snapshot,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "graph_triangles": q_graph_triangles,
         "graph_kcore": q_graph_kcore,
@@ -3092,6 +3108,12 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_search"] = bm25_oracle_sql(["spark", "window", "join"], k=25)
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
+
+    from augmented_codebase_indexer_spark.operators.walks import walks_oracle_sql
+
+    sql["graph_walks"] = walks_oracle_sql(
+        _entity_graph_sql("duckdb"), walk_len=4, walks_per_node=2,
+    )
 
     from augmented_codebase_indexer_spark.operators.postings import (
         proximity_oracle_sql,

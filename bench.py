@@ -772,7 +772,7 @@ def main() -> None:
         # the documented quadratic-on-self-similar-corpus shapes whose
         # capped forms above are the production path)
         "lm_vocab", "curation_v6", "bm25_search", "er_matches",
-        "proximity_search",
+        "proximity_search", "graph_walks",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
