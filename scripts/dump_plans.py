@@ -563,6 +563,23 @@ def main() -> None:
         "LID training is one gram-keyed shuffle over the labeled slice.",
     )
 
+    queries["proximity_search (positional postings k-way join)"] = (
+        _entry.queries()["proximity_search"](spark, SF),
+        "r6: per-(doc,term) position cap via a doc+term-partitioned "
+        "window (never global); each query term adds ONE doc-keyed join "
+        "pruned immediately by the window predicate; min-span groupBy "
+        "partial-aggregates map-side.",
+    )
+
+    queries["graph_walks (hash-chosen DeepWalk corpus)"] = (
+        _entry.queries()["graph_walks"](spark, SF),
+        "r6: neighbor indexing is one node-partitioned window; each of "
+        "the walk_len steps is one equi-join of the slim frontier "
+        "against the indexed adjacency (co-located under node "
+        "bucketing); the md5 choice runs in codegen — no RNG state, no "
+        "driver loop, no Python.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
