@@ -82,34 +82,52 @@ def _shr(x: str, k: str, dialect: str) -> str:
 
 
 def _msb_steps(src: str, out: str, dialect: str) -> list[tuple[str, str]]:
-    """floor(log2(src)) for BIGINT src ≥ 1 — compare-and-shift cascade."""
-    steps: list[tuple[str, str]] = []
-    cur = src
-    parts = []
-    for shift in (32, 16, 8, 4, 2, 1):
+    """floor(log2(src)) for BIGINT src ≥ 1 — compare-and-shift cascade
+    with the (value, exponent) pair PACKED into one BIGINT per step
+    (``x * 64 + e`` — e ≤ 63 fits in 6 bits, and after the first 32-bit
+    reduction x < 2^32 so the pack stays < 2^38).  One alias per level
+    instead of two: plan-node count is a measured fixed cost per
+    execution (see module docstring, r6 compaction)."""
+    steps: list[tuple[str, str]] = [
+        # level 32 unpacked (x may be up to 2^62 — too big to pack)
+        (f"{out}_x32",
+         f"CASE WHEN {src} >= {1 << 32} "
+         f"THEN {_shr(src, '32', dialect)} ELSE {src} END"),
+        (f"{out}_p",
+         f"CASE WHEN {src} >= {1 << 32} "
+         f"THEN {out}_x32 * 64 + 32 ELSE {out}_x32 * 64 END"),
+    ]
+    cur = f"{out}_p"
+    for shift in (16, 8, 4, 2, 1):
         thr = 1 << shift
-        e_alias, x_alias = f"{out}_e{shift}", f"{out}_x{shift}"
+        nxt = f"{out}_p{shift}"
+        x = _div(cur, "64", dialect)
         steps.append(
-            (e_alias, f"CASE WHEN {cur} >= {thr} THEN {shift} ELSE 0 END")
+            (nxt,
+             f"CASE WHEN {x} >= {thr} "
+             f"THEN {_shr(x, str(shift), dialect)} * 64 + ({cur} % 64) + {shift} "
+             f"ELSE {cur} END")
         )
-        steps.append(
-            (
-                x_alias,
-                f"CASE WHEN {cur} >= {thr} "
-                f"THEN {_shr(cur, str(shift), dialect)} ELSE {cur} END",
-            )
-        )
-        parts.append(e_alias)
-        cur = x_alias
-    steps.append((out, " + ".join(parts)))
+        cur = nxt
+    steps.append((out, f"{cur} % 64"))
     return steps
 
 
 def ln_micro_steps(
     n_expr: str, d_expr: str, out: str, dialect: str, prefix: str = "_il"
 ) -> list[tuple[str, str]]:
-    """Ordered (alias, expr) lateral-alias steps computing
-    ``out = ln_micro(n_expr / d_expr)`` — see module docstring."""
+    """Ordered (alias, expr) steps computing
+    ``out = ln_micro(n_expr / d_expr)`` — see module docstring.
+
+    r6 compaction: each squaring iteration packs (mantissa, frac-bits)
+    into ONE BIGINT state ``m·2^20 + f`` (m < 2^31, f < 2^20 → < 2^51),
+    so the whole construction is ~44 plan nodes instead of 97.  The
+    packing is algebraically lossless — ``ln_micro_py`` (unpacked)
+    asserts value identity in tests/test_intlog.py.  References to the
+    previous step are COLUMN references inside a chained projection, so
+    a step may use its predecessor several times without duplicating
+    the upstream tree (CollapseProject keeps multi-referenced non-cheap
+    aliases un-inlined)."""
     p = prefix
     steps: list[tuple[str, str]] = [
         (f"{p}_n", f"CAST(({n_expr}) AS BIGINT)"),
@@ -137,38 +155,38 @@ def ln_micro_steps(
     steps.append(
         (f"{p}_m0", _div(_shl(f"{p}_ns", "30", dialect), f"{p}_ds", dialect))
     )
+    # packed walk state: (m·2^20 + f)·128 + (e + 64); m ∈ [2^30, 2^31),
+    # f < 2^20 fractional bits, e+64 ∈ [1, 127] → state < 2^58
     steps.append(
         (
-            f"{p}_e",
-            f"{a} - {b} + CASE WHEN {p}_m0 < {_ONE_Q30} THEN -1 ELSE 0 END",
+            f"{p}_st_0",
+            f"CASE WHEN {p}_m0 < {_ONE_Q30} "
+            f"THEN ({p}_m0 * 2 * {1 << _Q}) * 128 + ({a} - {b} - 1 + 64) "
+            f"ELSE ({p}_m0 * {1 << _Q}) * 128 + ({a} - {b} + 64) END",
         )
     )
-    steps.append(
-        (
-            f"{p}_m_0",
-            f"CASE WHEN {p}_m0 < {_ONE_Q30} THEN {p}_m0 * 2 ELSE {p}_m0 END",
-        )
-    )
-    steps.append((f"{p}_f_0", "CAST(0 AS BIGINT)"))
+    m_of = lambda st: _div(st, str(1 << (_Q + 7)), dialect)  # noqa: E731
+    f_of = lambda st: f"({_div(st, '128', dialect)} % {1 << _Q})"  # noqa: E731
     for k in range(1, _Q + 1):
-        prev_m, prev_f = f"{p}_m_{k - 1}", f"{p}_f_{k - 1}"
-        sq = f"{p}_s_{k}"
-        steps.append((sq, _div(f"{prev_m} * {prev_m}", str(_ONE_Q30), dialect)))
+        st = f"{p}_st_{k - 1}"
+        m = m_of(st)
+        s = _div(f"{m} * {m}", str(_ONE_Q30), dialect)
         steps.append(
             (
-                f"{p}_m_{k}",
-                f"CASE WHEN {sq} >= {_TWO_Q30} "
-                f"THEN {_div(sq, '2', dialect)} ELSE {sq} END",
+                f"{p}_st_{k}",
+                f"CASE WHEN {s} >= {_TWO_Q30} "
+                f"THEN ({_div(s, '2', dialect)} * {1 << _Q} "
+                f"+ {f_of(st)} * 2 + 1) * 128 + {st} % 128 "
+                f"ELSE ({s} * {1 << _Q} + {f_of(st)} * 2) * 128 "
+                f"+ {st} % 128 END",
             )
         )
-        steps.append(
-            (
-                f"{p}_f_{k}",
-                f"{prev_f} * 2 + CASE WHEN {sq} >= {_TWO_Q30} THEN 1 ELSE 0 END",
-            )
-        )
+    last = f"{p}_st_{_Q}"
     steps.append(
-        (f"{p}_l2", f"CAST({p}_e AS BIGINT) * {1 << _Q} + {p}_f_{_Q}")
+        (
+            f"{p}_l2",
+            f"(({last} % 128) - 64) * {1 << _Q} + {f_of(last)}",
+        )
     )
     # |l2| then two-part ln2 multiply, round-half-up on the magnitude
     steps.append(

@@ -121,11 +121,16 @@ def train_char_lm(
     vocab = vocab.select(
         "gram", *[F.col(lg).alias(f"lp_{lg}") for lg in langs]
     )
+    # cut lineage at the trained model (r6, the lmquality precedent):
+    # the intlog chain + pivot would otherwise ride through every
+    # consumer's plan (guard count, broadcast, curation-v6 composition)
+    vocab = register_pin(vocab.localCheckpoint(eager=True))
     oov = with_ln_micro(
         totals, "1", "T + V + 1", "oov_micro"
     ).select("lang", "oov_micro")
     oov_wide = oov.groupBy().pivot("lang", langs).agg(F.first("oov_micro"))
     oov_wide = oov_wide.select(*[F.col(lg).alias(f"oov_{lg}") for lg in langs])
+    oov_wide = register_pin(oov_wide.localCheckpoint(eager=True))
     return vocab, oov_wide
 
 

@@ -102,17 +102,31 @@ def unigram_logprobs(
     # reference-slice token shuffle runs once, not once per consumer
     # (vocab-sized rows: one per distinct token)
     counts = register_pin(counts.persist())
-    totals = with_ln_micro(
-        counts.agg(
-            F.sum("c").cast("long").alias("T"),
-            F.count("*").cast("long").alias("V"),
-        ),
-        "1", "T + V + 1", "oov_lp_micro",
+    # CUT LINEAGE at the chain outputs (r6): the intlog projection chain
+    # (~44 plan nodes per log) has a fixed per-execution analyze+codegen
+    # cost, and vocab/totals are consumed several times downstream
+    # (guard count, broadcast, per-LM joins) INSIDE already-huge
+    # composed plans (curation v5/v6) where every consumer re-carries
+    # the chain through Catalyst. localCheckpoint materializes the
+    # vocab-sized result eagerly and replaces the lineage with one
+    # LogicalRDD node (measured A/B at sf0.1: dsir 7.0 s unpinned →
+    # 2.7 s persisted → ~1.5 s checkpointed; the blocks are released by
+    # guards.pin_scope, which handles LogicalRDD pins).
+    totals = register_pin(
+        with_ln_micro(
+            counts.agg(
+                F.sum("c").cast("long").alias("T"),
+                F.count("*").cast("long").alias("V"),
+            ),
+            "1", "T + V + 1", "oov_lp_micro",
+        ).localCheckpoint(eager=True)
     )
-    vocab = with_ln_micro(
-        counts.crossJoin(F.broadcast(totals.select("T", "V"))),
-        "c + 1", "T + V + 1", "lp_micro",
-    ).select("tok", "lp_micro")
+    vocab = register_pin(
+        with_ln_micro(
+            counts.crossJoin(F.broadcast(totals.select("T", "V"))),
+            "c + 1", "T + V + 1", "lp_micro",
+        ).select("tok", "lp_micro").localCheckpoint(eager=True)
+    )
     return vocab, totals
 
 

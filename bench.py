@@ -767,10 +767,11 @@ def main() -> None:
         "web_tables", "sitemap_recrawl", "kg_multisource", "crawl_novelty",
         "hll_vocab", "tfidf_keywords", "feed_items", "dedup_ngram_prefix", "cm_sketch", "asset_metadata", "anchor_aliases", "bloom_vocab", "dup_source_matrix", "component_sizes",
         # r6 additions + the full previously-untimed tail (VERDICT r5
-        # Next #8): every queries() entry now has a per-query row — the
-        # uncapped dedup variants are timed honestly here too (they are
-        # the documented quadratic-on-self-similar-corpus shapes whose
-        # capped forms above are the production path)
+        # Next #8): every queries() entry now has a per-query row. The
+        # dedup_* entries here are the ENTRY-GATED forms, which already
+        # carry their scale guards (max_df=50 / max_bucket_size=200 —
+        # the truly uncapped quadratic shapes stay pytest-only); they
+        # differ from the *_capped rows above only in parameters.
         "lm_vocab", "curation_v6", "bm25_search", "er_matches",
         "proximity_search", "graph_walks",
         "ann_lsh", "artifact_search", "boilerplate_prune",
