@@ -1363,6 +1363,20 @@ def q_graph_walks(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    # RefinedWeb/CCNet paragraph-level exact dedup: repeated paragraphs
+    # (footers, banners, syndication) dropped everywhere but their first
+    # occurrence, docs reassembled in order. The global vote groups by
+    # md5(para) (map-side combinable; text never rides that exchange);
+    # the keep-join is hash-keyed and AQE-skew-splittable.
+    from augmented_codebase_indexer_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return paragraph_dedup(spark.sql(_token_paras_sql("spark")), sep=" ")
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -1552,6 +1566,37 @@ def _entity_graph_sql(dialect: str) -> str:
     SELECT CAST(doc_id % 151 AS {s}),
            CAST((doc_id {div} 3) % 151 AS {s})
     FROM documents"""
+
+
+def _token_paras_sql(dialect: str, w: int = 3) -> str:
+    """Deterministic paragraph relation (doc_id, pidx, para) from the
+    synthetic corpus: the token stream chopped into ``w``-token windows
+    (the synthetic text has no newlines, so fixed windows stand in for
+    real paragraph breaks; w=3 over the ~40-word vocab yields a
+    realistic ~20% cross-doc duplicate rate at sf0.01)."""
+    if dialect == "spark":
+        return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             posexplode(filter(split(lower(text), ' '), t -> t <> ''))
+               AS (pos, word)
+      FROM documents)
+    SELECT doc_id, CAST(pos DIV {w} AS BIGINT) AS pidx,
+           array_join(transform(array_sort(collect_list(struct(pos, word))),
+                                x -> x.word), ' ') AS para
+    FROM tok GROUP BY doc_id, pos DIV {w}"""
+    return f"""
+    WITH tokl AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS word,
+             CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos
+      FROM tokl)
+    SELECT doc_id, pos // {w} AS pidx,
+           string_agg(word, ' ' ORDER BY pos) AS para
+    FROM tok GROUP BY doc_id, pos // {w}"""
 
 
 def _typed_triples_sql(dialect: str) -> str:
@@ -2195,14 +2240,15 @@ def q_artifact_search(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness artifact covers the FIRST
-    50 entries only, so the window leads with (a) the 11 new/changed
+    50 entries only, so the window leads with (a) the new/changed
     entries: lm_vocab + the intlog sweep (VERDICT r5 Next #1 — lp_micro
     / oov / idf_micro / kl lp / AA w_micro now come from the libm-free
     fixed-point BIGINT log, so their values moved by ~1-2 micro-nats),
-    curation_v6 (trained LID), asset_metadata (new JPEG case),
-    bm25_search and er_matches (new operators); then strictly
-    oldest-first (VERDICT r5 Next #3): (b) the 30 entries whose last
-    driver row is r3, then (c) the oldest r4 entries up to the 50-line.
+    curation_v6 (trained LID), asset_metadata (new JPEG case), and the
+    r6 operators (bm25_search, er_matches, proximity_search,
+    graph_walks, paragraph_dedup, ...); then strictly oldest-first
+    (VERDICT r5 Next #3): (b) the 30 entries whose last driver row is
+    r3, then (c) the oldest r4 entries up to the 50-line.
     Everything below the line is r4/r5-driver-green and unchanged;
     ``scripts/selfcheck.py`` still runs ALL of them."""
     return {
@@ -2220,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_matches": q_er_matches,
         "proximity_search": q_proximity_search,
         "graph_walks": q_graph_walks,
+        "paragraph_dedup": q_paragraph_dedup,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2258,8 +2305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "decontam_spans": q_decontam_spans,
         "gopher_quality": q_gopher_quality,
+        # ------ driver 50-entry window ends here (#50 = gopher_quality) ---
         "triples_scd2": q_triples_scd2,
-        # ------ driver 50-entry window ends here (#50 = triples_scd2) ---
         # --- r4-green remainder (next rotation's candidates) ---
         "kg_snapshot": q_kg_snapshot,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -3106,6 +3153,14 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.bm25 import bm25_oracle_sql
 
     sql["bm25_search"] = bm25_oracle_sql(["spark", "window", "join"], k=25)
+
+    from augmented_codebase_indexer_spark.operators.paradedup import (
+        paragraph_dedup_oracle_sql,
+    )
+
+    sql["paragraph_dedup"] = paragraph_dedup_oracle_sql(
+        _token_paras_sql("duckdb"), sep=" "
+    )
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
 
