@@ -1377,6 +1377,19 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(spark.sql(_token_paras_sql("spark")), sep=" ")
 
 
+def q_lpa_communities(spark, sf_dir):
+    # deterministic synchronous label propagation (Raghavan PRE'07) over
+    # the entity graph: density communities inside reachability
+    # components. Each round = one node-keyed equi-join + two map-side-
+    # combinable groupBys; min(struct(-cnt, lbl)) argmax, no window.
+    from augmented_codebase_indexer_spark.operators.communities import (
+        lpa_communities,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return lpa_communities(spark.sql(_entity_graph_sql("spark")), rounds=4)
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2267,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_search": q_proximity_search,
         "graph_walks": q_graph_walks,
         "paragraph_dedup": q_paragraph_dedup,
+        "lpa_communities": q_lpa_communities,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2304,8 +2318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_spans": q_exactsubstr_spans,
         "decontam": q_decontam,
         "decontam_spans": q_decontam_spans,
+        # ------ driver 50-entry window ends here (#50 = decontam_spans) ---
         "gopher_quality": q_gopher_quality,
-        # ------ driver 50-entry window ends here (#50 = gopher_quality) ---
         "triples_scd2": q_triples_scd2,
         # --- r4-green remainder (next rotation's candidates) ---
         "kg_snapshot": q_kg_snapshot,
@@ -3160,6 +3174,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["paragraph_dedup"] = paragraph_dedup_oracle_sql(
         _token_paras_sql("duckdb"), sep=" "
+    )
+
+    from augmented_codebase_indexer_spark.operators.communities import (
+        lpa_oracle_sql,
+    )
+
+    sql["lpa_communities"] = lpa_oracle_sql(
+        _entity_graph_sql("duckdb"), rounds=4
     )
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
