@@ -1390,6 +1390,20 @@ def q_lpa_communities(spark, sf_dir):
     return lpa_communities(spark.sql(_entity_graph_sql("spark")), rounds=4)
 
 
+def q_kg_bgp_match(spark, sf_dir):
+    # SPARQL-style basic graph pattern over the typed triple table
+    # (Pérez TODS'09 bag semantics): employees with a recorded
+    # birthplace — two subject-keyed patterns joined declaratively so
+    # Catalyst/AQE picks the join strategy. Constants push down as
+    # pattern-local filters; cartesian patterns are rejected.
+    from augmented_codebase_indexer_spark.operators.bgp import bgp_match
+
+    return bgp_match(
+        _typed_triples(spark, sf_dir),
+        [("?p", "works_at", "?org"), ("?p", "born_in", "?city")],
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2281,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "paragraph_dedup": q_paragraph_dedup,
         "lpa_communities": q_lpa_communities,
+        "kg_bgp_match": q_kg_bgp_match,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2317,8 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "exactsubstr_spans": q_exactsubstr_spans,
         "decontam": q_decontam,
+        # ------ driver 50-entry window ends here (#50 = decontam) ---
         "decontam_spans": q_decontam_spans,
-        # ------ driver 50-entry window ends here (#50 = decontam_spans) ---
         "gopher_quality": q_gopher_quality,
         "triples_scd2": q_triples_scd2,
         # --- r4-green remainder (next rotation's candidates) ---
@@ -3182,6 +3197,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lpa_communities"] = lpa_oracle_sql(
         _entity_graph_sql("duckdb"), rounds=4
+    )
+
+    from augmented_codebase_indexer_spark.operators.bgp import bgp_oracle_sql
+
+    sql["kg_bgp_match"] = bgp_oracle_sql(
+        _typed_triples_sql("duckdb"),
+        [("?p", "works_at", "?org"), ("?p", "born_in", "?city")],
     )
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
