@@ -1404,6 +1404,21 @@ def q_kg_bgp_match(spark, sf_dir):
     )
 
 
+def q_mention_commonness(spark, sf_dir):
+    # wikification commonness prior P(target | anchor phrase) (Milne &
+    # Witten CIKM'08) over a closed-form ambiguous anchor relation:
+    # 'brand K' points at /e/K mostly, and at a minority sense from
+    # docs ≡0 (mod 7) — rank 1 is the prior disambiguation, the full
+    # table is the linker's candidate set. One pair groupBy + one
+    # total + a candidate-vocabulary-bounded window; one trunc division.
+    from augmented_codebase_indexer_spark.operators.anchors import (
+        mention_commonness,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return mention_commonness(spark.sql(_ambiguous_anchors_sql("spark")))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -1624,6 +1639,20 @@ def _token_paras_sql(dialect: str, w: int = 3) -> str:
     SELECT doc_id, pos // {w} AS pidx,
            string_agg(word, ' ' ORDER BY pos) AS para
     FROM tok GROUP BY doc_id, pos // {w}"""
+
+
+def _ambiguous_anchors_sql(dialect: str) -> str:
+    """Closed-form ambiguous anchor relation: every doc links 'brand K'
+    to its majority sense /e/K, except docs ≡0 (mod 7), which use the
+    same SURFACE FORM for a different target — the minority sense the
+    commonness prior must rank second."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT CASE WHEN doc_id % 7 = 0
+                THEN '/e/' || CAST((doc_id + 3) % 20 AS {s})
+                ELSE '/e/' || CAST(doc_id % 20 AS {s}) END AS href,
+           'Brand ' || CAST(doc_id % 20 AS {s}) AS anchor
+    FROM documents"""
 
 
 def _typed_triples_sql(dialect: str) -> str:
@@ -2296,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "lpa_communities": q_lpa_communities,
         "kg_bgp_match": q_kg_bgp_match,
+        "mention_commonness": q_mention_commonness,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2331,8 +2361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "ppr": q_ppr,
         "exactsubstr_spans": q_exactsubstr_spans,
+        # ------ driver 50-entry window ends here (#50 = exactsubstr_spans) ---
         "decontam": q_decontam,
-        # ------ driver 50-entry window ends here (#50 = decontam) ---
         "decontam_spans": q_decontam_spans,
         "gopher_quality": q_gopher_quality,
         "triples_scd2": q_triples_scd2,
@@ -3204,6 +3234,14 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_bgp_match"] = bgp_oracle_sql(
         _typed_triples_sql("duckdb"),
         [("?p", "works_at", "?org"), ("?p", "born_in", "?city")],
+    )
+
+    from augmented_codebase_indexer_spark.operators.anchors import (
+        mention_commonness_sql,
+    )
+
+    sql["mention_commonness"] = mention_commonness_sql(
+        _ambiguous_anchors_sql("duckdb")
     )
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql

@@ -73,6 +73,79 @@ def anchor_profile(anchors: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def mention_commonness(
+    anchors: DataFrame, min_links: int = 1
+) -> DataFrame:
+    """(mention, href, n, n_total, commonness_micro, rank) — the
+    COMMONNESS prior P(target | mention) of wikification (Milne &
+    Witten CIKM'08; Medelyan et al.): across the whole link graph, how
+    often does this exact anchor phrase point at each target? rank 1 =
+    the prior disambiguation; the full ranked table is the candidate
+    set an entity linker scores further.
+
+    The mention is the WHOLE normalized anchor phrase (lowercased,
+    whitespace collapsed), not its terms — 'paris hilton' and 'paris'
+    are different mentions with different priors. ``commonness_micro``
+    = (n·1e6) DIV n_total: one truncating integer division, exact in
+    both engines. ``min_links`` prunes sub-threshold candidates AFTER
+    totals are counted (the prior's denominator stays honest).
+
+    Scale: one (mention, href) groupBy (map-side combined), one
+    mention-keyed total, one window over DISTINCT candidates per
+    mention (candidate-vocabulary bounded, never raw occurrences)."""
+    m = (
+        anchors.select(
+            F.regexp_replace(F.trim(F.lower("anchor")), r"\s+", " ").alias(
+                "mention"
+            ),
+            "href",
+        )
+        .filter(F.col("mention") != "")
+    )
+    pair = m.groupBy("mention", "href").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = pair.groupBy("mention").agg(
+        F.sum("n").cast("long").alias("n_total")
+    )
+    w = Window.partitionBy("mention").orderBy(F.desc("n"), F.asc("href"))
+    return (
+        pair.join(tot, "mention")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("n") >= min_links)
+        .selectExpr(
+            "mention", "href", "n", "n_total",
+            "(n * 1000000) DIV n_total AS commonness_micro", "rank",
+        )
+    )
+
+
+def mention_commonness_sql(anchors_sql: str, min_links: int = 1) -> str:
+    """DuckDB mirror over a closed-form (href, anchor) relation."""
+    return f"""
+    WITH a AS (SELECT href, anchor FROM ({anchors_sql})),
+    m AS (
+      SELECT regexp_replace(trim(lower(anchor)), '\\s+', ' ', 'g') AS mention,
+             href
+      FROM a),
+    pair AS (
+      SELECT mention, href, CAST(count(*) AS BIGINT) AS n
+      FROM m WHERE mention <> '' GROUP BY mention, href),
+    tot AS (
+      SELECT mention, CAST(sum(n) AS BIGINT) AS n_total
+      FROM pair GROUP BY mention),
+    r AS (
+      SELECT pair.mention, pair.href, pair.n, tot.n_total,
+             CAST(row_number() OVER (
+               PARTITION BY pair.mention
+               ORDER BY pair.n DESC, pair.href ASC) AS BIGINT) AS rank
+      FROM pair JOIN tot USING (mention))
+    SELECT mention, href, n, n_total,
+           (n * 1000000) // n_total AS commonness_micro, rank
+    FROM r WHERE n >= {min_links}
+    """
+
+
 def anchor_profile_sql(anchors_sql: str, k: int = 3) -> str:
     """DuckDB mirror over a closed-form (href, anchor) relation."""
     return f"""
