@@ -1419,6 +1419,19 @@ def q_mention_commonness(spark, sf_dir):
     return mention_commonness(spark.sql(_ambiguous_anchors_sql("spark")))
 
 
+def q_daily_bursts(spark, sf_dir):
+    # ratio-test burst screen (batch two-state Kleinberg KDD'02) over
+    # the events stream: integer cross-multiplied verdict at 6/5, one
+    # map-side-combined (key, day) groupBy + slim totals, 1-row
+    # day-count broadcast. The trending-entity signal per crawl.
+    from augmented_codebase_indexer_spark.operators.bursts import daily_bursts
+
+    return daily_bursts(
+        _t(spark, sf_dir, "events").select("event_type", "ts"),
+        factor=(6, 5),
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2326,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": q_lpa_communities,
         "kg_bgp_match": q_kg_bgp_match,
         "mention_commonness": q_mention_commonness,
+        "daily_bursts": q_daily_bursts,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2360,8 +2374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c) last driver row r4, oldest-listed first ---
         "curation_funnel": q_curation_funnel,
         "ppr": q_ppr,
+        # ------ driver 50-entry window ends here (#50 = ppr) ---
         "exactsubstr_spans": q_exactsubstr_spans,
-        # ------ driver 50-entry window ends here (#50 = exactsubstr_spans) ---
         "decontam": q_decontam,
         "decontam_spans": q_decontam_spans,
         "gopher_quality": q_gopher_quality,
@@ -3243,6 +3257,12 @@ def oracle_sql() -> dict[str, str]:
     sql["mention_commonness"] = mention_commonness_sql(
         _ambiguous_anchors_sql("duckdb")
     )
+
+    from augmented_codebase_indexer_spark.operators.bursts import (
+        daily_bursts_oracle_sql,
+    )
+
+    sql["daily_bursts"] = daily_bursts_oracle_sql(factor=(6, 5))
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
 
