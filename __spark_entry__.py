@@ -1432,6 +1432,18 @@ def q_daily_bursts(spark, sf_dir):
     )
 
 
+def q_kg_negatives(spark, sf_dir):
+    # filtered type-consistent negative sampling (TransE NIPS'13) over
+    # the typed triples: training data, so full oracle gate — the
+    # "random" corruption is the md5 H60 hash mod the predicate's own
+    # object pool (no RNG state, reproducible at any parallelism).
+    from augmented_codebase_indexer_spark.operators.negatives import (
+        negative_samples,
+    )
+
+    return negative_samples(_typed_triples(spark, sf_dir), k=2)
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2340,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_match": q_kg_bgp_match,
         "mention_commonness": q_mention_commonness,
         "daily_bursts": q_daily_bursts,
+        "kg_negatives": q_kg_negatives,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2373,8 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlinks": q_outlinks,
         # --- (c) last driver row r4, oldest-listed first ---
         "curation_funnel": q_curation_funnel,
+        # ------ driver 50-entry window ends here (#50 = curation_funnel) ---
         "ppr": q_ppr,
-        # ------ driver 50-entry window ends here (#50 = ppr) ---
         "exactsubstr_spans": q_exactsubstr_spans,
         "decontam": q_decontam,
         "decontam_spans": q_decontam_spans,
@@ -3263,6 +3276,14 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["daily_bursts"] = daily_bursts_oracle_sql(factor=(6, 5))
+
+    from augmented_codebase_indexer_spark.operators.negatives import (
+        negative_samples_oracle_sql,
+    )
+
+    sql["kg_negatives"] = negative_samples_oracle_sql(
+        _typed_triples_sql("duckdb"), k=2
+    )
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
 

@@ -776,7 +776,7 @@ def main() -> None:
         "proximity_search", "graph_walks",
         # r6b: this session's additions — same frozen best-of-2 method
         "paragraph_dedup", "lpa_communities", "kg_bgp_match",
-        "mention_commonness", "daily_bursts",
+        "mention_commonness", "daily_bursts", "kg_negatives",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
