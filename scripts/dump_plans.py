@@ -580,6 +580,52 @@ def main() -> None:
         "driver loop, no Python.",
     )
 
+    queries["paragraph_dedup (RefinedWeb line dedup)"] = (
+        _entry.queries()["paragraph_dedup"](spark, SF),
+        "r6b: the first-occurrence vote groups by md5(para) with "
+        "map-side partial min(struct) — a 10^9-times-repeated banner "
+        "crosses the exchange as one combiner row per partition; the "
+        "keep-join is the only text-carrying exchange (hash-keyed, AQE "
+        "skew-splittable); reassembly is per-doc collect_list.",
+    )
+
+    queries["lpa_communities (sync label propagation)"] = (
+        _entry.queries()["lpa_communities"](spark, SF),
+        "r6b: fixed rounds; per round one node-keyed equi-join of the "
+        "slim (node, lbl) relation + two map-side-combinable groupBys; "
+        "argmax as min(struct(-cnt, lbl)) — no per-node window, no hot "
+        "partition on celebrity nodes.",
+    )
+
+    queries["kg_bgp_match (SPARQL BGP join tree)"] = (
+        _entry.queries()["kg_bgp_match"](spark, SF),
+        "r6b: each pattern is a constant-filtered slim projection; "
+        "joins are plain Catalyst equi-joins (AQE broadcasts selective "
+        "patterns); disconnected patterns are REJECTED, not planned.",
+    )
+
+    queries["mention_commonness (wikification prior)"] = (
+        _entry.queries()["mention_commonness"](spark, SF),
+        "r6b: (mention, href) pair counts combine map-side; the rank "
+        "window runs over DISTINCT candidates per mention "
+        "(vocabulary-bounded, never raw link occurrences).",
+    )
+
+    queries["daily_bursts (integer ratio-test trending)"] = (
+        _entry.queries()["daily_bursts"](spark, SF),
+        "r6b: raw events collapse at the (key, day) combiner before "
+        "their only exchange; totals aggregate day-sized rows; the day "
+        "count is a 1-row broadcast crossJoin. No windows, no floats.",
+    )
+
+    queries["kg_negatives (filtered TransE corruption)"] = (
+        _entry.queries()["kg_negatives"](spark, SF),
+        "r6b: per-predicate pool indexed once (window over the DISTINCT "
+        "object vocabulary); generation = explode(k) + one (pred, idx) "
+        "equi-join + one left-anti against the edge set; md5 choice in "
+        "codegen — no RNG state across executors.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
