@@ -1444,6 +1444,34 @@ def q_kg_negatives(spark, sf_dir):
     return negative_samples(_typed_triples(spark, sf_dir), k=2)
 
 
+def q_walk_skipgrams(spark, sf_dir):
+    # skip-gram co-occurrence counts over the walk corpus — the actual
+    # DeepWalk/node2vec training input (and the SGNS/PMI matrix, Levy &
+    # Goldberg NIPS'14). One walk-id-keyed self-join + banded filter +
+    # map-side-combined count. Completes walks → pairs → negatives.
+    from augmented_codebase_indexer_spark.operators.walks import (
+        deterministic_walks,
+        skipgram_pairs,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    walks = deterministic_walks(
+        spark.sql(_entity_graph_sql("spark")), walk_len=4, walks_per_node=2
+    )
+    return skipgram_pairs(walks, window=2)
+
+
+def q_graph_hits(spark, sf_dir):
+    # HITS hubs & authorities (Kleinberg JACM'99), exact-integer
+    # max-norm variant: each half-step is one node-keyed equi-join of
+    # the slim score relation + a map-side-combined sum + a 1-row max
+    # broadcast. The hub/authority split PageRank conflates.
+    from augmented_codebase_indexer_spark.operators.hits import hits_scores
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return hits_scores(spark.sql(_entity_graph_sql("spark")), rounds=3)
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2353,6 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_commonness": q_mention_commonness,
         "daily_bursts": q_daily_bursts,
         "kg_negatives": q_kg_negatives,
+        "walk_skipgrams": q_walk_skipgrams,
+        "graph_hits": q_graph_hits,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2383,10 +2413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "pattern_search": q_pattern_search,
         "summaries": q_summaries,
+        # ------ driver 50-entry window ends here (#50 = summaries) ---
         "outlinks": q_outlinks,
         # --- (c) last driver row r4, oldest-listed first ---
         "curation_funnel": q_curation_funnel,
-        # ------ driver 50-entry window ends here (#50 = curation_funnel) ---
         "ppr": q_ppr,
         "exactsubstr_spans": q_exactsubstr_spans,
         "decontam": q_decontam,
@@ -3284,6 +3314,18 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_negatives"] = negative_samples_oracle_sql(
         _typed_triples_sql("duckdb"), k=2
     )
+
+    from augmented_codebase_indexer_spark.operators.walks import (
+        skipgram_oracle_sql,
+    )
+
+    sql["walk_skipgrams"] = skipgram_oracle_sql(
+        _entity_graph_sql("duckdb"), window=2, walk_len=4, walks_per_node=2
+    )
+
+    from augmented_codebase_indexer_spark.operators.hits import hits_oracle_sql
+
+    sql["graph_hits"] = hits_oracle_sql(_entity_graph_sql("duckdb"), rounds=3)
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
 

@@ -135,3 +135,60 @@ def walks_oracle_sql(
     FROM ({union})
     """
     )
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """→ (center, context, n): the skip-gram co-occurrence counts over
+    the walk corpus — the actual training input of DeepWalk/node2vec
+    (walk sentences → word2vec pairs within ``window`` steps; Perozzi
+    KDD'14 §4.2). Aggregated to counts because that is what both a
+    negative-sampling trainer and a PMI factorization consume (Levy &
+    Goldberg NIPS'14: SGNS factorizes the shifted PMI of exactly these
+    counts).
+
+    One self-equi-join on (start_node, walk) — walk-id keyed, so it
+    co-locates with how the walk generator already partitioned — then
+    the |Δstep| ≤ window band filter, then a map-side-combinable count.
+    Directionless pairs come out as BOTH (a,b) and (b,a) rows (standard
+    skip-gram symmetry: each occurrence is a center once)."""
+    a = walks.select(
+        F.col("start_node").alias("sn"), F.col("walk").alias("wk"),
+        F.col("step").alias("step_a"), F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("start_node").alias("sn"), F.col("walk").alias("wk"),
+        F.col("step").alias("step_b"), F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, ["sn", "wk"])
+        .filter(
+            (F.col("step_a") != F.col("step_b"))
+            & (F.abs(F.col("step_a") - F.col("step_b")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def skipgram_oracle_sql(
+    edges_sql: str,
+    window: int = 2,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    seed: str = "w0",
+) -> str:
+    """DuckDB mirror: the walks oracle as a materialized CTE, the same
+    banded self-join, the same symmetric count."""
+    walks_sql = walks_oracle_sql(
+        edges_sql, walk_len=walk_len, walks_per_node=walks_per_node,
+        seed=seed,
+    )
+    return f"""
+    WITH w AS MATERIALIZED ({walks_sql})
+    SELECT a.node AS center, b.node AS context,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w a JOIN w b
+      ON a.start_node = b.start_node AND a.walk = b.walk
+    WHERE a.step <> b.step AND abs(a.step - b.step) <= {window}
+    GROUP BY a.node, b.node
+    """
