@@ -1472,6 +1472,21 @@ def q_graph_hits(spark, sf_dir):
     return hits_scores(spark.sql(_entity_graph_sql("spark")), rounds=3)
 
 
+def q_predicate_alignment(spark, sf_dir):
+    # instance-based predicate alignment (PARIS VLDB'12 §4) over triples
+    # with a planted synonym ('employer' ≡ works_at on even docs):
+    # exact-integer Jaccard of the distinct (subj, obj) extensions, one
+    # subject-leading self-equi-join, sizes broadcast.
+    from augmented_codebase_indexer_spark.operators.predalign import (
+        predicate_alignment,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return predicate_alignment(
+        spark.sql(_synonym_triples_sql("spark")), threshold=(1, 3)
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -1705,6 +1720,33 @@ def _ambiguous_anchors_sql(dialect: str) -> str:
                 THEN '/e/' || CAST((doc_id + 3) % 20 AS {s})
                 ELSE '/e/' || CAST(doc_id % 20 AS {s}) END AS href,
            'Brand ' || CAST(doc_id % 20 AS {s}) AS anchor
+    FROM documents"""
+
+
+def _synonym_triples_sql(dialect: str) -> str:
+    """Typed triples with a PLANTED predicate synonym: 'employer'
+    duplicates works_at's extension on even doc_ids (a second extractor
+    naming the same relation), while born_in stays disjoint — the
+    alignment operator must flag exactly the planted pair; 'hq_org'
+    (every 5th doc) shares a MINORITY of works_at's extension — a
+    sub-threshold overlap row the gate must mark unaligned."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 'e' || CAST(doc_id % 101 AS {s}) AS subj,
+           'works_at' AS pred,
+           'o' || CAST(doc_id % 7 AS {s}) AS obj
+    FROM documents
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 101 AS {s}), 'employer',
+           'o' || CAST(doc_id % 7 AS {s})
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 101 AS {s}), 'hq_org',
+           'o' || CAST(doc_id % 7 AS {s})
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 101 AS {s}), 'born_in',
+           'c' || CAST(doc_id % 5 AS {s})
     FROM documents"""
 
 
@@ -2383,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "walk_skipgrams": q_walk_skipgrams,
         "graph_hits": q_graph_hits,
+        "predicate_alignment": q_predicate_alignment,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2412,8 +2455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_stats": q_cube_stats,
         "semi_join": q_semi_join,
         "pattern_search": q_pattern_search,
+        # ------ driver 50-entry window ends here (#50 = pattern_search) ---
         "summaries": q_summaries,
-        # ------ driver 50-entry window ends here (#50 = summaries) ---
         "outlinks": q_outlinks,
         # --- (c) last driver row r4, oldest-listed first ---
         "curation_funnel": q_curation_funnel,
@@ -3326,6 +3369,14 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.hits import hits_oracle_sql
 
     sql["graph_hits"] = hits_oracle_sql(_entity_graph_sql("duckdb"), rounds=3)
+
+    from augmented_codebase_indexer_spark.operators.predalign import (
+        predicate_alignment_oracle_sql,
+    )
+
+    sql["predicate_alignment"] = predicate_alignment_oracle_sql(
+        _synonym_triples_sql("duckdb"), threshold=(1, 3)
+    )
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
 
