@@ -108,3 +108,31 @@ def test_refresh_crawl_job_runs_and_resumes(tmp_path, spark):
         assert os.path.isdir(os.path.join(wh, t)), t
     c2 = _run_refresh(wh, inputs)
     assert c2 == c1
+
+
+def _run_embedding(wh_dir, corpus_dir):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "embedding_corpus.py"),
+         "--pages", os.path.join(corpus_dir, "pages.parquet"),
+         "--gazetteer", os.path.join(corpus_dir, "gazetteer.parquet"),
+         "--warehouse", wh_dir, "--run-id", "t-emb"],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_embedding_corpus_job_runs_and_resumes(tmp_path, corpus_dir):
+    wh = str(tmp_path / "wh_e")
+    c1 = _run_embedding(wh, corpus_dir)
+    assert c1["edges"] > 0 and c1["walk_rows"] > 0 and c1["pairs"] > 0
+    # symmetric skip-gram counts: total occurrences are even
+    assert c1["pair_occurrences"] % 2 == 0
+    assert c1["negatives"] > 0
+    for t in ("emb_triples", "emb_edges", "emb_walks", "emb_pairs",
+              "emb_negatives", "_lineage"):
+        assert os.path.isdir(os.path.join(wh, t)), t
+    # resume with the same run id: committed stages skip, counters identical
+    # (the md5-chosen walks/negatives make the restart bit-identical too)
+    c2 = _run_embedding(wh, corpus_dir)
+    assert c2 == c1
