@@ -1487,6 +1487,20 @@ def q_predicate_alignment(spark, sf_dir):
     )
 
 
+def q_clustering_coeff(spark, sf_dir):
+    # Watts-Strogatz local clustering per node over the entity graph:
+    # composes the degree-oriented triangle count (Suri-Vassilvitskii
+    # wedge bound) with degrees; 2·tri/(deg·(deg−1)) as one trunc
+    # division. Canonicalization QA: over-merged entities are
+    # high-degree low-cc outliers.
+    from augmented_codebase_indexer_spark.operators.graphalgs import (
+        clustering_coefficients,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return clustering_coefficients(spark.sql(_entity_graph_sql("spark")))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2426,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": q_walk_skipgrams,
         "graph_hits": q_graph_hits,
         "predicate_alignment": q_predicate_alignment,
+        "clustering_coeff": q_clustering_coeff,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2454,8 +2469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having_filter": q_having_filter,
         "cube_stats": q_cube_stats,
         "semi_join": q_semi_join,
+        # ------ driver 50-entry window ends here (#50 = semi_join) ---
         "pattern_search": q_pattern_search,
-        # ------ driver 50-entry window ends here (#50 = pattern_search) ---
         "summaries": q_summaries,
         "outlinks": q_outlinks,
         # --- (c) last driver row r4, oldest-listed first ---
@@ -3376,6 +3391,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["predicate_alignment"] = predicate_alignment_oracle_sql(
         _synonym_triples_sql("duckdb"), threshold=(1, 3)
+    )
+
+    from augmented_codebase_indexer_spark.operators.graphalgs import (
+        clustering_oracle_sql,
+    )
+
+    sql["clustering_coeff"] = clustering_oracle_sql(
+        _entity_graph_sql("duckdb")
     )
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql

@@ -404,3 +404,62 @@ def reciprocity_oracle_sql(edges_sql: str) -> str:
              AS reciprocity_micro
     FROM n_out o LEFT JOIN n_rec r ON r.src = o.src
     """
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """→ (node, deg, n_triangles, cc_micro): Watts-Strogatz LOCAL
+    clustering coefficient per node — 2·triangles / (deg·(deg−1)) in
+    exact micro units via one truncating division; deg < 2 → 0 (the
+    convention that keeps leaves comparable instead of NULL). The web-
+    graph "how clique-ish is this entity's neighborhood" statistic:
+    over-merged entities (two people fused into one node) show up as
+    high-degree LOW-cc outliers, so this is the canonicalization-QA
+    companion to the triangle count it composes.
+
+    Scale: the triangle side is the degree-oriented wedge join above
+    (Σ out-deg² with out-deg O(√m) — the Suri-Vassilvitskii bound);
+    degrees and the final arithmetic are one map-side-combinable
+    groupBy + a node-keyed left join. Nothing new shuffles."""
+    und = undirected_edges(edges, src, dst)
+    deg = _degrees(und)
+    tri = triangle_counts(und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")))
+    return (
+        deg.join(tri, "node", "left")
+        .selectExpr(
+            "node", "deg",
+            "coalesce(n_triangles, CAST(0 AS BIGINT)) AS n_triangles",
+        )
+        .selectExpr(
+            "node", "deg", "n_triangles",
+            "CASE WHEN deg < 2 THEN CAST(0 AS BIGINT) "
+            "ELSE (2 * n_triangles * 1000000) DIV (deg * (deg - 1)) "
+            "END AS cc_micro",
+        )
+    )
+
+
+def clustering_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror: the id-ordered triangle closure (the independent
+    formulation above) joined to degrees, same guarded division."""
+    return _und_ctes(edges_sql) + """,
+    tris AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+      SELECT x AS node FROM tris
+      UNION ALL SELECT y FROM tris
+      UNION ALL SELECT z FROM tris),
+    tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM corners GROUP BY node)
+    SELECT d.node, d.deg,
+           CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg < 2 THEN CAST(0 AS BIGINT)
+                ELSE (2 * coalesce(tc.n_triangles, 0) * 1000000)
+                     // (d.deg * (d.deg - 1)) END AS cc_micro
+    FROM deg d LEFT JOIN tc ON d.node = tc.node
+    """

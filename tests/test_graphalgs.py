@@ -193,3 +193,49 @@ def test_jaccard_hub_cap_excludes_center(spark):
         assert "hub" in (r["a"], r["b"])
         assert r["deg_a"] == 5 or r["deg_b"] == 5
     assert capped.filter((F.col("a") == "x2") & (F.col("b") == "x3")).count() == 0
+
+
+class TestClusteringCoefficients:
+    # a triangle a-b-c, a pendant d hanging off a, and an isolated edge
+    EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("x", "y")]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.EDGES, "src string, dst string")
+
+    def test_values(self, spark):
+        from augmented_codebase_indexer_spark.operators.graphalgs import (
+            clustering_coefficients,
+        )
+
+        got = {
+            r["node"]: r
+            for r in clustering_coefficients(self._df(spark)).collect()
+        }
+        # a: deg 3, 1 triangle → 2·1/(3·2) = 1/3
+        assert (got["a"]["deg"], got["a"]["n_triangles"]) == (3, 1)
+        assert got["a"]["cc_micro"] == 333333
+        # b, c: deg 2, 1 triangle → fully clustered
+        assert got["b"]["cc_micro"] == got["c"]["cc_micro"] == 1000000
+        # pendant and isolated-edge nodes: deg 1 → 0 by convention
+        assert got["d"]["cc_micro"] == 0 and got["x"]["cc_micro"] == 0
+        assert got["d"]["n_triangles"] == 0
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from augmented_codebase_indexer_spark.operators.graphalgs import (
+            clustering_coefficients,
+            clustering_oracle_sql,
+        )
+
+        edges_sql = " UNION ALL ".join(
+            f"SELECT '{a}' AS src, '{b}' AS dst" for a, b in self.EDGES
+        )
+        con = duckdb.connect()
+        want = sorted(tuple(r) for r in con.execute(
+            clustering_oracle_sql(edges_sql)).fetchall())
+        got = sorted(
+            tuple(r)
+            for r in clustering_coefficients(self._df(spark)).collect()
+        )
+        assert got == want
