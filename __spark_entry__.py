@@ -1101,6 +1101,57 @@ def q_asset_metadata(spark, sf_dir):
     return sniff_and_dimensions(assets).select("doc_id", "fmt", "width", "height")
 
 
+def q_audio_metadata(spark, sf_dir):
+    """RIFF/WAVE metadata without codecs (sources/multimodal.py::
+    sniff_wav_metadata): bounded chunk-list walk for 'fmt '/'data' —
+    the audio sibling of asset_metadata. Assets synthesized closed-form
+    as unhex(hex) from doc_id: canonical WAVs, WAVs with a LIST chunk
+    the walker must skip, and zip junk; the oracle reconstructs
+    (sample_rate, channels, bits, duration_ms) arithmetically."""
+    from augmented_codebase_indexer_spark.sources.multimodal import (
+        sniff_wav_metadata,
+    )
+
+    def le16(x):
+        return (f"lpad(hex(({x}) % 256), 2, '0'), "
+                f"lpad(hex(({x}) DIV 256), 2, '0')")
+
+    def le32(x):
+        return ", ".join(
+            f"lpad(hex(({x}) DIV {256 ** i} % 256), 2, '0')" for i in range(4)
+        )
+
+    sr = "(8000 + (doc_id % 8) * 1000)"
+    ch = "(1 + doc_id % 2)"
+    n = "(doc_id % 50 + 1)"
+    block = f"({ch} * 2)"
+    dsz = f"({n} * {block})"
+    fmt_payload = (
+        f"concat('0100', {le16(ch)}, {le32(sr)}, {le32(f'{sr} * {block}')}, "
+        f"{le16(block)}, '1000')"
+    )
+    body = (
+        f"concat('57415645', '666D7420', '10000000', {fmt_payload}, "
+        f"'64617461', {le32(dsz)}, repeat('00', {dsz}))"
+    )
+    list_body = (
+        f"concat('57415645', '4C495354', '04000000', '494E464F', "
+        f"'666D7420', '10000000', {fmt_payload}, "
+        f"'64617461', {le32(dsz)}, repeat('00', {dsz}))"
+    )
+    hexstr = F.expr(
+        "CASE doc_id % 3 "
+        f"WHEN 0 THEN concat('52494646', {le32(f'36 + {dsz}')}, {body}) "
+        f"WHEN 1 THEN concat('52494646', {le32(f'48 + {dsz}')}, {list_body}) "
+        "ELSE '504B0304DEADBEEF' END"
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = d.select("doc_id", F.unhex(hexstr).alias("content"))
+    return sniff_wav_metadata(assets).select(
+        "doc_id", "fmt", "sample_rate", "channels", "bits", "duration_ms"
+    )
+
+
 def q_anchor_aliases(spark, sf_dir):
     """The loop the anchors module promises: anchor-term profiles on
     entity pages become gazetteer ALIAS CANDIDATES — (ent_id, alias,
@@ -2441,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "predicate_alignment": q_predicate_alignment,
         "clustering_coeff": q_clustering_coeff,
+        "audio_metadata": q_audio_metadata,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2468,8 +2520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_histogram": q_outer_join_histogram,
         "having_filter": q_having_filter,
         "cube_stats": q_cube_stats,
+        # ------ driver 50-entry window ends here (#50 = cube_stats) ---
         "semi_join": q_semi_join,
-        # ------ driver 50-entry window ends here (#50 = semi_join) ---
         "pattern_search": q_pattern_search,
         "summaries": q_summaries,
         "outlinks": q_outlinks,
@@ -3400,6 +3452,23 @@ def oracle_sql() -> dict[str, str]:
     sql["clustering_coeff"] = clustering_oracle_sql(
         _entity_graph_sql("duckdb")
     )
+
+    sql["audio_metadata"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN 'wav'
+                ELSE 'unknown' END AS fmt,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) END
+             AS sample_rate,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN CAST(16 AS BIGINT) END AS bits,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN ((doc_id % 50 + 1) * 1000)
+                     // (8000 + (doc_id % 8) * 1000) END AS duration_ms
+    FROM documents
+    """
 
     from augmented_codebase_indexer_spark.operators.er import er_matches_oracle_sql
 

@@ -267,3 +267,134 @@ def sniff_and_dimensions(
     return out.withColumns(
         {"width": width.cast("long"), "height": height.cast("long")}
     ).drop(*[a for a, _ in jpeg_steps])
+
+
+def _le_u32_expr(col: str, off: str) -> str:
+    """Little-endian u32 at a (possibly computed) 1-based offset — the
+    four bytes hex'd individually and re-concatenated reversed."""
+    bs = [
+        f"hex(substring({col}, CAST({off} AS INT) + {i}, 1))"
+        for i in range(4)
+    ]
+    return (
+        f"CAST(conv(concat({bs[3]}, {bs[2]}, {bs[1]}, {bs[0]}), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def _le_u16_expr(col: str, off: str) -> str:
+    b0 = f"hex(substring({col}, CAST({off} AS INT), 1))"
+    b1 = f"hex(substring({col}, CAST({off} AS INT) + 1, 1))"
+    return f"CAST(conv(concat({b1}, {b0}), 16, 10) AS BIGINT)"
+
+
+_WAV_MAX_CHUNKS = 8
+
+
+def _wav_steps(content_col: str, max_chunks: int = _WAV_MAX_CHUNKS):
+    """(alias, expr) chain walking the RIFF chunk list (RIFF spec / WAVE
+    format: 4-byte id, little-endian u32 size, data, padded to even) for
+    the 'fmt ' and 'data' chunks — same codec-free discipline as the
+    JPEG SOF walk: bounded steps, one alias per chained select, any
+    malformation (non-WAVE form, truncated chunk, >max_chunks) → NULL
+    fields, never a task failure. 'data' counts only when its payload is
+    FULLY present (a truncated download reports no duration rather than
+    a wrong one)."""
+    c = content_col
+    steps = [
+        ("_wv_off_0",
+         f"CASE WHEN length({c}) >= 12 "
+         f"AND upper(hex(substring({c}, 1, 4))) = '52494646' "
+         f"AND upper(hex(substring({c}, 9, 4))) = '57415645' "
+         "THEN CAST(13 AS BIGINT) END"),
+        ("_wv_fmt_0", "CAST(NULL AS BIGINT)"),
+        ("_wv_dsz_0", "CAST(NULL AS BIGINT)"),
+    ]
+    for k in range(1, max_chunks + 1):
+        off, fmt, dsz = f"_wv_off_{k-1}", f"_wv_fmt_{k-1}", f"_wv_dsz_{k-1}"
+        cid, csz = f"_wv_id_{k}", f"_wv_sz_{k}"
+        steps.append(
+            (cid,
+             f"CASE WHEN {off} IS NOT NULL AND length({c}) >= {off} + 7 "
+             f"THEN upper(hex(substring({c}, CAST({off} AS INT), 4))) END")
+        )
+        steps.append(
+            (csz,
+             f"CASE WHEN {cid} IS NOT NULL "
+             f"THEN {_le_u32_expr(c, f'{off} + 4')} END")
+        )
+        # 666D7420 = 'fmt ', 64617461 = 'data'
+        steps.append(
+            (f"_wv_fmt_{k}",
+             f"coalesce({fmt}, CASE WHEN {cid} = '666D7420' "
+             f"AND {csz} >= 16 AND length({c}) >= {off} + 7 + {csz} "
+             f"THEN {off} + 8 END)")
+        )
+        steps.append(
+            (f"_wv_dsz_{k}",
+             f"coalesce({dsz}, CASE WHEN {cid} = '64617461' "
+             f"AND length({c}) >= {off} + 7 + {csz} THEN {csz} END)")
+        )
+        steps.append(
+            (f"_wv_off_{k}",
+             f"CASE WHEN {cid} IS NULL OR {csz} IS NULL "
+             f"OR ({f'_wv_fmt_{k}'} IS NOT NULL AND {f'_wv_dsz_{k}'} IS NOT NULL) "
+             f"THEN CAST(NULL AS BIGINT) "
+             f"ELSE {off} + 8 + {csz} + ({csz} % 2) END")
+        )
+    lf = f"coalesce(_wv_fmt_{max_chunks}, CAST(NULL AS BIGINT))"
+    ld = f"coalesce(_wv_dsz_{max_chunks}, CAST(NULL AS BIGINT))"
+    steps.append(("_wv_fmtoff", lf))
+    steps.append(("_wv_datasz", ld))
+    return steps
+
+
+def sniff_wav_metadata(
+    assets: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """+ (fmt, sample_rate, channels, bits, duration_ms): RIFF/WAVE
+    header metadata by pure byte arithmetic — the audio sibling of
+    :func:`sniff_and_dimensions` (no codec in the container; pcm DECODE
+    stays a declared stub like image pixels). duration_ms =
+    ((data_size DIV block_align) · 1000) DIV sample_rate — exact
+    integer division both ways; missing/garbled fmt or data chunk, a
+    zero block_align, or a zero sample rate → NULL duration."""
+    prefix = F.expr(f"upper(hex(substring({content_col}, 1, 4)))")
+    wave = F.expr(f"upper(hex(substring({content_col}, 9, 4)))")
+    out = assets.withColumn(
+        "fmt",
+        F.when(
+            (prefix == "52494646") & (wave == "57415645"), F.lit("wav")
+        ).otherwise(F.lit("unknown")),
+    )
+    for alias, expr in _wav_steps(content_col):
+        out = out.selectExpr("*", f"{expr} AS {alias}")
+    f = "_wv_fmtoff"
+    out = out.selectExpr(
+        "*",
+        f"CASE WHEN {f} IS NOT NULL THEN "
+        f"{_le_u16_expr(content_col, f'{f} + 2')} END AS _wv_ch",
+        f"CASE WHEN {f} IS NOT NULL THEN "
+        f"{_le_u32_expr(content_col, f'{f} + 4')} END AS _wv_sr",
+        f"CASE WHEN {f} IS NOT NULL THEN "
+        f"{_le_u16_expr(content_col, f'{f} + 12')} END AS _wv_ba",
+        f"CASE WHEN {f} IS NOT NULL THEN "
+        f"{_le_u16_expr(content_col, f'{f} + 14')} END AS _wv_bits",
+    )
+    dur = (
+        "CASE WHEN _wv_sr >= 1 AND _wv_ba >= 1 AND _wv_datasz IS NOT NULL "
+        "THEN ((_wv_datasz DIV _wv_ba) * 1000) DIV _wv_sr END"
+    )
+    out = out.selectExpr(
+        "*",
+        "_wv_sr AS sample_rate",
+        "_wv_ch AS channels",
+        "_wv_bits AS bits",
+        f"{dur} AS duration_ms",
+    )
+    drop = [a for a, _ in _wav_steps(content_col)] + [
+        "_wv_ch", "_wv_sr", "_wv_ba", "_wv_bits",
+    ]
+    drop += [f"_wv_id_{k}" for k in range(1, _WAV_MAX_CHUNKS + 1)]
+    drop += [f"_wv_sz_{k}" for k in range(1, _WAV_MAX_CHUNKS + 1)]
+    return out.drop(*set(drop))
