@@ -217,3 +217,71 @@ def test_comention_pmi_plan_is_jvm_aggregates(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "partial_count" in plan, plan
+
+
+def test_paradedup_vote_exchange_carries_no_text(spark):
+    """Paragraph dedup's first-occurrence vote groups by md5(para): the
+    vote exchange must carry (hash, partial min-struct) only — paragraph
+    TEXT may ride exactly one exchange (the keep-join), never the vote."""
+    from augmented_codebase_indexer_spark.operators.paradedup import (
+        paragraph_dedup, split_paragraphs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "replace(text, ' value ', chr(10) || chr(10)) AS text"
+    )
+    q = paragraph_dedup(split_paragraphs(docs))
+    plan = _plan(q)
+    # what an exchange SHIPS is its child's output attribute list (the
+    # first `output=[...]` in the segment); paragraph text may appear in
+    # at most one of them (the keep-join), and never in the md5 vote
+    # (whose partial-agg output is (h, min-struct) / the reassembly's
+    # collect_list buffer hides behind `buf#`)
+    carrying = []
+    for seg in plan.split("Exchange")[1:]:
+        m = re.search(r"output=\[([^\]]*)\]", seg)
+        if m and "para#" in m.group(1):
+            carrying.append(m.group(1))
+    assert len(carrying) <= 1, carrying
+
+
+def test_lpa_argmax_has_no_window(spark):
+    """LPA's per-round argmax is min(struct(-cnt, lbl)) — a combinable
+    aggregate, not a per-node window (no hot partition on celebrities)."""
+    from augmented_codebase_indexer_spark.operators.communities import (
+        lpa_communities,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    e = docs.selectExpr(
+        "CAST(doc_id % 151 AS STRING) AS src",
+        "CAST((doc_id * 13 + 5) % 151 AS STRING) AS dst",
+    )
+    plan = _plan(lpa_communities(e, rounds=3))
+    assert "Window" not in plan
+
+
+def test_bgp_plans_no_cartesian(spark):
+    """A connected BGP compiles to hash joins only — never a cartesian
+    or broadcast nested loop."""
+    from augmented_codebase_indexer_spark.operators.bgp import bgp_match
+
+    t = spark.createDataFrame(
+        [("a", "works_at", "x"), ("a", "born_in", "y")],
+        "subj string, pred string, obj string",
+    )
+    plan = _plan(bgp_match(
+        t, [("?p", "works_at", "?o"), ("?p", "born_in", "?c")]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bursts_plan_has_no_window(spark):
+    """Burst detection is pure groupBys + a 1-row broadcast: no window,
+    and the day-count side arrives as a broadcast exchange."""
+    from augmented_codebase_indexer_spark.operators.bursts import daily_bursts
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(daily_bursts(events))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
