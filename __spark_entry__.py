@@ -1152,6 +1152,41 @@ def q_audio_metadata(spark, sf_dir):
     )
 
 
+def q_video_metadata(spark, sf_dir):
+    """ISO-BMFF movie metadata without codecs (sources/multimodal.py::
+    sniff_mp4_metadata): top-level box walk to moov, nested walk to the
+    v0 mvhd, timescale/duration as BE u32s. Assets synthesized
+    closed-form: canonical ftyp+moov, a 'free' box the walker must step
+    over, and junk; oracle reconstructs arithmetically."""
+    from augmented_codebase_indexer_spark.sources.multimodal import (
+        sniff_mp4_metadata,
+    )
+
+    ts = "(600 + (doc_id % 10) * 100)"
+    dur = "((doc_id % 5000) + 1)"
+    # ftyp payload = brand + minor_version + one compatible brand
+    # (12 bytes) → declared box size 8 + 12 = 20 = 0x14
+    ftyp = "'00000014', '66747970', '69736F6D', '00000200', '69736F6D'"
+    mvhd = (
+        f"'0000006C', '6D766864', '00000000', repeat('00', 8), "
+        f"lpad(hex({ts}), 8, '0'), lpad(hex({dur}), 8, '0'), "
+        "repeat('00', 80)"
+    )
+    moov = f"'00000074', '6D6F6F76', {mvhd}"
+    hexstr = F.expr(
+        "CASE doc_id % 3 "
+        f"WHEN 0 THEN concat({ftyp}, {moov}) "
+        f"WHEN 1 THEN concat({ftyp}, '0000000C', '66726565', 'DEADBEEF', "
+        f"  {moov}) "
+        "ELSE '0001020304DEADBEEF' END"
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = d.select("doc_id", F.unhex(hexstr).alias("content"))
+    return sniff_mp4_metadata(assets).select(
+        "doc_id", "fmt", "major_brand", "timescale", "duration_ms"
+    )
+
+
 def q_anchor_aliases(spark, sf_dir):
     """The loop the anchors module promises: anchor-term profiles on
     entity pages become gazetteer ALIAS CANDIDATES — (ent_id, alias,
@@ -2493,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_alignment": q_predicate_alignment,
         "clustering_coeff": q_clustering_coeff,
         "audio_metadata": q_audio_metadata,
+        "video_metadata": q_video_metadata,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2519,8 +2555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_normalize": q_score_normalize,
         "outer_join_histogram": q_outer_join_histogram,
         "having_filter": q_having_filter,
+        # ------ driver 50-entry window ends here (#50 = having_filter) ---
         "cube_stats": q_cube_stats,
-        # ------ driver 50-entry window ends here (#50 = cube_stats) ---
         "semi_join": q_semi_join,
         "pattern_search": q_pattern_search,
         "summaries": q_summaries,
@@ -3452,6 +3488,20 @@ def oracle_sql() -> dict[str, str]:
     sql["clustering_coeff"] = clustering_oracle_sql(
         _entity_graph_sql("duckdb")
     )
+
+    sql["video_metadata"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN 'mp4'
+                ELSE 'unknown' END AS fmt,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN 'isom' END AS major_brand,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN CAST(600 + (doc_id % 10) * 100 AS BIGINT) END
+             AS timescale,
+           CASE WHEN doc_id % 3 IN (0, 1)
+                THEN (((doc_id % 5000) + 1) * 1000)
+                     // (600 + (doc_id % 10) * 100) END AS duration_ms
+    FROM documents
+    """
 
     sql["audio_metadata"] = """
     SELECT doc_id,

@@ -398,3 +398,136 @@ def sniff_wav_metadata(
     drop += [f"_wv_id_{k}" for k in range(1, _WAV_MAX_CHUNKS + 1)]
     drop += [f"_wv_sz_{k}" for k in range(1, _WAV_MAX_CHUNKS + 1)]
     return out.drop(*set(drop))
+
+
+def _be_u32_expr(col: str, off: str) -> str:
+    """Big-endian u32 at a (possibly computed) 1-based offset."""
+    return (
+        f"CAST(conv(hex(substring({col}, CAST({off} AS INT), 4)), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+_MP4_MAX_BOXES = 8
+
+
+def _mp4_steps(content_col: str, max_boxes: int = _MP4_MAX_BOXES):
+    """(alias, expr) chain over the ISO-BMFF box list (ISO 14496-12 §4.2:
+    [u32 BE size][4cc type][payload]) — top-level walk to 'moov', then a
+    nested walk inside moov to 'mvhd' (version 0: timescale/duration as
+    BE u32 at payload +12/+16). size==0 (to-EOF) and size==1 (64-bit
+    largesize) stop the walk — declared unparsed, NULL not wrong; mvhd
+    version 1 (64-bit times) likewise. Same bounded one-alias-per-select
+    discipline as the JPEG and WAV walks."""
+    c = content_col
+    steps = [
+        ("_m4_off_0",
+         f"CASE WHEN length({c}) >= 8 THEN CAST(1 AS BIGINT) END"),
+        ("_m4_moov_0", "CAST(NULL AS BIGINT)"),
+        ("_m4_end_0", "CAST(NULL AS BIGINT)"),
+    ]
+    for k in range(1, max_boxes + 1):
+        off, moov, end = f"_m4_off_{k-1}", f"_m4_moov_{k-1}", f"_m4_end_{k-1}"
+        sz, ty = f"_m4_sz_{k}", f"_m4_ty_{k}"
+        steps.append(
+            (sz,
+             f"CASE WHEN {moov} IS NULL AND {off} IS NOT NULL "
+             f"AND length({c}) >= {off} + 7 "
+             f"THEN {_be_u32_expr(c, off)} END")
+        )
+        steps.append(
+            (ty,
+             f"CASE WHEN {sz} IS NOT NULL "
+             f"THEN upper(hex(substring({c}, CAST({off} AS INT) + 4, 4))) END")
+        )
+        # 6D6F6F76 = 'moov'; require the whole box present before entering
+        steps.append(
+            (f"_m4_moov_{k}",
+             f"coalesce({moov}, CASE WHEN {ty} = '6D6F6F76' AND {sz} >= 16 "
+             f"AND length({c}) >= {off} + {sz} - 1 THEN {off} + 8 END)")
+        )
+        steps.append(
+            (f"_m4_end_{k}",
+             f"coalesce({end}, CASE WHEN {ty} = '6D6F6F76' AND {sz} >= 16 "
+             f"AND length({c}) >= {off} + {sz} - 1 THEN {off} + {sz} END)")
+        )
+        steps.append(
+            (f"_m4_off_{k}",
+             f"CASE WHEN _m4_moov_{k} IS NOT NULL OR {sz} IS NULL "
+             f"OR {sz} < 8 THEN CAST(NULL AS BIGINT) "
+             f"ELSE {off} + {sz} END")
+        )
+    moov, end = f"_m4_moov_{max_boxes}", f"_m4_end_{max_boxes}"
+    steps.append(("_m4_in_0", moov))
+    steps.append(("_m4_mvhd_0", "CAST(NULL AS BIGINT)"))
+    for k in range(1, max_boxes + 1):
+        off, mv = f"_m4_in_{k-1}", f"_m4_mvhd_{k-1}"
+        sz, ty = f"_m4_isz_{k}", f"_m4_ity_{k}"
+        steps.append(
+            (sz,
+             f"CASE WHEN {mv} IS NULL AND {off} IS NOT NULL "
+             f"AND {off} + 7 < {end} "
+             f"THEN {_be_u32_expr(c, off)} END")
+        )
+        steps.append(
+            (ty,
+             f"CASE WHEN {sz} IS NOT NULL "
+             f"THEN upper(hex(substring({c}, CAST({off} AS INT) + 4, 4))) END")
+        )
+        # 6D766864 = 'mvhd'; v0 box is 108 bytes, need payload through +24
+        steps.append(
+            (f"_m4_mvhd_{k}",
+             f"coalesce({mv}, CASE WHEN {ty} = '6D766864' AND {sz} >= 32 "
+             f"AND {off} + 31 < {end} "
+             f"AND hex(substring({c}, CAST({off} AS INT) + 8, 1)) = '00' "
+             f"THEN {off} + 8 END)")
+        )
+        steps.append(
+            (f"_m4_in_{k}",
+             f"CASE WHEN _m4_mvhd_{k} IS NOT NULL OR {sz} IS NULL "
+             f"OR {sz} < 8 THEN CAST(NULL AS BIGINT) "
+             f"ELSE {off} + {sz} END")
+        )
+    last = f"_m4_mvhd_{max_boxes}"
+    # payload layout (v0): version/flags 4, creation 4, modification 4,
+    # then timescale at +12 and duration at +16 (1-based from `last`,
+    # which points AT the version byte)
+    steps.append(
+        ("_m4_ts", f"CASE WHEN {last} IS NOT NULL "
+                   f"THEN {_be_u32_expr(c, f'{last} + 12')} END")
+    )
+    steps.append(
+        ("_m4_dur", f"CASE WHEN {last} IS NOT NULL "
+                    f"THEN {_be_u32_expr(c, f'{last} + 16')} END")
+    )
+    return steps
+
+
+def sniff_mp4_metadata(
+    assets: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """+ (fmt, major_brand, timescale, duration_ms): ISO-BMFF movie
+    metadata by pure byte arithmetic — the video sibling of the WAV and
+    image tiers. fmt = 'mp4' when the first box is 'ftyp' (major brand
+    surfaced as text); duration_ms = (mvhd.duration · 1000) DIV
+    mvhd.timescale, version-0 mvhd only (v1/largesize/to-EOF boxes are
+    declared unparsed → NULL, never wrong or failing)."""
+    is_ftyp = F.expr(
+        f"length({content_col}) >= 12 AND "
+        f"upper(hex(substring({content_col}, 5, 4))) = '66747970'"
+    )
+    out = assets.withColumn(
+        "fmt", F.when(is_ftyp, F.lit("mp4")).otherwise(F.lit("unknown"))
+    ).withColumn(
+        "major_brand",
+        F.when(is_ftyp, F.expr(f"decode(substring({content_col}, 9, 4), 'UTF-8')")),
+    )
+    for alias, expr in _mp4_steps(content_col):
+        out = out.selectExpr("*", f"{expr} AS {alias}")
+    out = out.selectExpr(
+        "*",
+        "_m4_ts AS timescale",
+        "CASE WHEN _m4_ts >= 1 AND _m4_dur IS NOT NULL "
+        "THEN (_m4_dur * 1000) DIV _m4_ts END AS duration_ms",
+    )
+    return out.drop(*{a for a, _ in _mp4_steps(content_col)})

@@ -778,7 +778,7 @@ def main() -> None:
         "paragraph_dedup", "lpa_communities", "kg_bgp_match",
         "mention_commonness", "daily_bursts", "kg_negatives",
         "walk_skipgrams", "graph_hits", "predicate_alignment",
-        "clustering_coeff", "audio_metadata",
+        "clustering_coeff", "audio_metadata", "video_metadata",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

@@ -626,6 +626,46 @@ def main() -> None:
         "codegen — no RNG state across executors.",
     )
 
+    queries["walk_skipgrams (SGNS pair counts)"] = (
+        _entry.queries()["walk_skipgrams"](spark, SF),
+        "r6b: self-join keyed by (start_node, walk) — the key the walk "
+        "generator emitted, so it co-locates; band filter bounds per-walk "
+        "fan-out; counts combine map-side.",
+    )
+
+    queries["graph_hits (integer max-norm HITS)"] = (
+        _entry.queries()["graph_hits"](spark, SF),
+        "r6b: each half-step shuffles only the slim (node, score) "
+        "relation; the max renormalizer is a 1-row broadcast; fixed "
+        "rounds bound the lineage.",
+    )
+
+    queries["predicate_alignment (extension-overlap Jaccard)"] = (
+        _entry.queries()["predicate_alignment"](spark, SF),
+        "r6b: (subj, obj)-keyed self-join rides the subject-hash "
+        "bucketing; sizes join back as a predicate-vocabulary broadcast.",
+    )
+
+    queries["clustering_coeff (Watts-Strogatz local cc)"] = (
+        _entry.queries()["clustering_coeff"](spark, SF),
+        "r6b: composes the degree-oriented triangle wedge join with "
+        "degrees; one node-keyed left join, one trunc division — "
+        "nothing new shuffles beyond the triangle tier.",
+    )
+
+    queries["audio_metadata (RIFF/WAVE chunk walk)"] = (
+        _entry.queries()["audio_metadata"](spark, SF),
+        "r6b: bounded 8-chunk walk, one alias per chained select (the "
+        "JPEG-walk discipline); pure byte arithmetic in codegen, no "
+        "Python, malformation → NULL.",
+    )
+
+    queries["video_metadata (ISO-BMFF box walks)"] = (
+        _entry.queries()["video_metadata"](spark, SF),
+        "r6b: two bounded box walks (top-level → moov, nested → mvhd "
+        "v0); to-EOF/largesize/v1 declared unparsed, never wrong.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
