@@ -155,3 +155,61 @@ def paragraph_dedup_py(
         )
         for doc in sorted(totals)
     ]
+
+
+def paragraph_dedup_increment(
+    paras_batch: DataFrame, seen: DataFrame | None, sep: str = "\n"
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental form for crawl batches: dedup ``paras_batch`` first
+    WITHIN the batch (the batch-local first-occurrence rule) and then
+    against ``seen`` — the persisted winners relation (h) from all prior
+    batches — returning (deduped docs, the NEW hashes to append to
+    ``seen``). Processing a corpus in arrival-ordered batches yields
+    EXACTLY the one-shot output (asserted in tests): first occurrence is
+    first occurrence no matter where the batch boundary falls.
+
+    ``seen`` is the slim distinct-paragraph hash relation — written once,
+    bucketed by hash (`sources/catalog.py` discipline), so each nightly
+    batch costs one within-batch vote plus one LEFT-ANTI join against a
+    bucket-pruned table, never a rescan of the historical corpus."""
+    withh = paras_batch.withColumn("h", F.md5(F.col("para")))
+    winners = (
+        withh.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pidx")).alias("w"))
+        .select(
+            "h",
+            F.col("w.doc_id").alias("w_doc"),
+            F.col("w.pidx").alias("w_pidx"),
+        )
+    )
+    kept = (
+        withh.join(winners, "h")
+        .filter(
+            (F.col("doc_id") == F.col("w_doc"))
+            & (F.col("pidx") == F.col("w_pidx"))
+        )
+        .select("doc_id", "pidx", "para", "h")
+    )
+    if seen is not None:
+        kept = kept.join(seen.select("h"), "h", "left_anti")
+    new_hashes = kept.select("h").distinct()
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("text"),
+    )
+    totals = paras_batch.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras")
+    )
+    out = totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    return out, new_hashes

@@ -86,3 +86,38 @@ def test_deterministic(spark):
     a = sorted(tuple(r) for r in paragraph_dedup(_paras(spark)).collect())
     b = sorted(tuple(r) for r in paragraph_dedup(_paras(spark)).collect())
     assert a == b
+
+
+def test_increment_equals_one_shot(spark):
+    from augmented_codebase_indexer_spark.operators.paradedup import (
+        paragraph_dedup_increment,
+    )
+
+    paras = _paras(spark)
+    # arrival-ordered batches: docs 1-2, then 3-5
+    b1 = paras.filter("doc_id <= 2")
+    b2 = paras.filter("doc_id > 2")
+    out1, new1 = paragraph_dedup_increment(b1, None)
+    out2, new2 = paragraph_dedup_increment(b2, new1)
+    got = sorted(
+        tuple(r) for r in out1.unionByName(out2).collect()
+    )
+    want = sorted(tuple(r) for r in paragraph_dedup(_paras(spark)).collect())
+    assert got == want
+    # new-hash relations are disjoint and cover exactly the kept paragraphs
+    h1 = {r["h"] for r in new1.collect()}
+    h2 = {r["h"] for r in new2.collect()}
+    assert not h1 & h2
+    total_kept = sum(r[2] for r in got)
+    assert len(h1) + len(h2) == total_kept
+
+
+def test_increment_single_batch_equals_batch(spark):
+    from augmented_codebase_indexer_spark.operators.paradedup import (
+        paragraph_dedup_increment,
+    )
+
+    out, _ = paragraph_dedup_increment(_paras(spark), None)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in paragraph_dedup(_paras(spark)).collect())
+    assert got == want
