@@ -1587,6 +1587,45 @@ def q_clustering_coeff(spark, sf_dir):
     return clustering_coefficients(spark.sql(_entity_graph_sql("spark")))
 
 
+def _literal_triples_sql(dialect: str) -> str:
+    """Closed-form triples whose objects sweep the literal taxonomy:
+    integers, negative decimals, valid ISO dates, regex-valid-but-
+    calendar-invalid dates (month 13 — must fall back to entity),
+    booleans, and plain entity ids."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 'e' || CAST(doc_id % 101 AS {s}) AS subj,
+           CASE doc_id % 6 WHEN 0 THEN 'population' WHEN 1 THEN 'rate'
+                WHEN 2 THEN 'founded' WHEN 3 THEN 'active'
+                WHEN 4 THEN 'updated' ELSE 'works_at' END AS pred,
+           CASE doc_id % 6
+             WHEN 0 THEN CAST(doc_id AS {s})
+             WHEN 1 THEN '-' || CAST(doc_id % 100 AS {s}) || '.' ||
+                         CAST(doc_id % 1000 AS {s})
+             WHEN 2 THEN '20' || lpad(CAST(doc_id % 30 AS {s}), 2, '0')
+                         || '-' || lpad(CAST(doc_id % 12 + 1 AS {s}), 2, '0')
+                         || '-' || lpad(CAST(doc_id % 28 + 1 AS {s}), 2, '0')
+             WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'False' END
+             WHEN 4 THEN '1999-13-' || lpad(CAST(doc_id % 28 + 1 AS {s}), 2, '0')
+             ELSE 'ent' || CAST(doc_id % 9 AS {s})
+           END AS obj
+    FROM documents"""
+
+
+def q_kg_literals(spark, sf_dir):
+    # object-literal typing (RDF datatype normalization for extracted
+    # string objects): regex-gated BEFORE any cast (bare string→number
+    # casts diverge across engines), pure string arithmetic for decimal
+    # micro parsing, calendar validation via try_cast. One codegen
+    # projection — no shuffle, no Python.
+    from augmented_codebase_indexer_spark.operators.literals import (
+        type_object_literals,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return type_object_literals(spark.sql(_literal_triples_sql("spark")))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2529,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "audio_metadata": q_audio_metadata,
         "video_metadata": q_video_metadata,
+        "kg_literals": q_kg_literals,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2554,8 +2594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
         "outer_join_histogram": q_outer_join_histogram,
+        # ------ driver 50-entry window ends here (#50 = outer_join_histogram) ---
         "having_filter": q_having_filter,
-        # ------ driver 50-entry window ends here (#50 = having_filter) ---
         "cube_stats": q_cube_stats,
         "semi_join": q_semi_join,
         "pattern_search": q_pattern_search,
@@ -3487,6 +3527,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["clustering_coeff"] = clustering_oracle_sql(
         _entity_graph_sql("duckdb")
+    )
+
+    from augmented_codebase_indexer_spark.operators.literals import (
+        type_object_literals_oracle_sql,
+    )
+
+    sql["kg_literals"] = type_object_literals_oracle_sql(
+        _literal_triples_sql("duckdb")
     )
 
     sql["video_metadata"] = """
