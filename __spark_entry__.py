@@ -1626,6 +1626,39 @@ def q_kg_literals(spark, sf_dir):
     return type_object_literals(spark.sql(_literal_triples_sql("spark")))
 
 
+def _interval_tables_sql(dialect: str) -> tuple[str, str]:
+    """Two closed-form interval tables sharing entity keys, engineered
+    so the pair classification sweeps many of the 13 Allen relations."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    a = f"""
+    SELECT DISTINCT 's' || CAST(doc_id % 40 AS {s}) AS subj_id,
+           'p' AS pred,
+           (doc_id % 10) * 10 AS valid_from,
+           (doc_id % 10) * 10 + 20 AS valid_to
+    FROM documents"""
+    b = f"""
+    SELECT DISTINCT 's' || CAST(doc_id % 40 AS {s}) AS subj_id,
+           'p' AS pred,
+           (doc_id % 7) * 12 AS valid_from,
+           (doc_id % 7) * 12 + 15 AS valid_to
+    FROM documents"""
+    return a, b
+
+
+def q_allen_relations(spark, sf_dir):
+    # the 13 Allen interval relations (Allen CACM'83) over half-open
+    # SCD2-style [s, e) intervals: the KG temporal-QA operator
+    # ('works_at DURING lives_in', versions that OVERLAP when they
+    # shouldn't). Key-equi-join, pure integer CASE ladder.
+    from augmented_codebase_indexer_spark.operators.temporal import (
+        allen_relations,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    a_sql, b_sql = _interval_tables_sql("spark")
+    return allen_relations(spark.sql(a_sql), spark.sql(b_sql))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2569,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_metadata": q_audio_metadata,
         "video_metadata": q_video_metadata,
         "kg_literals": q_kg_literals,
+        "allen_relations": q_allen_relations,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2593,8 +2627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
+        # ------ driver 50-entry window ends here (#50 = score_normalize) ---
         "outer_join_histogram": q_outer_join_histogram,
-        # ------ driver 50-entry window ends here (#50 = outer_join_histogram) ---
         "having_filter": q_having_filter,
         "cube_stats": q_cube_stats,
         "semi_join": q_semi_join,
@@ -3536,6 +3570,13 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_literals"] = type_object_literals_oracle_sql(
         _literal_triples_sql("duckdb")
     )
+
+    from augmented_codebase_indexer_spark.operators.temporal import (
+        allen_relations_oracle_sql,
+    )
+
+    _aa, _ab = _interval_tables_sql("duckdb")
+    sql["allen_relations"] = allen_relations_oracle_sql(_aa, _ab)
 
     sql["video_metadata"] = """
     SELECT doc_id,

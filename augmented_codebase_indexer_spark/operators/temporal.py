@@ -326,3 +326,79 @@ def predicate_volatility_sql(intervals_sql: str) -> str:
                 ELSE NULL END AS mean_closed_dur_s
     FROM agg
     """
+
+
+# the 13 Allen relations (Allen, CACM'83 "Maintaining knowledge about
+# temporal intervals") over HALF-OPEN [s, e) intervals — the SCD2
+# convention above. The CASE ladder is exhaustive and mutually
+# exclusive for any s1 < e1, s2 < e2, so the classification is a total
+# function and identical in both engines (pure integer comparisons).
+_ALLEN_CASE = """CASE
+  WHEN s1 = s2 AND e1 = e2 THEN 'equal'
+  WHEN e1 < s2 THEN 'before'
+  WHEN s1 > e2 THEN 'after'
+  WHEN e1 = s2 THEN 'meets'
+  WHEN s1 = e2 THEN 'met_by'
+  WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+  WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+  WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+  WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+  WHEN s1 > s2 AND e1 < e2 THEN 'during'
+  WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+  WHEN s1 < s2 THEN 'overlaps'
+  ELSE 'overlapped_by' END"""
+
+
+def allen_relations(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: tuple[str, ...] = ("subj_id", "pred"),
+) -> DataFrame:
+    """→ (*key_cols, s1, e1, s2, e2, relation): every interval pair
+    sharing a key, classified into the 13 Allen relations over
+    half-open [s, e) integer intervals (the SCD2 convention; a live
+    version's NULL valid_to should be closed to a horizon by the caller
+    — relations against an unbounded end are not classifiable).
+
+    The KG temporal-QA operator: 'works_at X' DURING 'lives_in Y',
+    conflicting versions that OVERLAP when SCD2 says they shouldn't,
+    succession chains that MEET. Key-equi-join only — co-located under
+    the fact table's entity bucketing; the pair fan-out is bounded by
+    versions-per-key squared (versions per key are small by
+    construction; SCD2 collapses repeats)."""
+    left = a.select(
+        *key_cols,
+        F.col("valid_from").cast("long").alias("s1"),
+        F.col("valid_to").cast("long").alias("e1"),
+    )
+    right = b.select(
+        *key_cols,
+        F.col("valid_from").cast("long").alias("s2"),
+        F.col("valid_to").cast("long").alias("e2"),
+    )
+    return (
+        left.join(right, list(key_cols))
+        .filter("s1 < e1 AND s2 < e2")
+        .selectExpr(
+            *key_cols, "s1", "e1", "s2", "e2",
+            f"{_ALLEN_CASE} AS relation",
+        )
+    )
+
+
+def allen_relations_oracle_sql(
+    a_sql: str, b_sql: str, key_cols: tuple[str, ...] = ("subj_id", "pred")
+) -> str:
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in key_cols)
+    akeys = ", ".join(f"a.{k}" for k in key_cols)
+    return f"""
+    WITH a AS (SELECT {keys}, CAST(valid_from AS BIGINT) AS s1,
+                      CAST(valid_to AS BIGINT) AS e1 FROM ({a_sql})),
+    b AS (SELECT {keys}, CAST(valid_from AS BIGINT) AS s2,
+                 CAST(valid_to AS BIGINT) AS e2 FROM ({b_sql}))
+    SELECT {akeys}, a.s1, a.e1, b.s2, b.e2,
+           {_ALLEN_CASE} AS relation
+    FROM a JOIN b ON {on}
+    WHERE s1 < e1 AND s2 < e2
+    """

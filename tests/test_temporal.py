@@ -249,3 +249,86 @@ def test_scd2_run_compression_bounds(spark):
             assert a["obj"] != b["obj"]  # maximal runs: no same-value split
         assert versions[-1]["is_current"]
         assert all(not v["is_current"] for v in versions[:-1])
+
+
+class TestAllenRelations:
+    # one key, intervals engineered to hit all 13 relations vs [10, 20)
+    BASE = [("k", "p", 10, 20)]
+    OTHERS = [
+        ("k", "p", 10, 20, "equal"),
+        ("k", "p", 22, 30, "before"),      # e1=20 < s2=22
+        ("k", "p", 1, 5, "after"),         # s1=10 > e2=5
+        ("k", "p", 20, 25, "meets"),
+        ("k", "p", 5, 10, "met_by"),
+        ("k", "p", 10, 25, "starts"),
+        ("k", "p", 10, 15, "started_by"),
+        ("k", "p", 5, 20, "finishes"),
+        ("k", "p", 12, 20, "finished_by"),
+        ("k", "p", 5, 25, "during"),
+        ("k", "p", 12, 18, "contains"),
+        ("k", "p", 15, 30, "overlaps"),
+        ("k", "p", 5, 15, "overlapped_by"),
+    ]
+
+    def test_all_13_relations(self, spark):
+        from augmented_codebase_indexer_spark.operators.temporal import (
+            allen_relations,
+        )
+
+        a = spark.createDataFrame(
+            self.BASE, "subj_id string, pred string, valid_from long, valid_to long"
+        )
+        b = spark.createDataFrame(
+            [(k, p, s, e) for k, p, s, e, _ in self.OTHERS],
+            "subj_id string, pred string, valid_from long, valid_to long",
+        )
+        got = {
+            (r["s2"], r["e2"]): r["relation"]
+            for r in allen_relations(a, b).collect()
+        }
+        for _, _, s2, e2, want in self.OTHERS:
+            assert got[(s2, e2)] == want, (s2, e2, got[(s2, e2)], want)
+        # totality: 13 pairs in, 13 classified rows out
+        assert len(got) == 13
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from augmented_codebase_indexer_spark.operators.temporal import (
+            allen_relations,
+            allen_relations_oracle_sql,
+        )
+
+        rows = self.OTHERS
+        a_sql = ("SELECT 'k' AS subj_id, 'p' AS pred, 10 AS valid_from, "
+                 "20 AS valid_to")
+        b_sql = " UNION ALL ".join(
+            f"SELECT '{k}' AS subj_id, '{p}' AS pred, {s} AS valid_from, "
+            f"{e} AS valid_to" for k, p, s, e, _ in rows
+        )
+        con = duckdb.connect()
+        want = sorted(tuple(r) for r in con.execute(
+            allen_relations_oracle_sql(a_sql, b_sql)).fetchall())
+        a = spark.createDataFrame(
+            self.BASE, "subj_id string, pred string, valid_from long, valid_to long"
+        )
+        b = spark.createDataFrame(
+            [(k, p, s, e) for k, p, s, e, _ in rows],
+            "subj_id string, pred string, valid_from long, valid_to long",
+        )
+        got = sorted(tuple(r) for r in allen_relations(a, b).collect())
+        assert got == want
+
+    def test_degenerate_intervals_dropped(self, spark):
+        from augmented_codebase_indexer_spark.operators.temporal import (
+            allen_relations,
+        )
+
+        a = spark.createDataFrame(
+            [("k", "p", 10, 10)],  # empty [10, 10) — not an interval
+            "subj_id string, pred string, valid_from long, valid_to long",
+        )
+        b = spark.createDataFrame(
+            self.BASE, "subj_id string, pred string, valid_from long, valid_to long"
+        )
+        assert allen_relations(a, b).count() == 0
