@@ -1659,6 +1659,20 @@ def q_allen_relations(spark, sf_dir):
     return allen_relations(spark.sql(a_sql), spark.sql(b_sql))
 
 
+def q_snippet_search(spark, sf_dir):
+    # search-result snippets: the proximity min-span widened by 4
+    # context tokens, re-sliced from the doc's token sequence (clamped
+    # at both edges) — the read-path extract a search UI renders. One
+    # extra doc_id-keyed join against the (tiny) hit set.
+    from augmented_codebase_indexer_spark.operators.postings import (
+        snippet_search,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return snippet_search(d, ["spark", "window", "join"], window=12,
+                          context=4)
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2603,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_metadata": q_video_metadata,
         "kg_literals": q_kg_literals,
         "allen_relations": q_allen_relations,
+        "snippet_search": q_snippet_search,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2626,8 +2641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha_hash": q_sha_hash,
         "fingerprint": q_fingerprint,
         "mrr": q_mrr,
+        # ------ driver 50-entry window ends here (#50 = mrr) ---
         "score_normalize": q_score_normalize,
-        # ------ driver 50-entry window ends here (#50 = score_normalize) ---
         "outer_join_histogram": q_outer_join_histogram,
         "having_filter": q_having_filter,
         "cube_stats": q_cube_stats,
@@ -3577,6 +3592,14 @@ def oracle_sql() -> dict[str, str]:
 
     _aa, _ab = _interval_tables_sql("duckdb")
     sql["allen_relations"] = allen_relations_oracle_sql(_aa, _ab)
+
+    from augmented_codebase_indexer_spark.operators.postings import (
+        snippet_oracle_sql,
+    )
+
+    sql["snippet_search"] = snippet_oracle_sql(
+        ["spark", "window", "join"], window=12, context=4
+    )
 
     sql["video_metadata"] = """
     SELECT doc_id,

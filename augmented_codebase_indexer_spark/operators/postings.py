@@ -173,3 +173,72 @@ def proximity_oracle_sql(
            CAST({len(q)} AS BIGINT) AS n_terms
     FROM ranked WHERE rn = 1
     """
+
+
+def snippet_search(
+    docs: DataFrame,
+    terms: list[str],
+    window: int = 8,
+    context: int = 3,
+    max_positions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, span_start, span_len, snippet): the proximity hits with
+    a USER-FACING extract — the minimal covering span widened by
+    ``context`` tokens each side, re-joined from the doc's own token
+    sequence (search-result snippets; the read-path the reference's
+    search service renders). Slicing clamps at both document edges.
+
+    One extra doc_id-keyed join against the hit set (tiny: only matching
+    docs re-tokenize for the slice), everything in codegen."""
+    hits = proximity_search(
+        docs, terms, window=window, max_positions=max_positions,
+        id_col=id_col, text_col=text_col,
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), _TOK_SPLIT),
+            lambda t: t != "",
+        ).alias("toks"),
+    )
+    return (
+        hits.join(toks, "doc_id")
+        .selectExpr(
+            "doc_id", "span_start", "span_len",
+            f"array_join(slice(toks, "
+            f"CAST(greatest(0L, span_start - {context}) + 1 AS INT), "
+            f"CAST(span_start + span_len + {context} "
+            f"- greatest(0L, span_start - {context}) AS INT)), ' ') "
+            "AS snippet",
+        )
+    )
+
+
+def snippet_oracle_sql(
+    terms: list[str],
+    window: int = 8,
+    context: int = 3,
+    max_positions: int = 50,
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB mirror: the proximity oracle as a CTE + the same clamped
+    token slice (list_slice is 1-based inclusive and clamps, matching
+    Spark's slice(start, length) with the same endpoints)."""
+    prox = proximity_oracle_sql(
+        terms, window=window, max_positions=max_positions, docs_sql=docs_sql
+    )
+    return f"""
+    WITH prox AS MATERIALIZED ({prox}),
+    dtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_TOK_SPLIT}'),
+                         t -> t <> '') AS toks
+      FROM ({docs_sql}))
+    SELECT p.doc_id, p.span_start, p.span_len,
+           array_to_string(list_slice(d.toks,
+             greatest(0, p.span_start - {context}) + 1,
+             p.span_start + p.span_len + {context}), ' ') AS snippet
+    FROM prox p JOIN dtoks d USING (doc_id)
+    """

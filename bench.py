@@ -779,7 +779,7 @@ def main() -> None:
         "mention_commonness", "daily_bursts", "kg_negatives",
         "walk_skipgrams", "graph_hits", "predicate_alignment",
         "clustering_coeff", "audio_metadata", "video_metadata",
-        "kg_literals", "allen_relations",
+        "kg_literals", "allen_relations", "snippet_search",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

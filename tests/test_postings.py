@@ -82,3 +82,54 @@ def test_duckdb_parity(spark):
             proximity_oracle_sql(terms, window=w, docs_sql=docs_sql)
         ).fetchall()))
         assert got == want, (terms, w)
+
+
+def test_snippet_search_extracts_context(spark):
+    from augmented_codebase_indexer_spark.operators.postings import (
+        snippet_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc spark dd join ee ff gg"),
+            (2, "spark join at the very start"),
+            (3, "ends with spark then join"),
+            (4, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in snippet_search(
+        docs, ["spark", "join"], window=8, context=2).collect()}
+    # doc 1: span [3, 6) widened 2 each side → tokens 1..7
+    assert got[1]["snippet"] == "bb cc spark dd join ee ff"
+    # doc 2: span starts at 0 → left clamp
+    assert got[2]["snippet"] == "spark join at the"
+    # doc 3: span ends at the last token → right clamp
+    assert got[3]["snippet"] == "ends with spark then join"
+    assert 4 not in got
+
+
+def test_snippet_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from augmented_codebase_indexer_spark.operators.postings import (
+        snippet_oracle_sql,
+        snippet_search,
+    )
+
+    rows = [
+        (1, "aa bb cc spark dd join ee ff gg"),
+        (2, "spark join at the very start"),
+        (3, "ends with spark then join"),
+    ]
+    docs_sql = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in rows
+    )
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(snippet_oracle_sql(
+        ["spark", "join"], window=8, context=2, docs_sql=docs_sql
+    )).fetchall())
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in snippet_search(
+        docs, ["spark", "join"], window=8, context=2).collect())
+    assert got == want
