@@ -99,6 +99,37 @@ def cmd_search(args) -> dict:
         .withColumnRenamed("item_id", "url")
         .collect()
     ]
+    if getattr(args, "snippets", 0) and rows and parsed.terms:
+        # snippets only for the k returned urls (a tiny isin filter), a
+        # generous window so multi-term spans still cover
+        from .operators.postings import (
+            first_occurrence_snippets,
+            snippet_search,
+        )
+
+        hit_docs = docs.filter(
+            F.col("doc_id").isin(*[r["url"] for r in rows])
+        )
+        # parsed.terms is the bare-terms STRING; the snippet operators
+        # take a token list
+        term_list = parsed.terms.split()
+        # best case: one span covering ALL terms; otherwise fall back to
+        # a window around the first occurrence of ANY term (OR-semantics
+        # rankers return single-term hits)
+        snips = {
+            r["doc_id"]: r["snippet"]
+            for r in first_occurrence_snippets(
+                hit_docs, term_list, context=args.snippets
+            ).collect()
+        }
+        snips.update(
+            (r["doc_id"], r["snippet"])
+            for r in snippet_search(
+                hit_docs, term_list, window=50, context=args.snippets
+            ).collect()
+        )
+        for row in rows:
+            row["snippet"] = snips.get(row["url"])
     return {"query": parsed.terms, "mode": args.mode, "results": rows}
 
 
@@ -365,6 +396,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warehouse", required=True)
     p.add_argument("--mode", choices=["hybrid", "rerank"], default="hybrid")
     p.add_argument("-k", type=int, default=10)
+    p.add_argument(
+        "--snippets", type=int, default=0, metavar="CONTEXT",
+        help="attach a token-window snippet per hit (CONTEXT tokens "
+             "each side of the minimal span covering the query terms)",
+    )
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("graph", help="neighborhood of an entity")

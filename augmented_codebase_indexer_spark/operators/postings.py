@@ -242,3 +242,48 @@ def snippet_oracle_sql(
              p.span_start + p.span_len + {context}), ' ') AS snippet
     FROM prox p JOIN dtoks d USING (doc_id)
     """
+
+
+def first_occurrence_snippets(
+    docs: DataFrame,
+    terms: list[str],
+    context: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, pos, snippet): a context window around the FIRST
+    token CONTAINING any query term — the fallback snippet when no
+    single span covers every term (single-term matches, OR-semantics
+    rankers). Substring matching mirrors the pattern backend's
+    `contains` semantics ('cluster' highlights 'clustering').
+    Deterministic: min position wins."""
+    q = sorted({t.lower() for t in terms if t})
+    if not q:
+        raise ValueError("first_occurrence_snippets: empty query")
+    posts = positional_postings(docs, id_col=id_col, text_col=text_col)
+    cond = None
+    for t in q:
+        c = F.col("term").contains(t)
+        cond = c if cond is None else (cond | c)
+    first = (
+        posts.filter(cond)
+        .groupBy("doc_id")
+        .agg(F.min("pos").cast("long").alias("pos"))
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), _TOK_SPLIT),
+            lambda t: t != "",
+        ).alias("toks"),
+    )
+    return (
+        first.join(toks, "doc_id")
+        .selectExpr(
+            "doc_id", "pos",
+            f"array_join(slice(toks, "
+            f"CAST(greatest(0L, pos - {context}) + 1 AS INT), "
+            f"CAST(pos + 1 + {context} - greatest(0L, pos - {context}) "
+            f"AS INT)), ' ') AS snippet",
+        )
+    )

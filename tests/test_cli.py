@@ -246,3 +246,19 @@ def test_stats_sketch_estimates_within_4_sigma(built):
         assert abs(e["estimate"] - true) <= 4 * sigma * true + 1, (table, e, true)
         checked += 1
     assert checked >= 3  # extracted / edges / nodes at minimum
+
+
+def test_search_snippets_flag(built):
+    wh, _ = built
+    res = main(["search", "--warehouse", wh, "-k", "3", "--snippets", "3",
+                "cluster data"])
+    assert res["results"]
+    for r in res["results"]:
+        assert set(r) == {"url", "score", "backend", "snippet"}
+        # when a covering span exists, the snippet contains a query term
+        if r["snippet"] is not None:
+            assert "cluster" in r["snippet"] or "data" in r["snippet"]
+    assert any(r["snippet"] for r in res["results"])
+    # without the flag the payload shape is unchanged
+    plain = main(["search", "--warehouse", wh, "-k", "3", "cluster data"])
+    assert all(set(r) == {"url", "score", "backend"} for r in plain["results"])

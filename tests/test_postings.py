@@ -133,3 +133,19 @@ def test_snippet_matches_duckdb_oracle(spark):
     got = sorted(tuple(r) for r in snippet_search(
         docs, ["spark", "join"], window=8, context=2).collect())
     assert got == want
+
+
+def test_first_occurrence_snippets(spark):
+    from augmented_codebase_indexer_spark.operators.postings import (
+        first_occurrence_snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb spark cc dd"), (2, "join at start"), (3, "no hit")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in first_occurrence_snippets(
+        docs, ["spark", "join"], context=2).collect()}
+    assert got[1]["snippet"] == "aa bb spark cc dd" and got[1]["pos"] == 2
+    assert got[2]["snippet"] == "join at start" and got[2]["pos"] == 0
+    assert 3 not in got
