@@ -1673,6 +1673,34 @@ def q_snippet_search(spark, sf_dir):
                           context=4)
 
 
+def _robots_files_sql(dialect: str) -> str:
+    """Closed-form robots.txt files: every domain gets a rule group;
+    even docs contribute an absolute Sitemap directive (the crawl-chain
+    link), odd docs a relative one the parser must ignore."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 'd' || CAST(doc_id % 50 AS {s}) || '.example' AS domain,
+           'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Sitemap: https://d' || CAST(doc_id % 50 AS {s}) ||
+                     '.example/s' || CAST(doc_id % 3 AS {s}) || '.xml'
+                ELSE 'Sitemap: relative.xml' END AS robots_txt
+    FROM documents"""
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    # the robots → sitemaps discovery link (sitemaps.org): Sitemap:
+    # directives extracted case-insensitively, relative values ignored,
+    # duplicates collapsed — feeds operators/sitemaps.parse_sitemap so
+    # URL discovery starts from the politeness file itself.
+    from augmented_codebase_indexer_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return robots_sitemaps(spark.sql(_robots_files_sql("spark")))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2621,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_literals": q_kg_literals,
         "allen_relations": q_allen_relations,
         "snippet_search": q_snippet_search,
+        "robots_sitemaps": q_robots_sitemaps,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2643,8 +2672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_collect": q_group_collect,
         "sha_hash": q_sha_hash,
         "fingerprint": q_fingerprint,
+        # ------ driver 50-entry window ends here (#50 = fingerprint) ---
         "mrr": q_mrr,
-        # ------ driver 50-entry window ends here (#50 = mrr) ---
         "score_normalize": q_score_normalize,
         "outer_join_histogram": q_outer_join_histogram,
         "having_filter": q_having_filter,
@@ -3602,6 +3631,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["snippet_search"] = snippet_oracle_sql(
         ["spark", "window", "join"], window=12, context=4
+    )
+
+    from augmented_codebase_indexer_spark.operators.robots import (
+        robots_sitemaps_oracle_sql,
+    )
+
+    sql["robots_sitemaps"] = robots_sitemaps_oracle_sql(
+        _robots_files_sql("duckdb")
     )
 
     sql["video_metadata"] = """

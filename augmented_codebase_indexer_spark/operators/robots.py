@@ -294,3 +294,56 @@ def apply_robots_oracle_sql(
            pattern AS matched_pattern
     FROM ranked WHERE rn = 1
     """
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """→ (domain, sitemap_url): the ``Sitemap:`` directives of each
+    robots.txt (sitemaps.org protocol §"informing search engine
+    crawlers"; RFC 9309 passes unknown lines through — Sitemap is the
+    canonical one). This is the missing link in the crawl chain:
+    robots_sitemaps → operators/sitemaps.parse_sitemap →
+    changed-since recrawl, so URL discovery starts from the politeness
+    file the crawler fetched anyway.
+
+    Per the protocol: the directive is case-insensitive, its value is an
+    ABSOLUTE url (relative values are ignored as malformed), it is
+    independent of user-agent groups (can appear anywhere in the file),
+    and duplicates collapse. One codegen split+explode per file — no
+    shuffle beyond the final distinct."""
+    line = F.explode(
+        F.split(F.col(txt_col), "\r?\n")
+    ).alias("line")
+    lines = robots.select(F.col(domain_col).alias("domain"), line)
+    url = F.trim(
+        F.regexp_extract(
+            F.col("line"), r"(?i)^\s*sitemap\s*:\s*(.*?)\s*$", 1
+        )
+    )
+    return (
+        lines.select("domain", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike("^https?://"))
+        .distinct()
+    )
+
+
+def robots_sitemaps_oracle_sql(robots_sql: str) -> str:
+    """DuckDB mirror: same line split, same case-insensitive directive,
+    same absolute-url gate."""
+    return f"""
+    WITH r AS ({robots_sql}),
+    lines AS (
+      SELECT domain, unnest(string_split_regex(robots_txt, '\r?\n')) AS line
+      FROM r),
+    vals AS (
+      SELECT domain,
+             trim(regexp_extract(line, '(?i)^\\s*sitemap\\s*:\\s*(.*?)\\s*$', 1))
+               AS sitemap_url
+      FROM lines)
+    SELECT DISTINCT domain, sitemap_url
+    FROM vals
+    WHERE regexp_matches(sitemap_url, '^https?://')
+    """

@@ -177,3 +177,57 @@ def test_oracle_parity_with_port_and_userinfo(spark):
         ).fetchall()
     )
     assert got == want
+
+
+class TestRobotsSitemaps:
+    ROBOTS = [
+        ("a.example",
+         "User-agent: *\nDisallow: /tmp\n"
+         "Sitemap: https://a.example/sitemap.xml\n"
+         "sitemap:https://a.example/news.xml\r\n"
+         "SITEMAP:   https://a.example/sitemap.xml  \n"  # dup collapses
+         "Sitemap: /relative.xml\n"  # relative → ignored
+         "# Sitemap: https://a.example/commented.xml"),  # comment line
+        ("b.example", "User-agent: *\nAllow: /"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROBOTS, "domain string, robots_txt string"
+        )
+
+    def test_extraction(self, spark):
+        from augmented_codebase_indexer_spark.operators.robots import (
+            robots_sitemaps,
+        )
+
+        got = sorted(
+            tuple(r) for r in robots_sitemaps(self._df(spark)).collect()
+        )
+        assert got == [
+            ("a.example", "https://a.example/news.xml"),
+            ("a.example", "https://a.example/sitemap.xml"),
+        ]
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from augmented_codebase_indexer_spark.operators.robots import (
+            robots_sitemaps,
+            robots_sitemaps_oracle_sql,
+        )
+
+        robots_sql = " UNION ALL ".join(
+            "SELECT '{}' AS domain, '{}' AS robots_txt".format(
+                d, t.replace("\r", "' || chr(13) || '")
+                    .replace("\n", "' || chr(10) || '")
+            )
+            for d, t in self.ROBOTS
+        )
+        con = duckdb.connect()
+        want = sorted(tuple(r) for r in con.execute(
+            robots_sitemaps_oracle_sql(robots_sql)).fetchall())
+        got = sorted(
+            tuple(r) for r in robots_sitemaps(self._df(spark)).collect()
+        )
+        assert got == want
