@@ -666,6 +666,30 @@ def main() -> None:
         "v0); to-EOF/largesize/v1 declared unparsed, never wrong.",
     )
 
+    queries["kg_literals (object-literal typing)"] = (
+        _entry.queries()["kg_literals"](spark, SF),
+        "r6b: regex-gated typing + string-arithmetic decimal parsing in "
+        "ONE codegen projection — no shuffle, no Python, no UDF.",
+    )
+
+    queries["allen_relations (13-relation interval classify)"] = (
+        _entry.queries()["allen_relations"](spark, SF),
+        "r6b: key-equi-join + an exhaustive integer CASE ladder; pair "
+        "fan-out bounded by versions-per-key squared.",
+    )
+
+    queries["snippet_search (read-path extracts)"] = (
+        _entry.queries()["snippet_search"](spark, SF),
+        "r6b: proximity hits + ONE doc_id-keyed join for the clamped "
+        "token slice; only matching docs re-tokenize.",
+    )
+
+    queries["robots_sitemaps (crawl-chain discovery link)"] = (
+        _entry.queries()["robots_sitemaps"](spark, SF),
+        "r6b: split+explode per robots file in codegen; the only "
+        "exchange is the final distinct.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
