@@ -2605,20 +2605,21 @@ def q_artifact_search(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's correctness artifact covers the FIRST
-    50 entries only, so the window leads with (a) the 31 new/changed
+    50 entries only, so the window leads with (a) the 32 new/changed
     entries — lm_vocab + the intlog sweep (VERDICT r5 Next #1: lp_micro
     / oov / idf_micro / kl lp / AA w_micro now come from the libm-free
     fixed-point BIGINT log), curation_v6 (trained LID), asset_metadata
-    (new JPEG case), and the 18 r6 operators (bm25_search … graph_walks,
+    (new JPEG case), and the 19 r6 operators (bm25_search … graph_walks,
     paragraph_dedup, lpa_communities, kg_bgp_match, mention_commonness,
     daily_bursts, kg_negatives, walk_skipgrams, graph_hits,
     predicate_alignment, clustering_coeff, audio/video_metadata,
-    kg_literals, allen_relations, snippet_search) — NEVER-driver-checked
-    oracles outrank stale-but-once-green ones; then (b) the oldest
-    r3-stale entries fill to the 50-line (VERDICT r5 Next #3 rotation;
-    the 11 displaced r3-stale entries and the r4 block lead r7's
-    rotation queue). Everything below the line is r3/r4/r5-driver-green
-    and unchanged; ``scripts/selfcheck.py`` still runs ALL of them."""
+    kg_literals, allen_relations, snippet_search, robots_sitemaps) —
+    NEVER-driver-checked oracles outrank stale-but-once-green ones; then
+    (b) the oldest r3-stale entries fill to the 50-line (VERDICT r5
+    Next #3 rotation; the 12 displaced r3-stale entries and the r4 block
+    lead r7's rotation queue). Everything below the line is
+    r3/r4/r5-driver-green and unchanged; ``scripts/selfcheck.py`` still
+    runs ALL of them."""
     return {
         # --- (a) r6: new + intlog-swept gated outputs ---
         "lm_vocab": q_lm_vocab,
