@@ -1701,6 +1701,21 @@ def q_robots_sitemaps(spark, sf_dir):
     return robots_sitemaps(spark.sql(_robots_files_sql("spark")))
 
 
+def q_event_funnel(spark, sf_dir):
+    # strict-order earliest-completion funnel (signup → click →
+    # purchase) over the events stream: one filtered min-groupBy + one
+    # user-keyed left join per step (predicate IN the join — partial
+    # completions keep their row), timestamps gated as epoch seconds.
+    from augmented_codebase_indexer_spark.operators.funnel import (
+        funnel_analysis,
+    )
+
+    return funnel_analysis(
+        _t(spark, sf_dir, "events").select("user_id", "event_type", "ts"),
+        ["signup", "click", "purchase"],
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2651,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_relations": q_allen_relations,
         "snippet_search": q_snippet_search,
         "robots_sitemaps": q_robots_sitemaps,
+        "event_funnel": q_event_funnel,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -2672,8 +2688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "group_collect": q_group_collect,
         "sha_hash": q_sha_hash,
+        # ------ driver 50-entry window ends here (#50 = sha_hash) ---
         "fingerprint": q_fingerprint,
-        # ------ driver 50-entry window ends here (#50 = fingerprint) ---
         "mrr": q_mrr,
         "score_normalize": q_score_normalize,
         "outer_join_histogram": q_outer_join_histogram,
@@ -3640,6 +3656,15 @@ def oracle_sql() -> dict[str, str]:
 
     sql["robots_sitemaps"] = robots_sitemaps_oracle_sql(
         _robots_files_sql("duckdb")
+    )
+
+    from augmented_codebase_indexer_spark.operators.funnel import (
+        funnel_oracle_sql,
+    )
+
+    sql["event_funnel"] = funnel_oracle_sql(
+        "SELECT user_id, event_type, ts FROM events",
+        ["signup", "click", "purchase"],
     )
 
     sql["video_metadata"] = """

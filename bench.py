@@ -780,7 +780,7 @@ def main() -> None:
         "walk_skipgrams", "graph_hits", "predicate_alignment",
         "clustering_coeff", "audio_metadata", "video_metadata",
         "kg_literals", "allen_relations", "snippet_search",
-        "robots_sitemaps",
+        "robots_sitemaps", "event_funnel",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
