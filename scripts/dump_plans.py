@@ -690,6 +690,13 @@ def main() -> None:
         "exchange is the final distinct.",
     )
 
+    queries["event_funnel (strict-order funnel)"] = (
+        _entry.queries()["event_funnel"](spark, SF),
+        "r6b: per-step filtered min-groupBys (map-side combined) + "
+        "user-keyed left joins with the step predicate IN the join; no "
+        "windows, the raw stream is never self-joined.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
