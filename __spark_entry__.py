@@ -1716,6 +1716,33 @@ def q_event_funnel(spark, sf_dir):
     )
 
 
+def q_retention_cohorts(spark, sf_dir):
+    # weekly retention cohorts (r6c): integer week grid from a fixed
+    # epoch (no date_trunc week-start convention), DISTINCT (user, week)
+    # collapses map-side, cohort join rides the user key, rate is one
+    # trunc division. The "of hosts first seen in week W, how many
+    # reappear" crawl signal.
+    from augmented_codebase_indexer_spark.operators.cohorts import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(
+        _t(spark, sf_dir, "events").select("user_id", "ts")
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    # first-order Markov transition matrix (r6c): ONE user-partitioned
+    # lead() window (deterministic via the event_id tiebreak), pairs
+    # collapse into the |types|² vocabulary map-side, margins join back
+    # as a broadcast. Row-stochastic p as trunc division.
+    from augmented_codebase_indexer_spark.operators.transitions import (
+        event_transitions,
+    )
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2667,6 +2694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_search": q_snippet_search,
         "robots_sitemaps": q_robots_sitemaps,
         "event_funnel": q_event_funnel,
+        # --- (a2) r6c: this session's additions (never driver-checked) ---
+        "retention_cohorts": q_retention_cohorts,
+        "event_transitions": q_event_transitions,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -3666,6 +3696,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, event_type, ts FROM events",
         ["signup", "click", "purchase"],
     )
+
+    from augmented_codebase_indexer_spark.operators.cohorts import (
+        retention_cohorts_oracle_sql,
+    )
+
+    sql["retention_cohorts"] = retention_cohorts_oracle_sql()
+
+    from augmented_codebase_indexer_spark.operators.transitions import (
+        event_transitions_oracle_sql,
+    )
+
+    sql["event_transitions"] = event_transitions_oracle_sql()
 
     sql["video_metadata"] = """
     SELECT doc_id,
