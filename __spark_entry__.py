@@ -1743,6 +1743,32 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_t(spark, sf_dir, "events"))
 
 
+def q_readability(spark, sf_dir):
+    # LIX/RIX readability (r6c): pure surface counts in one narrow
+    # codegen projection — zero exchanges, zero UDFs; scores gated as
+    # trunc-division micro integers, bands on the published 25/35/45/55
+    # cuts. The cheap prose-quality feature next to the Gopher rules.
+    from augmented_codebase_indexer_spark.operators.readability import (
+        readability_scores,
+    )
+
+    return readability_scores(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def q_collocations(spark, sf_dir):
+    # Dunning G² bigram collocations (r6c): pairs built ARRAY-side (no
+    # token explode over an exchange), margins as vocabulary-sized
+    # broadcasts, all four 2×2 log terms from the libm-free intlog —
+    # the gate is a pure BIGINT sum of products.
+    from augmented_codebase_indexer_spark.operators.collocations import (
+        bigram_llr,
+    )
+
+    return bigram_llr(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2697,6 +2723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a2) r6c: this session's additions (never driver-checked) ---
         "retention_cohorts": q_retention_cohorts,
         "event_transitions": q_event_transitions,
+        "readability": q_readability,
+        "collocations": q_collocations,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -3708,6 +3736,18 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["event_transitions"] = event_transitions_oracle_sql()
+
+    from augmented_codebase_indexer_spark.operators.readability import (
+        readability_oracle_sql,
+    )
+
+    sql["readability"] = readability_oracle_sql()
+
+    from augmented_codebase_indexer_spark.operators.collocations import (
+        bigram_llr_oracle_sql,
+    )
+
+    sql["collocations"] = bigram_llr_oracle_sql()
 
     sql["video_metadata"] = """
     SELECT doc_id,
