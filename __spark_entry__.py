@@ -1769,6 +1769,61 @@ def q_collocations(spark, sf_dir):
     return bigram_llr(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+def _param_pages_sql(dialect: str) -> str:
+    """Synthetic capture relation (url, content_hash) with a planted
+    tracking parameter: content depends on (block, id) only, so 'utm'
+    varies within every content-identical residual group (strippable)
+    while 'id' splits hashes inside its groups (kept)."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    SELECT 'https://h.example/p' || CAST(doc_id {div} 8 AS {s})
+           || '?id=' || CAST(doc_id % 4 AS {s})
+           || '&utm=' || CAST(doc_id % 3 AS {s}) AS url,
+           md5('c' || CAST(doc_id {div} 8 AS {s}) || ':'
+               || CAST(doc_id % 4 AS {s})) AS content_hash
+    FROM documents"""
+
+
+def q_url_param_rules(spark, sf_dir):
+    # tracking-parameter rule mining (r6c): per-key residual grouping —
+    # a param is strippable when every ≥2-capture residual group is
+    # content-clean. Pure string surgery + counts; no joins at all —
+    # the evidence that replaces a static utm_* denylist.
+    from augmented_codebase_indexer_spark.operators.urlparams import (
+        param_rules,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return param_rules(spark.sql(_param_pages_sql("spark")))
+
+
+def _host_paras_sql(dialect: str) -> str:
+    """Paragraph relation with a host key (5 synthetic hosts over the
+    corpus) — the per-host template-detection input."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        f"SELECT 'h' || CAST(doc_id % 5 AS {s}) AS host, doc_id, para "
+        f"FROM ({_token_paras_sql(dialect)})"
+    )
+
+
+def q_host_boilerplate(spark, sf_dir):
+    # per-host template paragraphs (r6c): DISTINCT (host, para, doc)
+    # collapses map-side, one (host, para) groupBy, host totals join
+    # back broadcast; verdict is the integer cross-multiply at a 3%
+    # share with a 3-doc floor (thresholds chosen so the synthetic
+    # corpus yields a mixed verdict: 22 templates of ~8.8k paras).
+    from augmented_codebase_indexer_spark.operators.hostboiler import (
+        host_templates,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return host_templates(
+        spark.sql(_host_paras_sql("spark")), min_docs=3, share=(3, 100)
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2725,6 +2780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "readability": q_readability,
         "collocations": q_collocations,
+        "url_param_rules": q_url_param_rules,
+        "host_boilerplate": q_host_boilerplate,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -3748,6 +3805,22 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["collocations"] = bigram_llr_oracle_sql()
+
+    from augmented_codebase_indexer_spark.operators.urlparams import (
+        param_rules_oracle_sql,
+    )
+
+    sql["url_param_rules"] = param_rules_oracle_sql(
+        _param_pages_sql("duckdb")
+    )
+
+    from augmented_codebase_indexer_spark.operators.hostboiler import (
+        host_templates_oracle_sql,
+    )
+
+    sql["host_boilerplate"] = host_templates_oracle_sql(
+        _host_paras_sql("duckdb"), min_docs=3, share=(3, 100)
+    )
 
     sql["video_metadata"] = """
     SELECT doc_id,

@@ -781,6 +781,10 @@ def main() -> None:
         "clustering_coeff", "audio_metadata", "video_metadata",
         "kg_literals", "allen_relations", "snippet_search",
         "robots_sitemaps", "event_funnel",
+        # r6c: retention cohorts, Markov transitions, readability,
+        # G2 collocations, tracking-param rule mining, host templates
+        "retention_cohorts", "event_transitions", "readability",
+        "collocations", "url_param_rules", "host_boilerplate",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

@@ -697,6 +697,50 @@ def main() -> None:
         "windows, the raw stream is never self-joined.",
     )
 
+    queries["retention_cohorts (weekly activity cohorts)"] = (
+        _entry.queries()["retention_cohorts"](spark, SF),
+        "r6c: raw events collapse to DISTINCT (user, week) map-side; "
+        "cohort assignment is a user-keyed min-agg + same-key join "
+        "(exchange reused); the final grid is weeks×offsets-sized. "
+        "Integer week indices from a fixed epoch — no date_trunc "
+        "week-start convention.",
+    )
+
+    queries["event_transitions (Markov first-order matrix)"] = (
+        _entry.queries()["event_transitions"](spark, SF),
+        "r6c: per-user ordered pairs via one user-keyed window (state "
+        "= lead(etype)), then a map-side-combined (from, to) count; "
+        "probabilities as trunc-division micro units.",
+    )
+
+    queries["readability (LIX/RIX surface indices)"] = (
+        _entry.queries()["readability"](spark, SF),
+        "r6c: one narrow codegen projection — split/regexp counts per "
+        "row, zero exchanges, zero Python; 10^12 docs cost one scan.",
+    )
+
+    queries["collocations (Dunning G2 bigrams)"] = (
+        _entry.queries()["collocations"](spark, SF),
+        "r6c: bigram pairs built array-side in codegen (token rows "
+        "never explode unpaired); three map-side-combined counts + "
+        "two vocabulary-keyed joins; every ln is the libm-free intlog.",
+    )
+
+    queries["url_param_rules (tracking-param rule mining)"] = (
+        _entry.queries()["url_param_rules"](spark, SF),
+        "r6c: per-url param explode (key-vocabulary bounded), one "
+        "(key, residual) groupBy carrying only group stats, one "
+        "key-sized final agg — NO joins; page content never rides "
+        "the residual key.",
+    )
+
+    queries["host_boilerplate (per-host template paragraphs)"] = (
+        _entry.queries()["host_boilerplate"](spark, SF),
+        "r6c: DISTINCT (host, para, doc) collapses map-side, one "
+        "(host, para) groupBy, host totals join back broadcast; the "
+        "verdict is an integer cross-multiply share gate.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
