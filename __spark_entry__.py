@@ -1824,6 +1824,213 @@ def q_host_boilerplate(spark, sf_dir):
     )
 
 
+def _salience_mentions_sql(dialect: str) -> str:
+    """Synthetic mention stream: per doc one entity mentioned twice
+    (once at position 0) and a second entity once, late — so rank-1
+    flips to the repeated/early one everywhere."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT doc_id, 'e' || CAST(doc_id % 37 AS {s}) AS entity,
+           CAST(0 AS BIGINT) AS pos FROM documents
+    UNION ALL
+    SELECT doc_id, 'e' || CAST(doc_id % 37 AS {s}),
+           CAST(doc_id % 90 + 10 AS BIGINT) FROM documents
+    UNION ALL
+    SELECT doc_id, 'e' || CAST((doc_id * 7 + 3) % 37 AS {s}),
+           CAST(doc_id % 110 + 5 AS BIGINT) FROM documents"""
+
+
+def _doc_tokens_sql() -> str:
+    return ("SELECT doc_id, CAST(120 + doc_id % 200 AS BIGINT) "
+            "AS n_tokens FROM documents")
+
+
+def q_entity_salience(spark, sf_dir):
+    # entity salience (r6c): which entity is each page ABOUT —
+    # frequency share + first-position blend, all BIGINT; one
+    # (doc, entity) groupBy, doc totals on the same key, doc-bounded
+    # rank window.
+    from augmented_codebase_indexer_spark.operators.salience import (
+        entity_salience,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return entity_salience(
+        spark.sql(_salience_mentions_sql("spark")),
+        spark.sql(_doc_tokens_sql()),
+    )
+
+
+def _coverage_spans_sql(dialect: str) -> str:
+    """Three span families per doc: one short (degenerate every 25th
+    doc), one fixed-width overlapping it, one far past the doc length
+    (exercises the edge clip)."""
+    return """
+    SELECT doc_id, CAST(doc_id % 60 AS BIGINT) AS s,
+           CAST(doc_id % 60 + doc_id % 25 AS BIGINT) AS e FROM documents
+    UNION ALL
+    SELECT doc_id, CAST((doc_id * 3) % 70 AS BIGINT),
+           CAST((doc_id * 3) % 70 + 15 AS BIGINT) FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(doc_id % 40 + 80 AS BIGINT),
+           CAST(doc_id % 40 + 200 AS BIGINT) FROM documents"""
+
+
+def q_span_coverage(spark, sf_dir):
+    # span-union coverage (r6c): the per-doc "how much of it is inside
+    # these spans" QA stat (contamination share, PII share) — one
+    # doc-partitioned sweep window + one groupBy, overlap never
+    # overcounts, only per-doc sums cross the gate (tie-order safe).
+    from augmented_codebase_indexer_spark.operators.coverage import (
+        span_coverage,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    toks = ("SELECT doc_id, CAST(100 + doc_id % 50 AS BIGINT) "
+            "AS n_tokens FROM documents")
+    return span_coverage(
+        spark.sql(_coverage_spans_sql("spark")), spark.sql(toks)
+    )
+
+
+def _kappa_sides_sql(dialect: str) -> tuple[str, str]:
+    """Two synthetic extractor verdicts over the doc universe: b skips
+    every 7th doc (joint-set semantics) and adds every 5th to 'keep'."""
+    a = ("SELECT doc_id AS item, CASE WHEN doc_id % 3 = 0 THEN 'keep' "
+         "ELSE 'drop' END AS label FROM documents")
+    b = ("SELECT doc_id AS item, CASE WHEN doc_id % 5 = 0 OR "
+         "doc_id % 3 = 0 THEN 'keep' ELSE 'drop' END AS label "
+         "FROM documents WHERE doc_id % 7 <> 0")
+    return a, b
+
+
+def q_extractor_kappa(spark, sf_dir):
+    # Cohen's kappa between two extractor families (r6c): the chance-
+    # corrected agreement QA stat — one item-keyed join, label-
+    # vocabulary marginals, single-row BIGINT fold.
+    from augmented_codebase_indexer_spark.operators.agreement import (
+        cohens_kappa,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    a_sql, b_sql = _kappa_sides_sql("spark")
+    return cohens_kappa(spark.sql(a_sql), spark.sql(b_sql))
+
+
+def _typed_cells_sql(dialect: str) -> str:
+    """Closed-form (url, table_idx, row_idx, col_idx, cell) relation
+    mirroring the typed-columns table q_webtable_types renders as HTML:
+    name=entity, age=integer with an 'n/a' minority, score=a
+    decimal/integer split, since=always-valid dates."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    u = "'https://t.example/' || CAST(doc_id AS " + s + ")"
+    age = (f"CASE WHEN doc_id % 4 = 0 THEN 'n/a' "
+           f"ELSE CAST(doc_id % 90 AS {s}) END")
+    score = (f"CASE WHEN doc_id % 2 = 0 "
+             f"THEN '1.' || CAST(doc_id % 10 AS {s}) "
+             f"ELSE CAST(doc_id % 10 AS {s}) END")
+    since = (f"'201' || CAST(doc_id % 10 AS {s}) || '-0' || "
+             f"CAST(doc_id % 9 + 1 AS {s}) || '-1' || "
+             f"CAST(doc_id % 10 AS {s})")
+    heads = " UNION ALL ".join(
+        f"SELECT {u} AS url, 1 AS table_idx, 1 AS row_idx, "
+        f"{i + 1} AS col_idx, '{h}' AS cell FROM documents"
+        for i, h in enumerate(["name", "age", "score", "since"])
+    )
+    vals = [f"'Entity' || CAST(doc_id % 50 AS {s})", age, score, since]
+    data = " UNION ALL ".join(
+        f"SELECT {u}, 1, 2, {i + 1}, {v} FROM documents"
+        for i, v in enumerate(vals)
+    )
+    return f"{heads} UNION ALL {data}"
+
+
+def q_webtable_types(spark, sf_dir):
+    # web-table column typing (r6c): the WebTables schema half — parse
+    # real HTML (three codegen explodes), pair cells with headers, type
+    # every value with the shared literal rules, strict-majority vote
+    # per column.
+    from augmented_codebase_indexer_spark.operators.webtables import (
+        column_types,
+        extract_table_cells,
+        table_relations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    age = F.when(F.col("doc_id") % 4 == 0, F.lit("n/a")).otherwise(
+        (F.col("doc_id") % 90).cast("string"))
+    score = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("1."), (F.col("doc_id") % 10).cast("string")),
+    ).otherwise((F.col("doc_id") % 10).cast("string"))
+    since = F.concat(
+        F.lit("201"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("-0"), (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-1"), (F.col("doc_id") % 10).cast("string"),
+    )
+    html_str = F.concat(
+        F.lit("<table><tr><th>name</th><th>age</th><th>score</th>"
+              "<th>since</th></tr><tr><td>Entity"), k,
+        F.lit("</td><td>"), age, F.lit("</td><td>"), score,
+        F.lit("</td><td>"), since, F.lit("</td></tr></table>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://t.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html_str, "UTF-8").alias("html"),
+    )
+    return column_types(table_relations(extract_table_cells(pages)))
+
+
+def _weighted_graph_sql(dialect: str) -> tuple[str, str]:
+    """Weighted 97-node digraph + 3 seed nodes for the SSSP entry;
+    parallel doc-generated edges exercise the min-absorb."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    div = "DIV" if dialect == "spark" else "//"
+    edges = f"""
+    SELECT CAST(doc_id % 97 AS {s}) AS src,
+           CAST((doc_id * 11 + 7) % 97 AS {s}) AS dst,
+           CAST(1 + doc_id % 5 AS BIGINT) AS w FROM documents
+    UNION ALL
+    SELECT CAST(doc_id % 97 AS {s}),
+           CAST((doc_id {div} 2) % 97 AS {s}),
+           CAST(1 + doc_id % 3 AS BIGINT) FROM documents"""
+    seeds = ("SELECT '0' AS node UNION ALL SELECT '13' "
+             "UNION ALL SELECT '42'")
+    return edges, seeds
+
+
+def q_kg_shortest_paths(spark, sf_dir):
+    # weighted seed-set shortest paths (r6c): fixed-round Bellman-Ford
+    # — per round ONE node-keyed equi-join of the slim (node, dist)
+    # frontier + a min-groupBy; exact for paths ≤ rounds edges (the
+    # traversal-family bounded-horizon contract).
+    from augmented_codebase_indexer_spark.operators.sssp import (
+        shortest_paths,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    e_sql, s_sql = _weighted_graph_sql("spark")
+    return shortest_paths(spark.sql(e_sql), spark.sql(s_sql), rounds=4)
+
+
+def q_wlm_relatedness(spark, sf_dir):
+    # Witten-Milne link relatedness (r6c): in-link overlap pairs from
+    # ONE linker-keyed self-join, every ln from the intlog evaluated
+    # once per DISTINCT count value and broadcast back — the
+    # relatedness half of the wikification stack (commonness is the
+    # prior half).
+    from augmented_codebase_indexer_spark.operators.relatedness import (
+        wlm_relatedness,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return wlm_relatedness(
+        spark.sql(_entity_graph_sql("spark")), min_common=2
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2782,6 +2989,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "url_param_rules": q_url_param_rules,
         "host_boilerplate": q_host_boilerplate,
+        "entity_salience": q_entity_salience,
+        "span_coverage": q_span_coverage,
+        "extractor_kappa": q_extractor_kappa,
+        "webtable_types": q_webtable_types,
+        "kg_shortest_paths": q_kg_shortest_paths,
+        "wlm_relatedness": q_wlm_relatedness,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -3820,6 +4033,57 @@ def oracle_sql() -> dict[str, str]:
 
     sql["host_boilerplate"] = host_templates_oracle_sql(
         _host_paras_sql("duckdb"), min_docs=3, share=(3, 100)
+    )
+
+    from augmented_codebase_indexer_spark.operators.salience import (
+        entity_salience_oracle_sql,
+    )
+
+    sql["entity_salience"] = entity_salience_oracle_sql(
+        _salience_mentions_sql("duckdb"), _doc_tokens_sql()
+    )
+
+    from augmented_codebase_indexer_spark.operators.coverage import (
+        span_coverage_oracle_sql,
+    )
+
+    sql["span_coverage"] = span_coverage_oracle_sql(
+        _coverage_spans_sql("duckdb"),
+        "SELECT doc_id, CAST(100 + doc_id % 50 AS BIGINT) AS n_tokens "
+        "FROM documents",
+    )
+
+    from augmented_codebase_indexer_spark.operators.agreement import (
+        cohens_kappa_oracle_sql,
+    )
+
+    _ka, _kb = _kappa_sides_sql("duckdb")
+    sql["extractor_kappa"] = cohens_kappa_oracle_sql(_ka, _kb)
+
+    from augmented_codebase_indexer_spark.operators.webtables import (
+        column_types_sql,
+        table_relations_sql,
+    )
+
+    sql["webtable_types"] = column_types_sql(
+        table_relations_sql(_typed_cells_sql("duckdb"))
+    )
+
+    from augmented_codebase_indexer_spark.operators.sssp import (
+        shortest_paths_oracle_sql,
+    )
+
+    _we, _ws = _weighted_graph_sql("duckdb")
+    sql["kg_shortest_paths"] = shortest_paths_oracle_sql(
+        _we, _ws, rounds=4
+    )
+
+    from augmented_codebase_indexer_spark.operators.relatedness import (
+        wlm_relatedness_oracle_sql,
+    )
+
+    sql["wlm_relatedness"] = wlm_relatedness_oracle_sql(
+        _entity_graph_sql("duckdb"), min_common=2
     )
 
     sql["video_metadata"] = """

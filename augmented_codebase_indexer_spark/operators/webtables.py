@@ -97,3 +97,72 @@ def table_relations_sql(cells_sql: str) -> str:
     FROM d JOIN h ON h.url = d.url AND h.table_idx = d.table_idx
                  AND h.col_idx = d.col_idx
     """
+
+
+def column_types(relations: DataFrame) -> DataFrame:
+    """→ (header, n_values, top_type, n_top, majority_type): corpus-wide
+    column typing over the recovered (header, value) pairs — the schema
+    half of WebTables (VLDB'08 §4: the attribute-correlation statistics
+    database starts from per-column types).  Every value is classified
+    with the SAME regex-gated rules as triple objects
+    (`operators/literals.py::_typing_exprs` — bool/integer/decimal/
+    date/entity, no bare casts), then each header takes its modal type;
+    ``majority_type`` is the modal type only under a STRICT integer
+    majority ``2·n_top > n_values`` (else 'mixed' — a column half ids,
+    half prose is not an integer column).
+
+    Scale shape: one codegen typing projection fused into the scan, one
+    (header, type) groupBy (map-side combined, ≤5 rows per header), one
+    header-keyed argmax via min(struct) — no window, no text wider than
+    the header string over any exchange.
+    """
+    from augmented_codebase_indexer_spark.operators.literals import (
+        _typing_exprs,
+    )
+
+    typed = relations.selectExpr("header", "value AS obj").selectExpr(
+        "header", f"{_typing_exprs('spark')['obj_type']} AS obj_type"
+    )
+    per_type = typed.groupBy("header", "obj_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        per_type.groupBy("header")
+        .agg(
+            F.sum("c").alias("n_values"),
+            F.min(F.struct((-F.col("c")).alias("nc"),
+                           F.col("obj_type").alias("t"))).alias("w"),
+        )
+        .selectExpr(
+            "header", "n_values", "w.t AS top_type", "-w.nc AS n_top",
+            "CASE WHEN 2 * (-w.nc) > n_values THEN w.t "
+            "ELSE 'mixed' END AS majority_type",
+        )
+    )
+
+
+def column_types_sql(relations_sql: str) -> str:
+    """DuckDB mirror: same typing rules, same strict-majority gate,
+    same min-struct tie-break (lexicographically smallest type wins a
+    count tie in both engines)."""
+    from augmented_codebase_indexer_spark.operators.literals import (
+        _typing_exprs,
+    )
+
+    obj_type = _typing_exprs("duckdb")["obj_type"]
+    return f"""
+    WITH typed AS (
+      SELECT header, {obj_type} AS obj_type
+      FROM (SELECT header, value AS obj FROM ({relations_sql}))),
+    per_type AS (
+      SELECT header, obj_type, CAST(count(*) AS BIGINT) AS c
+      FROM typed GROUP BY header, obj_type),
+    agg AS (
+      SELECT header, sum(c) AS n_values,
+             min(ROW(-c, obj_type)) AS w
+      FROM per_type GROUP BY header)
+    SELECT header, n_values, w[2] AS top_type, -w[1] AS n_top,
+           CASE WHEN 2 * (-w[1]) > n_values THEN w[2]
+                ELSE 'mixed' END AS majority_type
+    FROM agg
+    """

@@ -785,6 +785,8 @@ def main() -> None:
         # G2 collocations, tracking-param rule mining, host templates
         "retention_cohorts", "event_transitions", "readability",
         "collocations", "url_param_rules", "host_boilerplate",
+        "entity_salience", "span_coverage", "extractor_kappa",
+        "webtable_types", "kg_shortest_paths", "wlm_relatedness",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

@@ -741,6 +741,48 @@ def main() -> None:
         "verdict is an integer cross-multiply share gate.",
     )
 
+    queries["entity_salience (aboutness rank per page)"] = (
+        _entry.queries()["entity_salience"](spark, SF),
+        "r6c: one (doc, entity) groupBy collapses the mention stream "
+        "map-side; doc totals reuse the leading key; the rank window "
+        "is doc-partitioned (entities-per-doc state). No text anywhere.",
+    )
+
+    queries["span_coverage (union length per doc)"] = (
+        _entry.queries()["span_coverage"](spark, SF),
+        "r6c: the overlap-safe sweep — ONE doc-partitioned running-max "
+        "window + one map-side-combinable groupBy; never the quadratic "
+        "span self-join; only per-doc sums (tie-order invariant) gate.",
+    )
+
+    queries["extractor_kappa (chance-corrected agreement)"] = (
+        _entry.queries()["extractor_kappa"](spark, SF),
+        "r6c: one item-keyed equi-join, label-vocabulary marginal "
+        "aggs joined on the label key, single-row BIGINT fold.",
+    )
+
+    queries["webtable_types (strict-majority column typing)"] = (
+        _entry.queries()["webtable_types"](spark, SF),
+        "r6c: typing rules fuse into the cell scan (codegen), one "
+        "(header, type) groupBy (≤5 rows/header after map-side "
+        "combine), argmax via min(struct) — no window.",
+    )
+
+    queries["kg_shortest_paths (fixed-round Bellman-Ford)"] = (
+        _entry.queries()["kg_shortest_paths"](spark, SF),
+        "r6c: per round one src-keyed equi-join of the slim "
+        "(node, dist) frontier + a min-groupBy; statically bounded "
+        "plan depth, restartable per round.",
+    )
+
+    queries["wlm_relatedness (link-overlap semantic relatedness)"] = (
+        _entry.queries()["wlm_relatedness"](spark, SF),
+        "r6c: candidates from ONE linker-keyed self-join (hub linkers "
+        "pruned first), every ln evaluated once per DISTINCT count "
+        "value via intlog and broadcast back — the pair table never "
+        "carries a 44-step log chain.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
