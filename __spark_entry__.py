@@ -2031,6 +2031,193 @@ def q_wlm_relatedness(spark, sf_dir):
     )
 
 
+def _symmetric_triples_sql(dialect: str) -> str:
+    """Triples over two symmetric predicates + a non-symmetric one;
+    every 6th spouse fact gets its mirror (satisfied), the rest are
+    one-directional violations."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    p = ("CASE WHEN doc_id % 3 = 0 THEN 'spouse' "
+         "WHEN doc_id % 3 = 1 THEN 'sibling' ELSE 'works_at' END")
+    return f"""
+    SELECT 's' || CAST(doc_id % 40 AS {s}) AS subj, {p} AS pred,
+           's' || CAST((doc_id * 7 + 1) % 40 AS {s}) AS obj
+    FROM documents
+    UNION ALL
+    SELECT 's' || CAST((doc_id * 7 + 1) % 40 AS {s}), 'spouse',
+           's' || CAST(doc_id % 40 AS {s})
+    FROM documents WHERE doc_id % 6 = 0"""
+
+
+def q_kg_symmetry(spark, sf_dir):
+    # OWL SymmetricProperty QA (r6c): one-directional symmetric facts
+    # via a single reversed-key left-anti self-join over the distinct
+    # facts of the (small) symmetric-predicate family.
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        symmetry_violations,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return symmetry_violations(
+        spark.sql(_symmetric_triples_sql("spark")), ("spouse", "sibling")
+    )
+
+
+def _hostlang_docs_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    SELECT 'h' || CAST(doc_id % 7 AS {s}) AS host,
+           CASE WHEN (doc_id {div} 7) % 5 = doc_id % 7 THEN 'de'
+                WHEN doc_id % 7 = 3 AND doc_id % 2 = 0 THEN 'fr'
+                ELSE 'en' END AS lang
+    FROM documents"""
+
+
+def q_host_lang_profile(spark, sf_dir):
+    # host-language consistency (r6c): per-host modal language +
+    # outlier share + strict-majority mixed flag — one (host, lang)
+    # groupBy then a host-keyed min(struct) argmax, no window.
+    from augmented_codebase_indexer_spark.operators.hostlang import (
+        host_language_profile,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return host_language_profile(spark.sql(_hostlang_docs_sql("spark")))
+
+
+def _meta_pages_sql(dialect: str) -> str:
+    """Closed-form html pages sweeping the metadata cases: title
+    always, canonical on evens (href-first order on every 4th), robots
+    noindex/nofollow on every 5th, meta-refresh on every 7th."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    i = f"CAST(doc_id AS {s})"
+    canon = (
+        "CASE WHEN doc_id % 4 = 0 THEN '<link href=\"https://c.example/'"
+        f" || {i} || '\" rel=\"canonical\">' "
+        "WHEN doc_id % 2 = 0 THEN '<link rel=\"canonical\" href=\"https://c.example/'"
+        f" || {i} || '\">' ELSE '' END"
+    )
+    robots = ("CASE WHEN doc_id % 5 = 0 THEN "
+              "'<meta name=\"robots\" content=\"NOINDEX, nofollow\">' "
+              "ELSE '' END")
+    refresh = (
+        "CASE WHEN doc_id % 7 = 0 THEN "
+        "'<meta http-equiv=\"refresh\" content=\"0; url=https://r.example/'"
+        f" || {i} || '\">' ELSE '' END"
+    )
+    return (
+        f"SELECT 'https://m.example/' || {i} AS url, "
+        f"'<html><head><title>Doc ' || {i} || '</title>' || {canon} || "
+        f"{robots} || {refresh} || '</head></html>' AS html "
+        "FROM documents"
+    )
+
+
+def q_page_meta(spark, sf_dir):
+    # page metadata extraction (r6c): title / rel=canonical / robots
+    # meta / meta-refresh in ONE codegen projection; the oracle runs
+    # the SAME backslash-free regexes over the same strings in DuckDB
+    # — regex parity, not just arithmetic parity.
+    from augmented_codebase_indexer_spark.operators.pagemeta import (
+        page_meta,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return page_meta(spark.sql(_meta_pages_sql("spark")))
+
+
+def _outline_pages_sql(dialect: str) -> str:
+    """Heading trees varying by doc: h1 + two h2 sections, the second
+    with an h3; every 3rd doc opens with an orphan h3."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    i = f"CAST(doc_id AS {s})"
+    orphan = ("CASE WHEN doc_id % 3 = 0 THEN '<h3>early note</h3>' "
+              "ELSE '' END")
+    return (
+        f"SELECT 'https://o.example/' || {i} AS url, "
+        f"{orphan} || '<h1>Doc ' || {i} || '</h1><h2>intro</h2>"
+        "<h2>details</h2><h3>sub ' || "
+        f"CAST(doc_id % 9 AS {s}) || '</h3>' AS html FROM documents"
+    )
+
+
+def q_heading_outline(spark, sf_dir):
+    # heading outline (r6c): h1-h3 section tree with nearest-shallower
+    # parents from per-level running-max windows — no self-join; html
+    # dies inside the scan projection.
+    from augmented_codebase_indexer_spark.operators.outline import (
+        heading_outline,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return heading_outline(spark.sql(_outline_pages_sql("spark")))
+
+
+def _triplet_anchors_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 'q' || CAST(doc_id % 30 AS {s}) AS anchor,
+           'u' || CAST(doc_id % 50 AS {s}) AS target
+    FROM documents
+    UNION ALL
+    SELECT 'q' || CAST(doc_id % 30 AS {s}),
+           'u' || CAST((doc_id * 13 + 2) % 50 AS {s})
+    FROM documents WHERE doc_id % 4 = 0"""
+
+
+def q_retrieval_triplets(spark, sf_dir):
+    # anchor-text retrieval triplets (r6c): (query, pos, neg) training
+    # tuples — hash-chosen negatives (no RNG state, restartable),
+    # filtered protocol drops co-linked false negatives.
+    from augmented_codebase_indexer_spark.operators.triplets import (
+        retrieval_triplets,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return retrieval_triplets(spark.sql(_triplet_anchors_sql("spark")), k=2)
+
+
+def _disambig_tables_sql(dialect: str) -> tuple[str, str]:
+    """(mentions, anchors): 4 ambiguous surfaces with a planted
+    majority/minority sense split, 6 unambiguous context surfaces;
+    pages co-link minority senses with specific context entities so
+    coherence has signal to flip the prior."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    anchors = f"""
+    SELECT 'p' || CAST(doc_id AS {s}) AS src_url,
+           'amb' || CAST(doc_id % 4 AS {s}) AS anchor,
+           CASE WHEN doc_id % 3 = 0 THEN 'B' || CAST(doc_id % 4 AS {s})
+                ELSE 'A' || CAST(doc_id % 4 AS {s}) END AS href
+    FROM documents
+    UNION ALL
+    SELECT 'p' || CAST(doc_id AS {s}),
+           'ctx' || CAST(doc_id % 6 AS {s}),
+           'C' || CAST(doc_id % 6 AS {s})
+    FROM documents"""
+    mentions = f"""
+    SELECT doc_id, 'amb' || CAST(doc_id % 4 AS {s}) AS surface
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'ctx' || CAST(doc_id % 6 AS {s}) FROM documents
+    UNION ALL
+    SELECT doc_id, 'ctx' || CAST((doc_id + 1) % 6 AS {s}) FROM documents"""
+    return mentions, anchors
+
+
+def q_entity_disambig(spark, sf_dir):
+    # Milne-Witten coherence disambiguation (r6c): the full
+    # wikification decision — commonness prior blended with mean
+    # WLM relatedness to the doc's unambiguous context entities;
+    # composes mention_commonness + wlm_relatedness end-to-end.
+    from augmented_codebase_indexer_spark.operators.disambig import (
+        disambiguate,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    m_sql, a_sql = _disambig_tables_sql("spark")
+    return disambiguate(spark.sql(m_sql), spark.sql(a_sql))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -2995,6 +3182,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtable_types": q_webtable_types,
         "kg_shortest_paths": q_kg_shortest_paths,
         "wlm_relatedness": q_wlm_relatedness,
+        "kg_symmetry": q_kg_symmetry,
+        "host_lang_profile": q_host_lang_profile,
+        "page_meta": q_page_meta,
+        "heading_outline": q_heading_outline,
+        "retrieval_triplets": q_retrieval_triplets,
+        "entity_disambig": q_entity_disambig,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -4085,6 +4278,51 @@ def oracle_sql() -> dict[str, str]:
     sql["wlm_relatedness"] = wlm_relatedness_oracle_sql(
         _entity_graph_sql("duckdb"), min_common=2
     )
+
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        symmetry_violations_sql,
+    )
+
+    sql["kg_symmetry"] = symmetry_violations_sql(
+        _symmetric_triples_sql("duckdb"), ("spouse", "sibling")
+    )
+
+    from augmented_codebase_indexer_spark.operators.hostlang import (
+        host_language_profile_sql,
+    )
+
+    sql["host_lang_profile"] = host_language_profile_sql(
+        _hostlang_docs_sql("duckdb")
+    )
+
+    from augmented_codebase_indexer_spark.operators.pagemeta import (
+        page_meta_sql,
+    )
+
+    sql["page_meta"] = page_meta_sql(_meta_pages_sql("duckdb"))
+
+    from augmented_codebase_indexer_spark.operators.outline import (
+        heading_outline_sql,
+    )
+
+    sql["heading_outline"] = heading_outline_sql(
+        _outline_pages_sql("duckdb")
+    )
+
+    from augmented_codebase_indexer_spark.operators.triplets import (
+        retrieval_triplets_oracle_sql,
+    )
+
+    sql["retrieval_triplets"] = retrieval_triplets_oracle_sql(
+        _triplet_anchors_sql("duckdb"), k=2
+    )
+
+    from augmented_codebase_indexer_spark.operators.disambig import (
+        disambiguate_oracle_sql,
+    )
+
+    _dm, _da = _disambig_tables_sql("duckdb")
+    sql["entity_disambig"] = disambiguate_oracle_sql(_dm, _da)
 
     sql["video_metadata"] = """
     SELECT doc_id,

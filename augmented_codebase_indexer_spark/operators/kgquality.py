@@ -255,3 +255,52 @@ def functional_violations_sql(
     FROM t WHERE p IN ({preds})
     GROUP BY p, s HAVING count(*) > 1
     """
+
+
+def symmetry_violations(
+    triples: DataFrame,
+    symmetric_preds: tuple,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """(pred, subj, obj) facts on a declared-SYMMETRIC predicate whose
+    mirror (obj, pred, subj) is absent — the OWL SymmetricProperty QA
+    check (spouse/sibling/adjacent-style relations; a one-directional
+    assertion is an extraction artifact, not a fact).  Self-loops
+    trivially satisfy symmetry and never surface.
+
+    Scale shape: distinct facts on the (small) symmetric-predicate
+    family, then ONE left-anti self-equi-join on the reversed key —
+    co-located under (pred, subj/obj) bucketing; nothing corpus-sized
+    survives the predicate pushdown.
+    """
+    t = (
+        triples.select(
+            F.col(subj).alias("s"), F.col(pred).alias("p"),
+            F.col(obj).alias("o"),
+        )
+        .filter(F.col("p").isin(*symmetric_preds))
+        .filter(F.col("s") != F.col("o"))
+        .distinct()
+    )
+    rev = t.select(
+        F.col("o").alias("s"), F.col("p").alias("p"),
+        F.col("s").alias("o"),
+    )
+    return t.join(rev, ["s", "p", "o"], "left_anti").select(
+        F.col("p").alias("pred"), F.col("s").alias("subj"),
+        F.col("o").alias("obj"),
+    )
+
+
+def symmetry_violations_sql(triples_sql: str, symmetric_preds: tuple) -> str:
+    """DuckDB mirror: same distinct grain, same reversed anti-join."""
+    preds = ", ".join(f"'{p}'" for p in symmetric_preds)
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM ({triples_sql})
+      WHERE pred IN ({preds}) AND subj <> obj)
+    SELECT t.p AS pred, t.s AS subj, t.o AS obj
+    FROM t ANTI JOIN t r ON r.s = t.o AND r.p = t.p AND r.o = t.s
+    """

@@ -787,6 +787,8 @@ def main() -> None:
         "collocations", "url_param_rules", "host_boilerplate",
         "entity_salience", "span_coverage", "extractor_kappa",
         "webtable_types", "kg_shortest_paths", "wlm_relatedness",
+        "kg_symmetry", "host_lang_profile", "page_meta",
+        "heading_outline", "retrieval_triplets", "entity_disambig",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

@@ -783,6 +783,48 @@ def main() -> None:
         "carries a 44-step log chain.",
     )
 
+    queries["kg_symmetry (SymmetricProperty QA)"] = (
+        _entry.queries()["kg_symmetry"](spark, SF),
+        "r6c: distinct facts of the symmetric-predicate family (pushed "
+        "predicate filter), then ONE reversed-key left-anti self-join.",
+    )
+
+    queries["host_lang_profile (per-host LID consistency)"] = (
+        _entry.queries()["host_lang_profile"](spark, SF),
+        "r6c: one (host, lang) groupBy collapses the corpus map-side, "
+        "one host-keyed min(struct) argmax — no window, no join back.",
+    )
+
+    queries["page_meta (index-gate html metadata)"] = (
+        _entry.queries()["page_meta"](spark, SF),
+        "r6c: title/canonical/robots/refresh in ONE codegen projection "
+        "— the html dies inside the scan; backslash-free patterns are "
+        "byte-identical in both engines (regex-parity oracle).",
+    )
+
+    queries["heading_outline (h1-h3 section tree)"] = (
+        _entry.queries()["heading_outline"](spark, SF),
+        "r6c: one regexp_extract_all + posexplode, parents from "
+        "per-level running-max windows (url-partitioned) — no "
+        "self-join; headings-per-page window state.",
+    )
+
+    queries["retrieval_triplets (anchor-text contrastive tuples)"] = (
+        _entry.queries()["retrieval_triplets"](spark, SF),
+        "r6c: (query, pos) pairs collapse map-side; negatives drawn "
+        "by md5 hash mod the indexed target pool (vocabulary-bounded "
+        "window, the negatives.py trade); false negatives dropped by "
+        "one left-anti join.",
+    )
+
+    queries["entity_disambig (Milne-Witten coherence)"] = (
+        _entry.queries()["entity_disambig"](spark, SF),
+        "r6c: the wikification composition — priors and relatedness "
+        "are vocabulary-sized pinned frames; mention-scale joins are "
+        "surface- and doc-keyed with vocabulary-bounded fan-out; the "
+        "winner argmax is min(struct) on the aggregated score frame.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
