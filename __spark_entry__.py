@@ -2218,6 +2218,122 @@ def q_entity_disambig(spark, sf_dir):
     return disambiguate(spark.sql(m_sql), spark.sql(a_sql))
 
 
+def _host_counts_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        f"SELECT 'h' || CAST(doc_id % 13 AS {s}) AS host, "
+        "CAST(count(*) AS BIGINT) AS n_pages FROM documents "
+        "GROUP BY 1"
+    )
+
+
+def q_crawl_budget(spark, sf_dir):
+    # Hamilton largest-remainder budget apportionment (r6c): integer
+    # allocations that sum EXACTLY to the budget; the only window is
+    # host-vocabulary-sized.
+    from augmented_codebase_indexer_spark.operators.budget import (
+        crawl_budget,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return crawl_budget(spark.sql(_host_counts_sql("spark")), budget=1000)
+
+
+def _rollup_urls_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    deep = (f"CASE WHEN doc_id % 3 = 0 "
+            f"THEN '/x' || CAST(doc_id % 4 AS {s}) ELSE '' END")
+    return (
+        f"SELECT 'https://s' || CAST(doc_id % 5 AS {s}) || "
+        f"'.example/sec' || CAST(doc_id % 7 AS {s}) || '/page' || "
+        f"CAST(doc_id % 11 AS {s}) || {deep} || "
+        "CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END AS url "
+        "FROM documents"
+    )
+
+
+def q_url_path_rollup(spark, sf_dir):
+    # site-structure path-tree rollup (r6c): one bounded explode
+    # (≤ depth+1 rows/url) + one (host, prefix) groupBy; query strings
+    # never enter the prefix.
+    from augmented_codebase_indexer_spark.operators.pathtree import (
+        url_path_rollup,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return url_path_rollup(spark.sql(_rollup_urls_sql("spark")), max_depth=3)
+
+
+def q_rake_keyphrases(spark, sf_dir):
+    # RAKE keyphrases (r6c) over the REAL document text: doc-local
+    # degree/frequency phrase scoring, everything rides the doc_id key.
+    from augmented_codebase_indexer_spark.operators.rake import (
+        rake_keyphrases,
+    )
+
+    return rake_keyphrases(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _hreflang_pages_sql(dialect: str) -> str:
+    """Pages paired by an involution (i ↔ (i+50) % 100 — reciprocal by
+    construction); every doc with i % 7 = 0 declares an EXTRA alternate
+    to its successor, which rarely declares back → violations."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    i = f"CAST(doc_id % 100 AS {s})"
+    j = f"CAST((doc_id + 50) % 100 AS {s})"
+    k = f"CAST((doc_id + 1) % 100 AS {s})"
+    extra = (
+        "CASE WHEN doc_id % 7 = 0 THEN "
+        "'<link rel=\"alternate\" hreflang=\"fr\" href=\"https://x.example/p'"
+        f" || {k} || '\">' ELSE '' END"
+    )
+    return (
+        f"SELECT 'https://x.example/p' || {i} AS url, "
+        "'<link rel=\"alternate\" hreflang=\"de\" href=\"https://x.example/p'"
+        f" || {j} || '\">' || {extra} AS html "
+        "FROM documents"
+    )
+
+
+def q_hreflang_recip(spark, sf_dir):
+    # hreflang alternates + reciprocity QA (r6c): extraction like
+    # page_meta (regex-parity oracle), verdict via one reversed-key
+    # left join over the distinct alternate edge set.
+    from augmented_codebase_indexer_spark.operators.hreflang import (
+        hreflang_alternates,
+        hreflang_reciprocity,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return hreflang_reciprocity(
+        hreflang_alternates(spark.sql(_hreflang_pages_sql("spark")))
+    )
+
+
+def _hostedges_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 'h' || CAST(doc_id % 9 AS {s}) AS src_host,
+           CASE WHEN doc_id % 4 = 0 THEN 'h' || CAST(doc_id % 9 AS {s})
+                ELSE 'h' || CAST((doc_id * 5 + 2) % 9 AS {s}) END
+             AS dst_host
+    FROM documents"""
+
+
+def q_host_link_profile(spark, sf_dir):
+    # host-level link-spam features (r6c): intra share, external
+    # diversity, reciprocated-host share — everything host-cardinality-
+    # sized after the first map-side collapse.
+    from augmented_codebase_indexer_spark.operators.hostlinks import (
+        host_link_profile,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return host_link_profile(spark.sql(_hostedges_sql("spark")))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -3188,6 +3304,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_outline": q_heading_outline,
         "retrieval_triplets": q_retrieval_triplets,
         "entity_disambig": q_entity_disambig,
+        "crawl_budget": q_crawl_budget,
+        "url_path_rollup": q_url_path_rollup,
+        "rake_keyphrases": q_rake_keyphrases,
+        "hreflang_recip": q_hreflang_recip,
+        "host_link_profile": q_host_link_profile,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -4323,6 +4444,46 @@ def oracle_sql() -> dict[str, str]:
 
     _dm, _da = _disambig_tables_sql("duckdb")
     sql["entity_disambig"] = disambiguate_oracle_sql(_dm, _da)
+
+    from augmented_codebase_indexer_spark.operators.budget import (
+        crawl_budget_oracle_sql,
+    )
+
+    sql["crawl_budget"] = crawl_budget_oracle_sql(
+        _host_counts_sql("duckdb"), budget=1000
+    )
+
+    from augmented_codebase_indexer_spark.operators.pathtree import (
+        url_path_rollup_sql,
+    )
+
+    sql["url_path_rollup"] = url_path_rollup_sql(
+        _rollup_urls_sql("duckdb"), max_depth=3
+    )
+
+    from augmented_codebase_indexer_spark.operators.rake import (
+        rake_keyphrases_oracle_sql,
+    )
+
+    sql["rake_keyphrases"] = rake_keyphrases_oracle_sql(
+        "SELECT doc_id, text FROM documents"
+    )
+
+    from augmented_codebase_indexer_spark.operators.hreflang import (
+        hreflang_reciprocity_sql,
+    )
+
+    sql["hreflang_recip"] = hreflang_reciprocity_sql(
+        _hreflang_pages_sql("duckdb")
+    )
+
+    from augmented_codebase_indexer_spark.operators.hostlinks import (
+        host_link_profile_sql,
+    )
+
+    sql["host_link_profile"] = host_link_profile_sql(
+        _hostedges_sql("duckdb")
+    )
 
     sql["video_metadata"] = """
     SELECT doc_id,

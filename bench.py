@@ -789,6 +789,8 @@ def main() -> None:
         "webtable_types", "kg_shortest_paths", "wlm_relatedness",
         "kg_symmetry", "host_lang_profile", "page_meta",
         "heading_outline", "retrieval_triplets", "entity_disambig",
+        "crawl_budget", "url_path_rollup", "rake_keyphrases",
+        "hreflang_recip", "host_link_profile",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

@@ -825,6 +825,40 @@ def main() -> None:
         "winner argmax is min(struct) on the aggregated score frame.",
     )
 
+    queries["crawl_budget (Hamilton apportionment)"] = (
+        _entry.queries()["crawl_budget"](spark, SF),
+        "r6c: host-cardinality-sized throughout — quota arithmetic in "
+        "one projection, one host-table window for the largest-"
+        "remainder ranking, Σalloc = budget exactly.",
+    )
+
+    queries["url_path_rollup (site-structure tree)"] = (
+        _entry.queries()["url_path_rollup"](spark, SF),
+        "r6c: bounded explode (≤ depth+1 rows/url) into one "
+        "(host, prefix) groupBy with map-side combine — no joins, "
+        "no windows; query strings pruned before the prefix.",
+    )
+
+    queries["rake_keyphrases (doc-local degree/freq phrases)"] = (
+        _entry.queries()["rake_keyphrases"](spark, SF),
+        "r6c: everything rides the doc_id key — two nested explodes "
+        "in codegen, doc-partitioned run/length windows, two doc-keyed "
+        "aggs; runs over the REAL document text.",
+    )
+
+    queries["hreflang_recip (alternate-cluster QA)"] = (
+        _entry.queries()["hreflang_recip"](spark, SF),
+        "r6c: html dies in the scan; reciprocity is one reversed-key "
+        "left join over the distinct (url, alt_url) edge set.",
+    )
+
+    queries["host_link_profile (link-spam features)"] = (
+        _entry.queries()["host_link_profile"](spark, SF),
+        "r6c: url edges collapse to the host graph at the first "
+        "DISTINCT; features + one reversed-key semi-join, all "
+        "host-cardinality-sized.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"
