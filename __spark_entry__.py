@@ -2334,6 +2334,155 @@ def q_host_link_profile(spark, sf_dir):
     return host_link_profile(spark.sql(_hostedges_sql("spark")))
 
 
+def _rule_triples_sql(dialect: str) -> str:
+    """Triples with a planted implication: employer(x,y) holds on 2/3
+    of works_at pairs (std conf < PCA conf — subjects without any
+    employer fact are PCA-invisible); lives_in shares no pair."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 's' || CAST(doc_id % 30 AS {s}) AS subj, 'works_at' AS pred,
+           'o' || CAST(doc_id % 12 AS {s}) AS obj
+    FROM documents
+    UNION ALL
+    SELECT 's' || CAST(doc_id % 30 AS {s}), 'employer',
+           'o' || CAST(doc_id % 12 AS {s})
+    FROM documents WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT 's' || CAST(doc_id % 30 AS {s}), 'lives_in',
+           'c' || CAST(doc_id % 5 AS {s})
+    FROM documents"""
+
+
+def q_kg_rule_mining(spark, sf_dir):
+    # AMIE-lite Horn rules (r6c): q(x,y) ⇒ p(x,y) with support, std
+    # confidence AND the PCA confidence (partial completeness) — one
+    # (s,o)-keyed self-join + one subject-keyed existence join, all
+    # predicate-vocab²-sized after map-side combine.
+    from augmented_codebase_indexer_spark.operators.rules import (
+        mine_pair_rules,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return mine_pair_rules(spark.sql(_rule_triples_sql("spark")),
+                           min_support=2)
+
+
+def _sitemapindex_sql(dialect: str) -> str:
+    """Closed-form sitemapindex xml per domain: two child sitemaps, the
+    second without a lastmod; every 5th index has a junk lastmod."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    d = f"CAST(doc_id % 6 AS {s})"
+    lm = (f"CASE WHEN doc_id % 5 = 0 THEN 'whenever' "
+          f"ELSE '202' || CAST(doc_id % 4 AS {s}) || '-0' || "
+          f"CAST(doc_id % 9 + 1 AS {s}) || '-1' || "
+          f"CAST(doc_id % 10 AS {s}) END")
+    return (
+        f"SELECT 'https://d' || {d} || '.example/sitemap.xml' AS index_url, "
+        f"'<sitemapindex><sitemap><loc>https://d' || {d} || "
+        f"'.example/s' || CAST(doc_id % 8 AS {s}) || '.xml</loc>"
+        f"<lastmod>' || {lm} || '</lastmod></sitemap>"
+        f"<sitemap><loc>https://d' || {d} || '.example/s' || "
+        f"CAST((doc_id + 1) % 8 AS {s}) || "
+        "'.xml</loc></sitemap></sitemapindex>' AS xml "
+        "FROM documents"
+    )
+
+
+def q_sitemap_index(spark, sf_dir):
+    # sitemapindex parsing (r6c): the recursion level above urlset —
+    # robots → sitemapindex → sitemap → changed-since; regex-parity
+    # oracle over the same closed-form xml.
+    from augmented_codebase_indexer_spark.operators.sitemaps import (
+        parse_sitemapindex,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return parse_sitemapindex(spark.sql(_sitemapindex_sql("spark")))
+
+
+def q_fertility_stats(spark, sf_dir):
+    # tokenizer-fertility planning stats (r6c) over the REAL corpus,
+    # sliced by source: bytes/chars/tokens per slice with
+    # aggregate-then-divide micro ratios.
+    from augmented_codebase_indexer_spark.operators.fertility import (
+        fertility_stats,
+    )
+
+    return fertility_stats(
+        _t(spark, sf_dir, "documents").selectExpr(
+            "source AS lang", "text"),
+    )
+
+
+def _syndication_tables_sql(dialect: str) -> tuple[str, str]:
+    """Star clusters over doc ids (members attach to their %4-floor
+    hub) + deterministic fetch times with planted same-second ties."""
+    div = "DIV" if dialect == "spark" else "//"
+    pairs = f"""
+    SELECT doc_id AS a, (doc_id {div} 4) * 4 AS b
+    FROM documents WHERE doc_id % 4 <> 0"""
+    fetches = """
+    SELECT doc_id, CAST(1000000 + (doc_id * 37) % 1000 AS BIGINT)
+             AS fetched_epoch
+    FROM documents"""
+    return pairs, fetches
+
+
+def q_syndication_source(spark, sf_dir):
+    # syndication origin attribution (r6c): dedup pairs → connected
+    # components (existing min-label CC) → earliest-(epoch, id) origin
+    # election per cluster; the temporal "who published first" layer
+    # over near-dup clusters.
+    from augmented_codebase_indexer_spark.operators.syndication import (
+        syndication_origins,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    p_sql, f_sql = _syndication_tables_sql("spark")
+    return syndication_origins(spark.sql(p_sql), spark.sql(f_sql))
+
+
+def _canonical_pages_sql(dialect: str) -> str:
+    """Pages over a 100-slot url grid with canonical CHAINS: slots
+    %4=1,2 point one back, %4=3 two back — so %4∈{2,3} resolve in two
+    hops to the %4=0 terminals; %4=0 declares nothing."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    i = f"(doc_id % 100)"
+    tgt = (f"CASE WHEN {i} % 4 IN (1, 2) THEN {i} - 1 "
+           f"WHEN {i} % 4 = 3 THEN {i} - 2 END")
+    canon = (
+        f"CASE WHEN {i} % 4 = 0 THEN '' "
+        "ELSE '<link rel=\"canonical\" href=\"https://cc.example/p' || "
+        f"CAST({tgt} AS {s}) || '\">' END"
+    )
+    return (
+        f"SELECT 'https://cc.example/p' || CAST({i} AS {s}) AS url, "
+        f"'<html><head><title>P' || CAST({i} AS {s}) || '</title>' || "
+        f"{canon} || '</head></html>' AS html "
+        "FROM documents"
+    )
+
+
+def q_canonical_resolve(spark, sf_dir):
+    # canonical-chain resolution (r6c): page_meta extraction →
+    # canonical edges → the existing pointer-doubling redirect
+    # resolver; the oracle formulates the edge set independently from
+    # the same arithmetic and runs the recursive-CTE mirror.
+    from augmented_codebase_indexer_spark.operators.pagemeta import (
+        canonical_edges,
+        page_meta,
+    )
+    from augmented_codebase_indexer_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = canonical_edges(
+        page_meta(spark.sql(_canonical_pages_sql("spark")))
+    ).distinct()
+    return resolve_redirects(edges)
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -3309,6 +3458,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keyphrases": q_rake_keyphrases,
         "hreflang_recip": q_hreflang_recip,
         "host_link_profile": q_host_link_profile,
+        "kg_rule_mining": q_kg_rule_mining,
+        "sitemap_index": q_sitemap_index,
+        "fertility_stats": q_fertility_stats,
+        "syndication_source": q_syndication_source,
+        "canonical_resolve": q_canonical_resolve,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -4484,6 +4638,50 @@ def oracle_sql() -> dict[str, str]:
     sql["host_link_profile"] = host_link_profile_sql(
         _hostedges_sql("duckdb")
     )
+
+    from augmented_codebase_indexer_spark.operators.rules import (
+        mine_pair_rules_oracle_sql,
+    )
+
+    sql["kg_rule_mining"] = mine_pair_rules_oracle_sql(
+        _rule_triples_sql("duckdb"), min_support=2
+    )
+
+    from augmented_codebase_indexer_spark.operators.sitemaps import (
+        parse_sitemapindex_sql,
+    )
+
+    sql["sitemap_index"] = parse_sitemapindex_sql(
+        _sitemapindex_sql("duckdb")
+    )
+
+    from augmented_codebase_indexer_spark.operators.fertility import (
+        fertility_stats_oracle_sql,
+    )
+
+    sql["fertility_stats"] = fertility_stats_oracle_sql(
+        "SELECT source AS lang, text FROM documents"
+    )
+
+    from augmented_codebase_indexer_spark.operators.syndication import (
+        syndication_origins_sql,
+    )
+
+    _sp, _sf = _syndication_tables_sql("duckdb")
+    sql["syndication_source"] = syndication_origins_sql(_sp, _sf)
+
+    from augmented_codebase_indexer_spark.operators.redirects import (
+        resolve_redirects_sql,
+    )
+
+    _ci = "(doc_id % 100)"
+    sql["canonical_resolve"] = resolve_redirects_sql(f"""
+    SELECT DISTINCT
+           'https://cc.example/p' || CAST({_ci} AS VARCHAR) AS src,
+           'https://cc.example/p' || CAST(
+             CASE WHEN {_ci} % 4 IN (1, 2) THEN {_ci} - 1
+                  ELSE {_ci} - 2 END AS VARCHAR) AS dst
+    FROM documents WHERE {_ci} % 4 <> 0""")
 
     sql["video_metadata"] = """
     SELECT doc_id,

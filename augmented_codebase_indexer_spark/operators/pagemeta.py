@@ -87,3 +87,15 @@ def page_meta_sql(pages_sql: str) -> str:
              AS refresh_url
     FROM (SELECT url, CAST(html AS VARCHAR) AS html FROM ({pages_sql}))
     """
+
+
+def canonical_edges(meta: DataFrame) -> DataFrame:
+    """(url, canonical, …) → (src, dst): the non-trivial canonical
+    declarations as a redirect-shaped edge relation — feed to
+    `operators/redirects.py::resolve_redirects` to collapse canonical
+    CHAINS (A→B→C: the page A's clean form is C) exactly like HTTP
+    redirect chains; self-canonicals and absent declarations drop."""
+    return meta.filter(
+        F.col("canonical").isNotNull()
+        & (F.col("canonical") != F.col("url"))
+    ).select(F.col("url").alias("src"), F.col("canonical").alias("dst"))

@@ -791,6 +791,8 @@ def main() -> None:
         "heading_outline", "retrieval_triplets", "entity_disambig",
         "crawl_budget", "url_path_rollup", "rake_keyphrases",
         "hreflang_recip", "host_link_profile",
+        "kg_rule_mining", "sitemap_index", "fertility_stats",
+        "syndication_source", "canonical_resolve",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

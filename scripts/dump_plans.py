@@ -859,6 +859,39 @@ def main() -> None:
         "host-cardinality-sized.",
     )
 
+    queries["kg_rule_mining (AMIE-lite PCA confidence)"] = (
+        _entry.queries()["kg_rule_mining"](spark, SF),
+        "r6c: support from ONE (s,o)-keyed self-join of distinct "
+        "facts, PCA denominator from one subject-keyed existence "
+        "join — predicate-vocab² rows after map-side combine.",
+    )
+
+    queries["sitemap_index (sitemapindex recursion level)"] = (
+        _entry.queries()["sitemap_index"](spark, SF),
+        "r6c: one codegen explode per index file, lastmod leniency "
+        "contract shared with parse_sitemap; regex-parity oracle.",
+    )
+
+    queries["fertility_stats (per-slice token planning)"] = (
+        _entry.queries()["fertility_stats"](spark, SF),
+        "r6c: one projection + one slice-keyed groupBy with map-side "
+        "combine over the REAL corpus; aggregate-then-divide ratios.",
+    )
+
+    queries["syndication_source (first-seen attribution)"] = (
+        _entry.queries()["syndication_source"](spark, SF),
+        "r6c: dedup pairs → existing min-label CC (localCheckpoint "
+        "blocks) → one component-keyed min(struct) election + one "
+        "join back.",
+    )
+
+    queries["canonical_resolve (canonical-chain collapse)"] = (
+        _entry.queries()["canonical_resolve"](spark, SF),
+        "r6c: page_meta codegen extraction feeding the existing "
+        "pointer-doubling resolver — canonical chains collapse in "
+        "O(log n) rounds exactly like redirect chains.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"

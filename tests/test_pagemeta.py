@@ -63,3 +63,32 @@ def test_matches_duckdb_oracle(spark):
     )
     got = sorted(tuple(r) for r in page_meta(_df(spark)).collect())
     assert got == want and len(got) == 4
+
+
+def test_canonical_edges_chain_resolution(spark):
+    # canonical chains collapse like redirect chains: A→B→C ⇒ A's
+    # clean form is C (2 hops); self-canonical D drops from the edges
+    from augmented_codebase_indexer_spark.operators.pagemeta import (
+        canonical_edges,
+        page_meta,
+    )
+    from augmented_codebase_indexer_spark.operators.redirects import (
+        resolve_redirects,
+    )
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            ("A", '<link rel="canonical" href="B">'),
+            ("B", '<link rel="canonical" href="C">'),
+            ("C", "<p>terminal</p>"),
+            ("D", '<link rel="canonical" href="D">'),
+        ],
+        "url string, html string",
+    ).select("url", F.encode("html", "UTF-8").alias("html"))
+    edges = canonical_edges(page_meta(pages))
+    assert sorted(tuple(r) for r in edges.collect()) == [
+        ("A", "B"), ("B", "C")]
+    res = {r["src"]: r for r in resolve_redirects(edges).collect()}
+    assert res["A"]["terminal"] == "C" and res["A"]["hops"] == 2
+    assert res["B"]["terminal"] == "C" and res["B"]["hops"] == 1
