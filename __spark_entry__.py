@@ -2483,6 +2483,44 @@ def q_canonical_resolve(spark, sf_dir):
     return resolve_redirects(edges)
 
 
+def q_change_rates(spark, sf_dir):
+    # Cho & Garcia-Molina page change-rate estimator (r6d): synthesized
+    # fetch log — doc_id%6+1 intervals per url, content version
+    # (k·(doc_id%4)) DIV 3 so X=0 / 0<X<n / X=n / single-visit branches
+    # are all exercised; doc_id%13==0 urls get ONE visit (no info).
+    # The intlog chain runs over the distinct (n, n−X) vocabulary only.
+    from augmented_codebase_indexer_spark.operators.changerate import (
+        change_rates,
+    )
+
+    log = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .selectExpr("doc_id", "explode(sequence(0, doc_id % 6 + 1)) AS k")
+        .filter("NOT (doc_id % 13 = 0 AND k > 0)")
+        .selectExpr(
+            "concat('https://cc.example/p', CAST(doc_id AS STRING)) AS url",
+            "1700000000 + k * (3600 + doc_id % 7) AS fetch_epoch",
+            "md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST((k * (doc_id % 4)) DIV 3 AS STRING))) AS content_hash",
+        )
+    )
+    return change_rates(log)
+
+
+def q_unigram_entropy(spark, sf_dir):
+    # per-doc Shannon entropy of the token distribution (r6d): the
+    # information-density screen between surface ratios and LM scores;
+    # every ln from the libm-free intlog over the count vocabulary.
+    from augmented_codebase_indexer_spark.operators.entropy import (
+        unigram_entropy,
+    )
+
+    return unigram_entropy(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -3463,6 +3501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility_stats": q_fertility_stats,
         "syndication_source": q_syndication_source,
         "canonical_resolve": q_canonical_resolve,
+        # --- (a3) r6d: this session's additions (r7 rotation queue) ---
+        "change_rates": q_change_rates,
+        "unigram_entropy": q_unigram_entropy,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5233,6 +5274,27 @@ def oracle_sql() -> dict[str, str]:
     sql["data_split"] = hash_split_oracle_sql()
     sql["pack_sequences"] = pack_sequences_oracle_sql(
         budget=128, n_shards=8, chunks_table=f"({chunk_oracle_sql()})"
+    )
+
+    from augmented_codebase_indexer_spark.operators.changerate import (
+        change_rates_oracle_sql,
+    )
+
+    sql["change_rates"] = change_rates_oracle_sql("""
+    SELECT 'https://cc.example/p' || CAST(doc_id AS VARCHAR) AS url,
+           1700000000 + k * (3600 + doc_id % 7) AS fetch_epoch,
+           md5(CAST(doc_id AS VARCHAR) || ':' ||
+               CAST((k * (doc_id % 4)) // 3 AS VARCHAR)) AS content_hash
+    FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 6 + 1)) AS k
+          FROM documents)
+    WHERE NOT (doc_id % 13 = 0 AND k > 0)""")
+
+    from augmented_codebase_indexer_spark.operators.entropy import (
+        unigram_entropy_oracle_sql,
+    )
+
+    sql["unigram_entropy"] = unigram_entropy_oracle_sql(
+        "SELECT doc_id, text FROM documents"
     )
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our

@@ -793,6 +793,8 @@ def main() -> None:
         "hreflang_recip", "host_link_profile",
         "kg_rule_mining", "sitemap_index", "fertility_stats",
         "syndication_source", "canonical_resolve",
+        # r6d: adaptive recrawl cadence + information-density screen
+        "change_rates", "unigram_entropy",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

@@ -18,7 +18,11 @@ stage — the same contract as the curation and temporal jobs):
                (new / modified verdicts);
     queue    — the politeness frontier over the recrawl candidates:
                canonical-form dedup, robots gate, per-host quota +
-               fetch slots; bucketed by host so per-host drains prune.
+               fetch slots; bucketed by host so per-host drains prune;
+    budget   — Hamilton largest-remainder apportionment of --budget
+               fetch slots across the queued hosts (integer allocs
+               that sum EXACTLY to the budget; operators/budget.py) —
+               the number a rate-limited fetch fleet actually consumes.
 
 The printed JSON carries the stage counters a crawl operator watches:
 how much of the corpus moved, and how much of tomorrow's budget it
@@ -44,6 +48,7 @@ def main() -> None:
     ap.add_argument("--run-id", default="refresh-0")
     ap.add_argument("--agent", default="aci-bot")
     ap.add_argument("--per-host-cap", type=int, default=1000)
+    ap.add_argument("--budget", type=int, default=10000)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -82,12 +87,27 @@ def main() -> None:
         bucket_col="host", n_buckets=8,
     )
 
+    from augmented_codebase_indexer_spark.operators.budget import crawl_budget
+
+    alloc = run_stage(
+        wh, spark, "budget", "host_budget",
+        lambda: crawl_budget(
+            queue.groupBy("host").agg(
+                F.count("*").cast("long").alias("n_pages")),
+            budget=args.budget,
+        ),
+        bucket_col="host", n_buckets=8,
+    )
+
     counters = {
         "sitemap_entries": entries.count(),
         "recrawl_new": recrawl.filter(F.col("reason") == "new").count(),
         "recrawl_modified": recrawl.filter(F.col("reason") == "modified").count(),
         "queued": queue.count(),
         "hosts": queue.select("host").distinct().count(),
+        "budget_allocated": alloc.agg(
+            F.coalesce(F.sum("alloc"), F.lit(0)).cast("long")
+        ).collect()[0][0],
     }
     print(json.dumps(counters))
     spark.stop()

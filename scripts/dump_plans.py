@@ -892,6 +892,20 @@ def main() -> None:
         "O(log n) rounds exactly like redirect chains.",
     )
 
+    queries["change_rates (Cho-GM recrawl cadence)"] = (
+        _entry.queries()["change_rates"](spark, SF),
+        "r6d: one url-keyed window + one url-keyed agg over the fetch "
+        "log; the intlog chain runs over the distinct (n, n-X) "
+        "vocabulary only and joins back broadcast.",
+    )
+
+    queries["unigram_entropy (information-density screen)"] = (
+        _entry.queries()["unigram_entropy"](spark, SF),
+        "r6d: tokenize -> (doc,tok) groupBy (map-side combined) -> "
+        "doc-keyed fold; token text never survives the first groupBy; "
+        "two broadcast joins against the count-vocabulary ln table.",
+    )
+
     out = [
         "# PLANS — physical-plan audit of the headline queries\n",
         "Generated by `python scripts/dump_plans.py` (sf0.001 inputs; plan\n"

@@ -103,8 +103,12 @@ def test_refresh_crawl_job_runs_and_resumes(tmp_path, spark):
     assert c1["recrawl_new"] == 6 and c1["recrawl_modified"] == 0
     # b.example's 3 candidates die at the robots gate; a.example keeps 3
     assert c1["queued"] == 3 and c1["hosts"] == 1
+    # budget stage: allocations sum EXACTLY to the default budget when
+    # hosts exist (min(budget, ...) is not a thing — Hamilton gives the
+    # whole budget to the one surviving host)
+    assert c1["budget_allocated"] == 10000
     for t in ("sitemap_entries", "recrawl_candidates", "fetch_queue",
-              "_lineage"):
+              "host_budget", "_lineage"):
         assert os.path.isdir(os.path.join(wh, t)), t
     c2 = _run_refresh(wh, inputs)
     assert c2 == c1
