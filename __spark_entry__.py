@@ -2521,6 +2521,82 @@ def q_unigram_entropy(spark, sf_dir):
     )
 
 
+def q_fetch_schedule(spark, sf_dir):
+    # politeness fetch scheduling (r6d): Crawl-delay parsed per domain
+    # (exact-agent-else-* precedence, integer-ms assembly, junk → NULL
+    # → default), composed with a slotted queue → fetch timestamps.
+    # Delay cases planted per dnum%4: integer / exact-overrides-star
+    # decimal / junk / absent.
+    from augmented_codebase_indexer_spark.operators.schedule import (
+        fetch_schedule,
+        parse_crawl_delays,
+    )
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com"))
+    q0 = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        host.alias("host"),
+    )
+    queue = q0.withColumn(
+        "slot",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy("url")).cast("long"),
+    )
+    doms = d.select((F.col("doc_id") % 7).alias("dnum")).distinct()
+    nl = "\n"
+    robots = doms.select(
+        F.concat(F.lit("site"), F.col("dnum").cast("string"),
+                 F.lit(".example.com")).alias("domain"),
+        F.when(F.col("dnum") % 4 == 0,
+               F.lit(f"User-agent: *{nl}Crawl-delay: 2"))
+        .when(F.col("dnum") % 4 == 1,
+              F.lit(f"User-agent: *{nl}Crawl-delay: 0.5{nl}"
+                    f"User-agent: aci-bot{nl}Crawl-delay: 3"))
+        .when(F.col("dnum") % 4 == 2,
+              F.lit(f"User-agent: *{nl}Crawl-delay: fast"))
+        .otherwise(F.lit(f"User-agent: *{nl}Disallow: /x"))
+        .alias("robots_txt"),
+    )
+    return fetch_schedule(
+        queue, parse_crawl_delays(robots, agent="aci-bot"),
+        start_epoch_ms=1_700_000_000_000, default_delay_ms=1000,
+    )
+
+
+def q_crawl_traps(spark, sf_dir):
+    # crawl-trap detection (r6d): host h0 is a planted calendar trap
+    # (every url serves ONE content hash); other hosts serve distinct
+    # content; every 7th url on h1-h4 was refetched with changed
+    # content (min-hash collapse keeps it one url).
+    from augmented_codebase_indexer_spark.operators.traps import (
+        url_alias_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"))
+    first = d.select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("same-content"))
+        .otherwise(F.md5(F.col("doc_id").cast("string")))
+        .alias("content_hash"),
+    )
+    refetch = d.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 1)
+    ).select(
+        url.alias("url"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":v2")))
+        .alias("content_hash"),
+    )
+    return url_alias_profile(first.unionByName(refetch))
+
+
 def q_curation_funnel(spark, sf_dir):
     # the v3 chain's filter funnel — per-stage survivor counts in one row
     # (observability: no silent drops anywhere in the nightly pass)
@@ -3504,6 +3580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a3) r6d: this session's additions (r7 rotation queue) ---
         "change_rates": q_change_rates,
         "unigram_entropy": q_unigram_entropy,
+        "fetch_schedule": q_fetch_schedule,
+        "crawl_traps": q_crawl_traps,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5296,6 +5374,53 @@ def oracle_sql() -> dict[str, str]:
     sql["unigram_entropy"] = unigram_entropy_oracle_sql(
         "SELECT doc_id, text FROM documents"
     )
+
+    from augmented_codebase_indexer_spark.operators.schedule import (
+        fetch_schedule_oracle_sql,
+    )
+
+    _sched_queue = """
+    SELECT url, host,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url)
+                AS BIGINT) AS slot
+    FROM (SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+                 '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 'site' || CAST(doc_id % 7 AS VARCHAR) ||
+                 '.example.com' AS host
+          FROM documents)"""
+    _sched_robots = """
+    SELECT 'site' || CAST(dnum AS VARCHAR) || '.example.com' AS domain,
+           CASE WHEN dnum % 4 = 0
+                THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 2'
+                WHEN dnum % 4 = 1
+                THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 0.5' ||
+                     chr(10) || 'User-agent: aci-bot' || chr(10) ||
+                     'Crawl-delay: 3'
+                WHEN dnum % 4 = 2
+                THEN 'User-agent: *' || chr(10) || 'Crawl-delay: fast'
+                ELSE 'User-agent: *' || chr(10) || 'Disallow: /x'
+           END AS robots_txt
+    FROM (SELECT DISTINCT doc_id % 7 AS dnum FROM documents)"""
+    sql["fetch_schedule"] = fetch_schedule_oracle_sql(
+        _sched_queue, _sched_robots, agent="aci-bot",
+        start_epoch_ms=1_700_000_000_000, default_delay_ms=1000,
+    )
+
+    from augmented_codebase_indexer_spark.operators.traps import (
+        url_alias_profile_oracle_sql,
+    )
+
+    sql["crawl_traps"] = url_alias_profile_oracle_sql("""
+    SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/p/' ||
+           CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 5 = 0 THEN 'same-content'
+                ELSE md5(CAST(doc_id AS VARCHAR)) END AS content_hash
+    FROM documents
+    UNION ALL
+    SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example/p/' ||
+           CAST(doc_id AS VARCHAR) AS url,
+           md5(CAST(doc_id AS VARCHAR) || ':v2') AS content_hash
+    FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1""")
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

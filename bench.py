@@ -793,8 +793,9 @@ def main() -> None:
         "hreflang_recip", "host_link_profile",
         "kg_rule_mining", "sitemap_index", "fertility_stats",
         "syndication_source", "canonical_resolve",
-        # r6d: adaptive recrawl cadence + information-density screen
-        "change_rates", "unigram_entropy",
+        # r6d: adaptive recrawl cadence + information-density screen +
+        # politeness schedule + trap detection
+        "change_rates", "unigram_entropy", "fetch_schedule", "crawl_traps",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

@@ -899,6 +899,20 @@ def main() -> None:
         "vocabulary only and joins back broadcast.",
     )
 
+    queries["fetch_schedule (Crawl-delay politeness slots)"] = (
+        _entry.queries()["fetch_schedule"](spark, SF),
+        "r6d: delays are O(domains) behind the counted broadcast "
+        "guard; the schedule is one broadcast join + one codegen "
+        "projection over existing slots — no new window.",
+    )
+
+    queries["crawl_traps (URL-aliasing trap profile)"] = (
+        _entry.queries()["crawl_traps"](spark, SF),
+        "r6d: url text dies at the (host, hash) aggregate (map-side "
+        "combined); the host fold is counts + one trunc division. "
+        "No window, no join.",
+    )
+
     queries["unigram_entropy (information-density screen)"] = (
         _entry.queries()["unigram_entropy"](spark, SF),
         "r6d: tokenize -> (doc,tok) groupBy (map-side combined) -> "
