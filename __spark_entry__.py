@@ -2353,6 +2353,67 @@ def _rule_triples_sql(dialect: str) -> str:
     FROM documents"""
 
 
+def _kg_types_sql(dialect: str) -> str:
+    """Entity-type table over the rule-mining fact synth: subjects are
+    person except every 9th (bot noise); 'o' orgs with one id untyped;
+    'c' cities with one id typed region (minority)."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 's' || CAST(doc_id % 30 AS {s}) AS entity,
+           CASE WHEN doc_id % 30 % 9 = 0 THEN 'bot'
+                ELSE 'person' END AS type
+    FROM documents
+    UNION ALL
+    SELECT 'o' || CAST(doc_id % 12 AS {s}), 'org'
+    FROM documents WHERE doc_id % 12 <> 11
+    UNION ALL
+    SELECT 'c' || CAST(doc_id % 5 AS {s}),
+           CASE WHEN doc_id % 5 = 4 THEN 'region' ELSE 'city' END
+    FROM documents"""
+
+
+def q_kg_pred_profile(spark, sf_dir):
+    # AMIE functionality/cardinality profile (r6d): counts over the
+    # deduped fact table + truncating micro divisions; the measurement
+    # the SHACL-lite gate's functional constraints cite as evidence.
+    from augmented_codebase_indexer_spark.operators.predprofile import (
+        predicate_profile,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return predicate_profile(spark.sql(_rule_triples_sql("spark")))
+
+
+def q_kg_schema_induction(spark, sf_dir):
+    # domain/range induction (r6d, SDType-style): majority type per
+    # predicate end with exact micro shares; bot noise stays minority,
+    # one untyped org id and the region-typed city exercise absence
+    # and minority paths.
+    from augmented_codebase_indexer_spark.operators.typeinduction import (
+        induce_domain_range,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return induce_domain_range(
+        spark.sql(_rule_triples_sql("spark")),
+        spark.sql(_kg_types_sql("spark")),
+    )
+
+
+def q_kg_type_violations(spark, sf_dir):
+    # induced-schema violations (r6d): typed ends contradicting the
+    # induced majority — bot subjects and region-typed city objects.
+    from augmented_codebase_indexer_spark.operators.typeinduction import (
+        induce_domain_range,
+        type_violations,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    facts = spark.sql(_rule_triples_sql("spark"))
+    types = spark.sql(_kg_types_sql("spark"))
+    return type_violations(facts, types, induce_domain_range(facts, types))
+
+
 def q_kg_rule_mining(spark, sf_dir):
     # AMIE-lite Horn rules (r6c): q(x,y) ⇒ p(x,y) with support, std
     # confidence AND the PCA confidence (partial completeness) — one
@@ -3582,6 +3643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_entropy": q_unigram_entropy,
         "fetch_schedule": q_fetch_schedule,
         "crawl_traps": q_crawl_traps,
+        "kg_pred_profile": q_kg_pred_profile,
+        "kg_schema_induction": q_kg_schema_induction,
+        "kg_type_violations": q_kg_type_violations,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5421,6 +5485,21 @@ def oracle_sql() -> dict[str, str]:
            CAST(doc_id AS VARCHAR) AS url,
            md5(CAST(doc_id AS VARCHAR) || ':v2') AS content_hash
     FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1""")
+
+    from augmented_codebase_indexer_spark.operators.predprofile import (
+        predicate_profile_oracle_sql,
+    )
+    from augmented_codebase_indexer_spark.operators.typeinduction import (
+        induce_domain_range_oracle_sql,
+        type_violations_oracle_sql,
+    )
+
+    sql["kg_pred_profile"] = predicate_profile_oracle_sql(
+        _rule_triples_sql("duckdb"))
+    sql["kg_schema_induction"] = induce_domain_range_oracle_sql(
+        _rule_triples_sql("duckdb"), _kg_types_sql("duckdb"))
+    sql["kg_type_violations"] = type_violations_oracle_sql(
+        _rule_triples_sql("duckdb"), _kg_types_sql("duckdb"))
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

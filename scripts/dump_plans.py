@@ -913,6 +913,20 @@ def main() -> None:
         "No window, no join.",
     )
 
+    queries["kg_pred_profile (AMIE functionality profile)"] = (
+        _entry.queries()["kg_pred_profile"](spark, SF),
+        "r6d: one distinct, one (pred, subj) aggregate (map-side "
+        "combined), one pred-grain fold. No window, no join beyond "
+        "the pred-vocab-sized obj-side merge.",
+    )
+
+    queries["kg_schema_induction (SDType domain/range)"] = (
+        _entry.queries()["kg_schema_induction"](spark, SF),
+        "r6d: type joins at entity grain, counting collapses to "
+        "pred-vocab x type-vocab map-side; argmax is groupBy-min "
+        "(one combined row per pred over the exchange, no window).",
+    )
+
     queries["unigram_entropy (information-density screen)"] = (
         _entry.queries()["unigram_entropy"](spark, SF),
         "r6d: tokenize -> (doc,tok) groupBy (map-side combined) -> "

@@ -1,0 +1,90 @@
+"""Domain/range induction (operators/typeinduction.py): hand majorities,
+deterministic tie-break, untyped-end behavior, violations, DuckDB
+parity."""
+
+import duckdb
+
+from augmented_codebase_indexer_spark.operators.typeinduction import (
+    induce_domain_range,
+    induce_domain_range_oracle_sql,
+    type_violations,
+    type_violations_oracle_sql,
+)
+
+MICRO = 1_000_000
+
+FACTS = [
+    # works_at: subjects 3 person + 1 bot (noise), objects all org
+    ("p1", "works_at", "acme"), ("p2", "works_at", "globex"),
+    ("p3", "works_at", "acme"), ("bot9", "works_at", "acme"),
+    # lives_in: typed subjects, objects city; c9 is UNTYPED (ignored)
+    ("p1", "lives_in", "paris"), ("p2", "lives_in", "c9"),
+    # tie_pred: one 'a'-typed and one 'b'-typed subject -> tie breaks
+    # on type text ('ta' < 'tb'); objects untyped -> NULL range
+    ("x1", "tie_pred", "z1"), ("x2", "tie_pred", "z2"),
+]
+
+TYPES = [
+    ("p1", "person"), ("p2", "person"), ("p3", "person"),
+    ("bot9", "bot"),
+    ("acme", "org"), ("globex", "org"),
+    ("paris", "city"),
+    ("x1", "ta"), ("x2", "tb"),
+]
+
+
+def _dfs(spark):
+    return (
+        spark.createDataFrame(FACTS, "subj string, pred string, obj string"),
+        spark.createDataFrame(TYPES, "entity string, type string"),
+    )
+
+
+def test_induction(spark):
+    f, t = _dfs(spark)
+    ind = {r["pred"]: r for r in induce_domain_range(f, t).collect()}
+    wa = ind["works_at"]
+    assert wa["domain_type"] == "person" and wa["domain_support"] == 3
+    assert wa["domain_typed"] == 4
+    assert wa["domain_share_micro"] == 3 * MICRO // 4
+    assert wa["range_type"] == "org" and wa["range_share_micro"] == MICRO
+    li = ind["lives_in"]
+    assert li["range_type"] == "city" and li["range_typed"] == 1
+    tp = ind["tie_pred"]
+    assert tp["domain_type"] == "ta"  # count tie -> type text order
+    assert tp["range_type"] is None   # objects untyped
+
+
+def test_violations(spark):
+    f, t = _dfs(spark)
+    ind = induce_domain_range(f, t)
+    v = {(r["subj"], r["pred"], r["fact_end"]): r
+         for r in type_violations(f, t, ind).collect()}
+    # the bot subject contradicts works_at's induced person domain
+    k = ("bot9", "works_at", "subj")
+    assert k in v and v[k]["found_type"] == "bot"
+    assert v[k]["expected_type"] == "person"
+    # the tie loser 'tb' subject contradicts tie_pred's induced 'ta'
+    assert ("x2", "tie_pred", "subj") in v
+    # typed-and-conforming facts are silent; untyped ends are silent
+    assert len(v) == 2
+
+
+def test_matches_duckdb_oracle(spark):
+    f, t = _dfs(spark)
+    f_sql = " UNION ALL ".join(
+        f"SELECT '{s}' AS subj, '{p}' AS pred, '{o}' AS obj"
+        for s, p, o in FACTS)
+    t_sql = " UNION ALL ".join(
+        f"SELECT '{e}' AS entity, '{ty}' AS type" for e, ty in TYPES)
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(
+        induce_domain_range_oracle_sql(f_sql, t_sql)).fetchall())
+    got = sorted(tuple(r) for r in induce_domain_range(f, t).collect())
+    assert got == want and len(got) == 3
+
+    want = sorted(tuple(r) for r in con.execute(
+        type_violations_oracle_sql(f_sql, t_sql)).fetchall())
+    got = sorted(tuple(r) for r in
+                 type_violations(f, t, induce_domain_range(f, t)).collect())
+    assert got == want and len(got) == 2
