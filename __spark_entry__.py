@@ -2372,6 +2372,46 @@ def _kg_types_sql(dialect: str) -> str:
     FROM documents"""
 
 
+def _sightings_sql(dialect: str) -> str:
+    """Multi-source entity sightings with four planted capture-frequency
+    profiles: 'org' sighted by the real 20-source column (saturated,
+    f1~0 -> complete); 'person' singleton-only (f1=all, the f2=0
+    bias-corrected branch); 'work' a 1/2/3-source mix (f1=f2=20);
+    'place' doubletons-only (f1=0, f2=100). Profiles are scale-stable:
+    the same f-vector emerges at every sf."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+    SELECT 'org' AS class, 'o' || CAST(doc_id % 12 AS {s}) AS entity,
+           source AS src
+    FROM documents
+    UNION ALL
+    SELECT 'person', 'p' || CAST(doc_id % 45 AS {s}),
+           'w' || CAST(doc_id % 45 % 9 AS {s})
+    FROM documents
+    UNION ALL
+    SELECT 'work', 'k' || CAST(doc_id % 60 AS {s}),
+           'w' || CAST(doc_id {idiv} 60 AS {s})
+    FROM documents WHERE doc_id {idiv} 60 <= doc_id % 60 % 3
+    UNION ALL
+    SELECT 'place', 'c' || CAST(doc_id % 100 AS {s}),
+           'w' || CAST((doc_id {idiv} 100) % 2 AS {s})
+    FROM documents WHERE doc_id < 200"""
+
+
+def q_kg_completeness(spark, sf_dir):
+    # capture-recapture class completeness (r6d): bias-corrected Chao1
+    # lower bound + Good-Turing unseen mass per class, all-BIGINT with
+    # the unit-grain correction term (overflow-safe to f1 ~ 3e9);
+    # answers "how much of class C has the pipeline NOT seen yet".
+    from augmented_codebase_indexer_spark.operators.completeness import (
+        class_completeness,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return class_completeness(spark.sql(_sightings_sql("spark")))
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -3646,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_profile": q_kg_pred_profile,
         "kg_schema_induction": q_kg_schema_induction,
         "kg_type_violations": q_kg_type_violations,
+        "kg_completeness": q_kg_completeness,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5500,6 +5541,13 @@ def oracle_sql() -> dict[str, str]:
         _rule_triples_sql("duckdb"), _kg_types_sql("duckdb"))
     sql["kg_type_violations"] = type_violations_oracle_sql(
         _rule_triples_sql("duckdb"), _kg_types_sql("duckdb"))
+
+    from augmented_codebase_indexer_spark.operators.completeness import (
+        class_completeness_oracle_sql,
+    )
+
+    sql["kg_completeness"] = class_completeness_oracle_sql(
+        _sightings_sql("duckdb"))
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -920,6 +920,13 @@ def main() -> None:
         "the pred-vocab-sized obj-side merge.",
     )
 
+    queries["kg_completeness (Chao1 capture-recapture)"] = (
+        _entry.queries()["kg_completeness"](spark, SF),
+        "r6d: dedup at (class, entity, src), one (class, entity) "
+        "aggregate (map-side combined, src ids die at the combiner), "
+        "one class-grain fold. No window, no join.",
+    )
+
     queries["kg_schema_induction (SDType domain/range)"] = (
         _entry.queries()["kg_schema_induction"](spark, SF),
         "r6d: type joins at entity grain, counting collapses to "
