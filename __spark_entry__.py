@@ -2412,6 +2412,61 @@ def q_kg_completeness(spark, sf_dir):
     return class_completeness(spark.sql(_sightings_sql("spark")))
 
 
+def _quote_pages_sql() -> str:
+    """Planted attribution frames per doc (Spark dialect only — the
+    oracle enumerates closed-form and never runs a regex): post_said +
+    pre_said every doc, comma_attrib every 3rd, plus an orphan quote
+    and a lowercase-speaker decoy that must never attribute."""
+    def n(m: int) -> str:
+        return f"CAST(doc_id % {m} AS STRING)"
+
+    return f"""
+    SELECT doc_id,
+           '"release ' || {n(11)} || ' shipped" said Alice' || {n(5)}
+           || '. Bob' || {n(4)} || ' said: "we expect ' || {n(7)}
+           || ' growth". '
+           || CASE WHEN doc_id % 3 = 0
+                THEN '"costs fell ' || {n(6)} || '," Carol' || {n(9)}
+                     || ' added. '
+                ELSE '' END
+           || '"orphan quote" stands alone. "mumble" said nobody.'
+           AS text
+    FROM documents"""
+
+
+def q_quote_attribution(spark, sf_dir):
+    # quotation attribution (r6d, O'Keefe ACL'12 / PARC frames): three
+    # speech-verb frames with a capitalized-speaker gate, extracted by
+    # one codegen regexp scan; the oracle is fully independent — it
+    # enumerates the planted (frame, quote, speaker) rows from doc_id
+    # arithmetic and never runs a regex.
+    from augmented_codebase_indexer_spark.operators.quotes import (
+        attribute_quotes,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return attribute_quotes(spark.sql(_quote_pages_sql()))
+
+
+def _quote_expected_sql() -> str:
+    def n(m: int) -> str:
+        return f"CAST(doc_id % {m} AS VARCHAR)"
+
+    return f"""
+    SELECT doc_id, 'post_said' AS frame,
+           'release ' || {n(11)} || ' shipped' AS quote,
+           'Alice' || {n(5)} AS speaker
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'pre_said',
+           'we expect ' || {n(7)} || ' growth', 'Bob' || {n(4)}
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'comma_attrib',
+           'costs fell ' || {n(6)}, 'Carol' || {n(9)}
+    FROM documents WHERE doc_id % 3 = 0"""
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -3687,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_induction": q_kg_schema_induction,
         "kg_type_violations": q_kg_type_violations,
         "kg_completeness": q_kg_completeness,
+        "quote_attribution": q_quote_attribution,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5548,6 +5604,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kg_completeness"] = class_completeness_oracle_sql(
         _sightings_sql("duckdb"))
+
+    sql["quote_attribution"] = _quote_expected_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -799,7 +799,7 @@ def main() -> None:
         # r6d: KG schema statistics (functionality profile, SDType
         # induction, induced-schema violations)
         "kg_pred_profile", "kg_schema_induction", "kg_type_violations",
-        "kg_completeness",
+        "kg_completeness", "quote_attribution",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",

@@ -927,6 +927,14 @@ def main() -> None:
         "one class-grain fold. No window, no join.",
     )
 
+    queries["quote_attribution (speech-verb frames)"] = (
+        _entry.queries()["quote_attribution"](spark, SF),
+        "r6d: regexp_extract_all + zip_with + explode per frame, "
+        "unioned — one narrow codegen scan, zero UDFs, zero "
+        "shuffles; quote text leaves the scan only as extracted "
+        "spans.",
+    )
+
     queries["kg_schema_induction (SDType domain/range)"] = (
         _entry.queries()["kg_schema_induction"](spark, SF),
         "r6d: type joins at entity grain, counting collapses to "
