@@ -2467,6 +2467,81 @@ def _quote_expected_sql() -> str:
     FROM documents WHERE doc_id % 3 = 0"""
 
 
+def _er_names_sql(dialect: str) -> str:
+    """Name records with planted near-duplicates: 'a' canonicals, 'b'
+    punctuation variants (dist 1), 'c' typo variants (dist 1), 'd'
+    unrelated, 'e' both-ends-edited variants (dist 2) that the two-end
+    blocking keys MISS by design — the pair-completeness metric
+    measures exactly that. DISTINCT arms make record counts
+    scale-stable."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def r(m: int) -> str:
+        return f"CAST(doc_id % {m} AS {s})"
+
+    return f"""
+    SELECT DISTINCT 'a' || {r(40)} AS id,
+           'company ' || {r(40)} || ' corp' AS name FROM documents
+    UNION ALL
+    SELECT DISTINCT 'b' || {r(40)}, 'company ' || {r(40)} || ' corp.'
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT DISTINCT 'c' || {r(40)}, 'compamy ' || {r(40)} || ' corp'
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT DISTINCT 'd' || {r(25)}, 'zenith ' || {r(25)} || ' gmbh'
+    FROM documents
+    UNION ALL
+    SELECT DISTINCT 'e' || {r(40)}, '1company ' || {r(40)} || ' corps'
+    FROM documents WHERE doc_id % 4 = 0"""
+
+
+def _er_truth_sql(dialect: str) -> str:
+    """Closed-form ground-truth duplicate pairs: canonical↔variant
+    links only (id_a < id_b lexicographically by arm prefix)."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    r = f"CAST(doc_id % 40 AS {s})"
+    return f"""
+    SELECT DISTINCT 'a' || {r} AS id_a, 'b' || {r} AS id_b
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT DISTINCT 'a' || {r}, 'c' || {r}
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT DISTINCT 'a' || {r}, 'e' || {r}
+    FROM documents WHERE doc_id % 4 = 0"""
+
+
+def q_er_name_blocking(spark, sf_dir):
+    # ER name blocking (r6d): two-end blocking keys + exact
+    # Levenshtein verification (engine-identical builtin), block-cap
+    # guard idle at this scale; candidates include the planted
+    # variants plus legitimate cross-id near-names — exactly mirrored.
+    from augmented_codebase_indexer_spark.operators.nameblock import (
+        block_candidates,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return block_candidates(
+        spark.sql(_er_names_sql("spark")), max_dist=2, block_cap=500)
+
+
+def q_er_blocking_quality(spark, sf_dir):
+    # blocking-quality fold (r6d): pair completeness vs the planted
+    # truth (the 'e' both-ends miss class keeps PC < 1e6) + reduction
+    # ratio vs the n(n-1)/2 pair space, exact micro ints.
+    from augmented_codebase_indexer_spark.operators.nameblock import (
+        block_candidates,
+        blocking_quality,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    names = spark.sql(_er_names_sql("spark"))
+    truth = spark.sql(_er_truth_sql("spark"))
+    return blocking_quality(
+        block_candidates(names, max_dist=2, block_cap=500), truth, names)
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -3743,6 +3818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_violations": q_kg_type_violations,
         "kg_completeness": q_kg_completeness,
         "quote_attribution": q_quote_attribution,
+        "er_name_blocking": q_er_name_blocking,
+        "er_blocking_quality": q_er_blocking_quality,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5606,6 +5683,17 @@ def oracle_sql() -> dict[str, str]:
         _sightings_sql("duckdb"))
 
     sql["quote_attribution"] = _quote_expected_sql()
+
+    from augmented_codebase_indexer_spark.operators.nameblock import (
+        block_candidates_oracle_sql,
+        blocking_quality_oracle_sql,
+    )
+
+    sql["er_name_blocking"] = block_candidates_oracle_sql(
+        _er_names_sql("duckdb"), max_dist=2, block_cap=500)
+    sql["er_blocking_quality"] = blocking_quality_oracle_sql(
+        _er_names_sql("duckdb"), _er_truth_sql("duckdb"),
+        max_dist=2, block_cap=500)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -935,6 +935,13 @@ def main() -> None:
         "spans.",
     )
 
+    queries["er_name_blocking (two-end keys + Levenshtein)"] = (
+        _entry.queries()["er_name_blocking"](spark, SF),
+        "r6d: keys explode x2, count-gated blocks, one key-grain "
+        "self-join bounded by block_cap^2 per key, pair dedup, "
+        "builtin levenshtein verification — no UDF, no cartesian.",
+    )
+
     queries["kg_schema_induction (SDType domain/range)"] = (
         _entry.queries()["kg_schema_induction"](spark, SF),
         "r6d: type joins at entity grain, counting collapses to "
