@@ -2542,6 +2542,31 @@ def q_er_blocking_quality(spark, sf_dir):
         block_candidates(names, max_dist=2, block_cap=500), truth, names)
 
 
+def _growth_docs_sql(dialect: str) -> str:
+    """Real corpus text plus one planted growth token per 3 docs, so
+    the type curve keeps a measurable tail after the ~30-word natural
+    vocabulary saturates in checkpoint 0."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+    SELECT doc_id,
+           text || ' u' || CAST(doc_id {idiv} 3 AS {s}) AS text
+    FROM documents"""
+
+
+def q_vocab_growth(spark, sf_dir):
+    # Heaps-law vocabulary growth (r6d): exact type-arrival curve at
+    # ingestion checkpoints + libm-free local exponent (intlog); the
+    # sizing instrument for every "vocabulary-sized" broadcast frame.
+    from augmented_codebase_indexer_spark.operators.vocabgrowth import (
+        vocab_growth,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return vocab_growth(spark.sql(_growth_docs_sql("spark")),
+                        bucket_docs=50)
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -3820,6 +3845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_attribution": q_quote_attribution,
         "er_name_blocking": q_er_name_blocking,
         "er_blocking_quality": q_er_blocking_quality,
+        "vocab_growth": q_vocab_growth,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5694,6 +5720,13 @@ def oracle_sql() -> dict[str, str]:
     sql["er_blocking_quality"] = blocking_quality_oracle_sql(
         _er_names_sql("duckdb"), _er_truth_sql("duckdb"),
         max_dist=2, block_cap=500)
+
+    from augmented_codebase_indexer_spark.operators.vocabgrowth import (
+        vocab_growth_oracle_sql,
+    )
+
+    sql["vocab_growth"] = vocab_growth_oracle_sql(
+        _growth_docs_sql("duckdb"), bucket_docs=50)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

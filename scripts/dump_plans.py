@@ -942,6 +942,14 @@ def main() -> None:
         "builtin levenshtein verification — no UDF, no cartesian.",
     )
 
+    queries["vocab_growth (Heaps curve + intlog beta)"] = (
+        _entry.queries()["vocab_growth"](spark, SF),
+        "r6d: one (doc-bucket) occurrence agg + one (tok) first-seen "
+        "agg, both map-side combined; everything after runs at "
+        "checkpoint cardinality, so the unpartitioned window is over "
+        "a bounded frame by construction.",
+    )
+
     queries["kg_schema_induction (SDType domain/range)"] = (
         _entry.queries()["kg_schema_induction"](spark, SF),
         "r6d: type joins at entity grain, counting collapses to "
