@@ -2567,6 +2567,50 @@ def q_vocab_growth(spark, sf_dir):
                         bucket_docs=50)
 
 
+def _acronym_pages_sql() -> str:
+    """Planted definitions (Spark dialect only — the oracle enumerates
+    closed-form): two fixed valid pairs, one doc-varying valid pair,
+    one initials-mismatch decoy that must never verify."""
+    return """
+    SELECT doc_id,
+           'knowledge graph systems (KGS) power search. '
+           || 'we adopt open data (OD) today. '
+           || 'flat rate pricing (XYZ) is a decoy. '
+           || CASE doc_id % 3
+                WHEN 0 THEN 'neural data store (NDS) ships.'
+                WHEN 1 THEN 'web scale graph (WSG) grows.'
+                ELSE 'managed vector index (MVI) lands.' END AS text
+    FROM documents"""
+
+
+def q_acronym_pairs(spark, sf_dir):
+    # acronym-definition mining (r6d, Schwartz-Hearst PSB'03 initials
+    # tier): regex candidates + array-op initials verification, all
+    # codegen; oracle enumerates the planted pairs closed-form.
+    from augmented_codebase_indexer_spark.operators.acronyms import (
+        mine_acronyms,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return mine_acronyms(spark.sql(_acronym_pages_sql()))
+
+
+def _acronym_expected_sql() -> str:
+    return """
+    SELECT doc_id, 'knowledge graph systems' AS long_form,
+           'KGS' AS acronym FROM documents
+    UNION ALL
+    SELECT doc_id, 'open data', 'OD' FROM documents
+    UNION ALL
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'neural data store'
+                WHEN 1 THEN 'web scale graph'
+                ELSE 'managed vector index' END,
+           CASE doc_id % 3 WHEN 0 THEN 'NDS'
+                WHEN 1 THEN 'WSG' ELSE 'MVI' END
+    FROM documents"""
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -3846,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_name_blocking": q_er_name_blocking,
         "er_blocking_quality": q_er_blocking_quality,
         "vocab_growth": q_vocab_growth,
+        "acronym_pairs": q_acronym_pairs,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5727,6 +5772,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["vocab_growth"] = vocab_growth_oracle_sql(
         _growth_docs_sql("duckdb"), bucket_docs=50)
+
+    sql["acronym_pairs"] = _acronym_expected_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
