@@ -2653,6 +2653,61 @@ def q_kg_type_violations(spark, sf_dir):
     return type_violations(facts, types, induce_domain_range(facts, types))
 
 
+def q_kg_schema_publish(spark, sf_dir):
+    # the schema loop closed end-to-end (r6d): MEASURE types ->
+    # INDUCE domain/range (SDType majority) -> PROMOTE to declarations
+    # where both ends clear the evidence bar -> GATE publish with the
+    # SHACL-lite conformance anti-join. No hand-written constraint
+    # anywhere: the bot subjects, the untyped org and the region-typed
+    # city are dropped by rules the pipeline learned from its own data.
+    # Oracle nests the induction mirror as the declarations input of
+    # the violations mirror under a NOT EXISTS anti-join.
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        domain_range_violations,
+    )
+    from augmented_codebase_indexer_spark.operators.typeinduction import (
+        induce_domain_range,
+        induced_declarations,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    facts = spark.sql(_rule_triples_sql("spark"))
+    types = spark.sql(_kg_types_sql("spark")).distinct()
+    decls = induced_declarations(induce_domain_range(facts, types))
+    nt = types.select(
+        F.col("entity").alias("node_id"), F.col("type").alias("node_type"))
+    v = domain_range_violations(facts, nt, decls)
+    return (
+        facts.select("subj", "pred", "obj").distinct()
+        .join(v.select("subj", "pred", "obj"),
+              ["subj", "pred", "obj"], "left_anti")
+    )
+
+
+def _kg_schema_publish_oracle_sql() -> str:
+    from augmented_codebase_indexer_spark.operators.kgquality import (
+        domain_range_violations_sql,
+    )
+    from augmented_codebase_indexer_spark.operators.typeinduction import (
+        induced_declarations_oracle_sql,
+    )
+
+    facts = _rule_triples_sql("duckdb")
+    types = _kg_types_sql("duckdb")
+    nt = (f"SELECT DISTINCT entity AS node_id, type AS node_type"
+          f" FROM ({types})")
+    v = domain_range_violations_sql(
+        facts, nt, induced_declarations_oracle_sql(facts, types))
+    return f"""
+    WITH pub_v AS MATERIALIZED ({v}),
+    f AS (SELECT DISTINCT subj, pred, obj FROM ({facts}))
+    SELECT f.subj, f.pred, f.obj FROM f
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pub_v v
+      WHERE v.subj = f.subj AND v.pred = f.pred AND v.obj = f.obj)
+    """
+
+
 def q_kg_rule_mining(spark, sf_dir):
     # AMIE-lite Horn rules (r6c): q(x,y) ⇒ p(x,y) with support, std
     # confidence AND the PCA confidence (partial completeness) — one
@@ -3891,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_quality": q_er_blocking_quality,
         "vocab_growth": q_vocab_growth,
         "acronym_pairs": q_acronym_pairs,
+        "kg_schema_publish": q_kg_schema_publish,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5774,6 +5830,8 @@ def oracle_sql() -> dict[str, str]:
         _growth_docs_sql("duckdb"), bucket_docs=50)
 
     sql["acronym_pairs"] = _acronym_expected_sql()
+
+    sql["kg_schema_publish"] = _kg_schema_publish_oracle_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

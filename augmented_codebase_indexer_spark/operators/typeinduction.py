@@ -115,6 +115,43 @@ def type_violations(
     return subj_v.unionByName(obj_v)
 
 
+def induced_declarations(
+    induced: DataFrame,
+    min_share_micro: int = 600_000,
+    min_typed: int = 3,
+) -> DataFrame:
+    """Promote induced rows to SHACL-lite (pred, domain_type,
+    range_type) declarations where BOTH ends clear the evidence bar —
+    majority share ≥ min_share_micro over ≥ min_typed typed
+    occurrences. Induction below the bar stays advisory; above it the
+    schema loop closes: measurement becomes policy the publish gate
+    enforces."""
+    c = F.col
+    return induced.filter(
+        c("domain_type").isNotNull() & c("range_type").isNotNull()
+        & (c("domain_share_micro") >= min_share_micro)
+        & (c("range_share_micro") >= min_share_micro)
+        & (c("domain_typed") >= min_typed)
+        & (c("range_typed") >= min_typed)
+    ).select("pred", "domain_type", "range_type")
+
+
+def induced_declarations_oracle_sql(
+    facts_sql: str, types_sql: str,
+    min_share_micro: int = 600_000, min_typed: int = 3,
+) -> str:
+    """Mirror of :func:`induced_declarations` over the induction
+    mirror."""
+    return f"""
+    SELECT pred, domain_type, range_type
+    FROM ({induce_domain_range_oracle_sql(facts_sql, types_sql)})
+    WHERE domain_type IS NOT NULL AND range_type IS NOT NULL
+      AND domain_share_micro >= {min_share_micro}
+      AND range_share_micro >= {min_share_micro}
+      AND domain_typed >= {min_typed} AND range_typed >= {min_typed}
+    """
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle mirrors
 # ---------------------------------------------------------------------------

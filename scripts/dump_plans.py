@@ -950,6 +950,14 @@ def main() -> None:
         "a bounded frame by construction.",
     )
 
+    queries["kg_schema_publish (measure->induce->gate loop)"] = (
+        _entry.queries()["kg_schema_publish"](spark, SF),
+        "r6d: induction folds to pred-vocab rows, declarations ride a "
+        "broadcast into the conformance join, violations anti-join "
+        "back at fact grain — the learned schema gates publish with "
+        "no hand-written constraint.",
+    )
+
     queries["kg_schema_induction (SDType domain/range)"] = (
         _entry.queries()["kg_schema_induction"](spark, SF),
         "r6d: type joins at entity grain, counting collapses to "

@@ -88,3 +88,31 @@ def test_matches_duckdb_oracle(spark):
     got = sorted(tuple(r) for r in
                  type_violations(f, t, induce_domain_range(f, t)).collect())
     assert got == want and len(got) == 2
+
+
+def test_induced_declarations_bar(spark):
+    from augmented_codebase_indexer_spark.operators.typeinduction import (
+        induced_declarations,
+        induced_declarations_oracle_sql,
+    )
+
+    f, t = _dfs(spark)
+    ind = induce_domain_range(f, t)
+    # bar share>=0.6, typed>=3: works_at qualifies (3/4 person, 4 org);
+    # lives_in fails min_typed on the range (1 typed city);
+    # tie_pred fails NULL range
+    got = {tuple(r) for r in induced_declarations(ind).collect()}
+    assert got == {("works_at", "person", "org")}
+    # loosening the bar admits lives_in
+    loose = {tuple(r) for r in
+             induced_declarations(ind, min_typed=1).collect()}
+    assert ("lives_in", "person", "city") in loose
+    # DuckDB mirror parity
+    f_sql = " UNION ALL ".join(
+        f"SELECT '{s}' AS subj, '{p}' AS pred, '{o}' AS obj"
+        for s, p, o in FACTS)
+    t_sql = " UNION ALL ".join(
+        f"SELECT '{e}' AS entity, '{ty}' AS type" for e, ty in TYPES)
+    want = {tuple(r) for r in duckdb.connect().execute(
+        induced_declarations_oracle_sql(f_sql, t_sql)).fetchall()}
+    assert got == want
