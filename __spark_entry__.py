@@ -2611,6 +2611,35 @@ def _acronym_expected_sql() -> str:
     FROM documents"""
 
 
+def _geo_places_sql(dialect: str) -> str:
+    """Point entities in 35 well-separated 'towns' (1° apart, spanning
+    negative coordinates) with per-doc jitter, so within-town pairs
+    straddle the radius gate both ways and cross-town pairs never
+    block together."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 'g' || CAST(doc_id AS {s}) AS id,
+           CAST((doc_id % 5 - 2) * 1000000
+                + (doc_id % 3) * 40000 AS BIGINT) AS lat_micro,
+           CAST((doc_id % 7 - 3) * 1000000
+                + (doc_id % 4) * 30000 AS BIGINT) AS lon_micro
+    FROM documents"""
+
+
+def q_geo_candidates(spark, sf_dir):
+    # geo grid blocking (r6d, grid-file hashing Nievergelt TODS'84):
+    # 3x3 probe-side neighborhood over radius-sized integer cells +
+    # exact squared micro-degree verification; no miss class inside
+    # the radius, offset coordinates keep truncating DIV == floor.
+    from augmented_codebase_indexer_spark.operators.geo import (
+        geo_candidates,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return geo_candidates(
+        spark.sql(_geo_places_sql("spark")), radius_micro=100_000)
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -3947,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "acronym_pairs": q_acronym_pairs,
         "kg_schema_publish": q_kg_schema_publish,
+        "geo_candidates": q_geo_candidates,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5832,6 +5862,13 @@ def oracle_sql() -> dict[str, str]:
     sql["acronym_pairs"] = _acronym_expected_sql()
 
     sql["kg_schema_publish"] = _kg_schema_publish_oracle_sql()
+
+    from augmented_codebase_indexer_spark.operators.geo import (
+        geo_candidates_oracle_sql,
+    )
+
+    sql["geo_candidates"] = geo_candidates_oracle_sql(
+        _geo_places_sql("duckdb"), radius_micro=100_000)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -950,6 +950,13 @@ def main() -> None:
         "a bounded frame by construction.",
     )
 
+    queries["geo_candidates (grid blocking + integer verify)"] = (
+        _entry.queries()["geo_candidates"](spark, SF),
+        "r6d: probe side explodes x9 cells, one cell-keyed equi-join "
+        "bounded by cell occupancy, exact BIGINT distance gate at "
+        "candidate grain — no cross join, no trig, no float.",
+    )
+
     queries["kg_schema_publish (measure->induce->gate loop)"] = (
         _entry.queries()["kg_schema_publish"](spark, SF),
         "r6d: induction folds to pred-vocab rows, declarations ride a "
