@@ -2640,6 +2640,80 @@ def q_geo_candidates(spark, sf_dir):
         spark.sql(_geo_places_sql("spark")), radius_micro=100_000)
 
 
+_DTX_MONTHS = ("January", "February", "March", "April", "May", "June",
+               "July", "August", "September", "October", "November",
+               "December")
+
+
+def _datetx_pages_sql(dialect: str) -> str:
+    """Planted prose dates (Spark dialect executes; oracle enumerates
+    closed-form): month-varying mdy every doc, a calendar-invalid
+    decoy every doc, dmy every 2nd, inline ISO every 3rd."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    mon = " ".join(f"WHEN {i} THEN '{m}'"
+                   for i, m in enumerate(_DTX_MONTHS))
+    return f"""
+    SELECT doc_id,
+           'released on ' || CASE doc_id % 12 {mon} END || ' '
+           || CAST(doc_id % 28 + 1 AS {s}) || ', '
+           || CAST(2001 + doc_id % 25 AS {s})
+           || '. February 30, 2021 never happened. '
+           || CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 28 + 1 AS {s}) || ' March '
+                     || CAST(2010 + doc_id % 8 AS {s}) || ' event. '
+                ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                THEN 'logged 2020-07-' || lpad(CAST(doc_id % 28 + 1
+                     AS {s}), 2, '0') || ' end.'
+                ELSE '' END AS text
+    FROM documents"""
+
+
+def q_date_mentions(spark, sf_dir):
+    # prose date normalization (r6d, TIMEX absolute-date tier / SUTime
+    # rule family): three frames + calendar validation via try_cast;
+    # the Feb-30 decoy is planted in EVERY doc and must never emit.
+    # Oracle enumerates mentions + make_date epochs closed-form.
+    from augmented_codebase_indexer_spark.operators.datetx import (
+        extract_dates,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return extract_dates(spark.sql(_datetx_pages_sql("spark")))
+
+
+def _datetx_expected_sql() -> str:
+    mon = " ".join(f"WHEN {i} THEN '{m}'"
+                   for i, m in enumerate(_DTX_MONTHS))
+    return f"""
+    SELECT doc_id,
+           CASE doc_id % 12 {mon} END || ' '
+           || CAST(doc_id % 28 + 1 AS VARCHAR) || ', '
+           || CAST(2001 + doc_id % 25 AS VARCHAR) AS mention,
+           CAST(make_date(CAST(2001 + doc_id % 25 AS INTEGER),
+                          CAST(doc_id % 12 + 1 AS INTEGER),
+                          CAST(doc_id % 28 + 1 AS INTEGER))
+                - DATE '1970-01-01' AS BIGINT) AS day_epoch,
+           'mdy_text' AS fmt
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           CAST(doc_id % 28 + 1 AS VARCHAR) || ' March '
+           || CAST(2010 + doc_id % 8 AS VARCHAR),
+           CAST(make_date(CAST(2010 + doc_id % 8 AS INTEGER), 3,
+                          CAST(doc_id % 28 + 1 AS INTEGER))
+                - DATE '1970-01-01' AS BIGINT),
+           'dmy_text'
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id,
+           '2020-07-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+           CAST(make_date(2020, 7, CAST(doc_id % 28 + 1 AS INTEGER))
+                - DATE '1970-01-01' AS BIGINT),
+           'iso'
+    FROM documents WHERE doc_id % 3 = 0"""
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -3977,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acronym_pairs": q_acronym_pairs,
         "kg_schema_publish": q_kg_schema_publish,
         "geo_candidates": q_geo_candidates,
+        "date_mentions": q_date_mentions,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5869,6 +5944,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["geo_candidates"] = geo_candidates_oracle_sql(
         _geo_places_sql("duckdb"), radius_micro=100_000)
+
+    sql["date_mentions"] = _datetx_expected_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
