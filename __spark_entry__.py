@@ -3791,6 +3791,30 @@ def q_graph_adamic_adar(spark, sf_dir):
     return adamic_adar(spark.sql(_entity_graph_sql("spark")), min_common=2)
 
 
+def q_graph_cocitation(spark, sf_dir):
+    # co-citation relatedness (r6d, Small JASIS'73): destination pairs
+    # by Jaccard over citer sets — direction IS the signal vs the
+    # undirected neighborhood Jaccard.
+    from augmented_codebase_indexer_spark.operators.cocitation import (
+        cocitation,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return cocitation(spark.sql(_entity_graph_sql("spark")), min_common=2)
+
+
+def q_graph_coupling(spark, sf_dir):
+    # bibliographic coupling (r6d, Kessler '63): source pairs by
+    # Jaccard over cited sets — the shared-sources screen at link
+    # level (syndication candidates).
+    from augmented_codebase_indexer_spark.operators.cocitation import (
+        coupling,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return coupling(spark.sql(_entity_graph_sql("spark")), min_common=2)
+
+
 def q_graph_kcore(spark, sf_dir):
     # k-core backbone: iterative degree-< k peeling to the unique
     # fixpoint; the oracle peels with 20 unrolled fixed rounds — same
@@ -4052,6 +4076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_publish": q_kg_schema_publish,
         "geo_candidates": q_geo_candidates,
         "date_mentions": q_date_mentions,
+        "graph_cocitation": q_graph_cocitation,
+        "graph_coupling": q_graph_coupling,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5946,6 +5972,16 @@ def oracle_sql() -> dict[str, str]:
         _geo_places_sql("duckdb"), radius_micro=100_000)
 
     sql["date_mentions"] = _datetx_expected_sql()
+
+    from augmented_codebase_indexer_spark.operators.cocitation import (
+        cocitation_oracle_sql,
+        coupling_oracle_sql,
+    )
+
+    sql["graph_cocitation"] = cocitation_oracle_sql(
+        _entity_graph_sql("duckdb"), min_common=2)
+    sql["graph_coupling"] = coupling_oracle_sql(
+        _entity_graph_sql("duckdb"), min_common=2)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
