@@ -3791,6 +3791,19 @@ def q_graph_adamic_adar(spark, sf_dir):
     return adamic_adar(spark.sql(_entity_graph_sql("spark")), min_common=2)
 
 
+def q_graph_assortativity(spark, sf_dir):
+    # degree assortativity (r6d, Newman 2002): one-number structure
+    # screen — raw BIGINT moment sums reported next to the micro ratio
+    # so the gate is auditable; regular graphs yield NULL, not a
+    # division error.
+    from augmented_codebase_indexer_spark.operators.graphalgs import (
+        assortativity,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return assortativity(spark.sql(_entity_graph_sql("spark")))
+
+
 def q_graph_cocitation(spark, sf_dir):
     # co-citation relatedness (r6d, Small JASIS'73): destination pairs
     # by Jaccard over citer sets — direction IS the signal vs the
@@ -4078,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_mentions": q_date_mentions,
         "graph_cocitation": q_graph_cocitation,
         "graph_coupling": q_graph_coupling,
+        "graph_assortativity": q_graph_assortativity,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -5982,6 +5996,13 @@ def oracle_sql() -> dict[str, str]:
         _entity_graph_sql("duckdb"), min_common=2)
     sql["graph_coupling"] = coupling_oracle_sql(
         _entity_graph_sql("duckdb"), min_common=2)
+
+    from augmented_codebase_indexer_spark.operators.graphalgs import (
+        assortativity_oracle_sql,
+    )
+
+    sql["graph_assortativity"] = assortativity_oracle_sql(
+        _entity_graph_sql("duckdb"))
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

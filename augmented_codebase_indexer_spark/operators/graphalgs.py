@@ -463,3 +463,73 @@ def clustering_oracle_sql(edges_sql: str) -> str:
                      // (d.deg * (d.deg - 1)) END AS cc_micro
     FROM deg d LEFT JOIN tc ON d.node = tc.node
     """
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman PRL 89:208701 (2002),
+    eq. 4) over the canonical undirected simple graph — ONE row:
+    (m_edges, s_jk, s_sum, s_sq, assortativity_micro).
+
+    With per-edge endpoint degrees (j, k) and M edges, Newman's r is
+    a Pearson correlation; clearing denominators gives the exact
+    integer form
+
+        num = 4M·Σjk − (Σ(j+k))²      den = 2M·Σ(j²+k²) − (Σ(j+k))²
+        r_micro = num · 1e6 DIV den   (truncating toward zero — both
+                                       engines identical on negatives)
+
+    so the gate is BIGINT end-to-end; a REGULAR graph has den = 0
+    (r undefined) → NULL, never a division error. Moment sums are
+    reported raw so the micro ratio is auditable. Overflow bound:
+    4M²D² must stay under 2^63 → M·D ≤ ~1.5·10^9 per partition-free
+    global fold; beyond that, fold the moments per bucket first (they
+    are plain sums — algebraic, map-side combinable).
+
+    Social/citation webs are assortative (hubs link hubs, r > 0);
+    mirror/spam farms are strongly disassortative star fields — the
+    one-number screen on a crawled host graph.
+
+    Scale shape: degrees via one node-grain aggregate, joined back to
+    edges slim (two id-keyed joins), then a single global algebraic
+    fold. No window, no pair materialization."""
+    und = undirected_edges(edges)
+    deg = _degrees(und)
+    j = und.join(deg.select(F.col("node").alias("a"),
+                            F.col("deg").alias("j")), "a")
+    jk = j.join(deg.select(F.col("node").alias("b"),
+                           F.col("deg").alias("k")), "b")
+    mom = jk.agg(
+        F.count("*").cast("long").alias("m_edges"),
+        F.sum(F.expr("j * k")).cast("long").alias("s_jk"),
+        F.sum(F.expr("j + k")).cast("long").alias("s_sum"),
+        F.sum(F.expr("j * j + k * k")).cast("long").alias("s_sq"),
+    )
+    return mom.selectExpr(
+        "m_edges", "s_jk", "s_sum", "s_sq",
+        "CASE WHEN 2 * m_edges * s_sq - s_sum * s_sum = 0 THEN NULL"
+        " ELSE (4 * m_edges * s_jk - s_sum * s_sum) * 1000000"
+        " DIV (2 * m_edges * s_sq - s_sum * s_sum)"
+        " END AS assortativity_micro",
+    )
+
+
+def assortativity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB mirror of :func:`assortativity`."""
+    return _und_ctes(edges_sql) + """,
+    jk AS (
+      SELECT da.deg AS j, db.deg AS k
+      FROM und e JOIN deg da ON e.a = da.node
+                 JOIN deg db ON e.b = db.node),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS m_edges,
+             CAST(sum(j * k) AS BIGINT) AS s_jk,
+             CAST(sum(j + k) AS BIGINT) AS s_sum,
+             CAST(sum(j * j + k * k) AS BIGINT) AS s_sq
+      FROM jk)
+    SELECT m_edges, s_jk, s_sum, s_sq,
+           CASE WHEN 2 * m_edges * s_sq - s_sum * s_sum = 0 THEN NULL
+                ELSE (4 * m_edges * s_jk - s_sum * s_sum) * 1000000
+                     // (2 * m_edges * s_sq - s_sum * s_sum)
+           END AS assortativity_micro
+    FROM mom
+    """
