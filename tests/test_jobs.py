@@ -140,3 +140,63 @@ def test_embedding_corpus_job_runs_and_resumes(tmp_path, corpus_dir):
     # (the md5-chosen walks/negatives make the restart bit-identical too)
     c2 = _run_embedding(wh, corpus_dir)
     assert c2 == c1
+
+
+def _run_schema(wh_dir, data_dir):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "schema_qa.py"),
+         "--facts", os.path.join(data_dir, "facts.parquet"),
+         "--types", os.path.join(data_dir, "types.parquet"),
+         "--sightings", os.path.join(data_dir, "sightings.parquet"),
+         "--warehouse", wh_dir, "--run-id", "t-schema"],
+        capture_output=True, text=True, timeout=420, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_schema_qa_job_runs_and_resumes(tmp_path):
+    import pandas as pd
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    pd.DataFrame(
+        [("p1", "works_at", "acme"), ("p2", "works_at", "globex"),
+         ("p3", "works_at", "acme"), ("bot9", "works_at", "acme"),
+         ("p1", "lives_in", "paris"), ("p2", "lives_in", "c9"),
+         ("x1", "tie_pred", "z1"), ("x2", "tie_pred", "z2")],
+        columns=["subj", "pred", "obj"],
+    ).to_parquet(os.path.join(data, "facts.parquet"))
+    pd.DataFrame(
+        [("p1", "person"), ("p2", "person"), ("p3", "person"),
+         ("bot9", "bot"), ("acme", "org"), ("globex", "org"),
+         ("paris", "city"), ("x1", "ta"), ("x2", "tb")],
+        columns=["entity", "type"],
+    ).to_parquet(os.path.join(data, "types.parquet"))
+    pd.DataFrame(
+        [("a", "e1", "s1"), ("a", "e2", "s1"), ("a", "e3", "s2"),
+         ("a", "e4", "s2"), ("a", "e5", "s3"),
+         ("a", "e6", "s1"), ("a", "e6", "s2"),
+         ("a", "e7", "s1"), ("a", "e7", "s2"), ("a", "e7", "s3"),
+         ("b", "x1", "s1"), ("b", "x1", "s2"), ("b", "x1", "s3"),
+         ("b", "x2", "s1"), ("b", "x2", "s2"), ("b", "x2", "s3"),
+         ("c", "y1", "s1"), ("c", "y2", "s1"), ("c", "y3", "s2")],
+        columns=["class", "entity", "src"],
+    ).to_parquet(os.path.join(data, "sightings.parquet"))
+
+    wh = str(tmp_path / "wh")
+    c1 = _run_schema(wh, data)
+    # only works_at clears the evidence bar; bot9 is its one violation
+    assert c1["facts_in"] == 8 and c1["preds_profiled"] == 3
+    assert c1["preds_declared"] == 1
+    assert c1["violations"] == 1 and c1["published"] == 7
+    assert c1["functional_preds"] == 3
+    assert c1["classes"] == 3
+    assert c1["min_completeness_micro"] == 500_000
+    for t in ("pred_profile", "induced_schema", "declarations",
+              "schema_violations", "published_facts",
+              "class_completeness", "_lineage"):
+        assert os.path.isdir(os.path.join(wh, t)), t
+    # resume: committed stages skip, counters identical
+    c2 = _run_schema(wh, data)
+    assert c2 == c1
