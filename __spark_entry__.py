@@ -3635,6 +3635,27 @@ def q_lang_id(spark, sf_dir):
     return lang_id_ngram(d, langs=["de", "en", "es", "fr", "zh"])
 
 
+def q_lid_confusion(spark, sf_dir):
+    # per-class P/R/F1 of the trained LID against the corpus labels
+    # (r6d): the resubstitution-fit diagnostic for the CCNet chain's
+    # first stage — F1 via the integer identity 2tp/(support+predicted)
+    # so no float P/R composition exists; oracle nests the full LID
+    # mirror (intlog chains included) under the confusion fold.
+    from augmented_codebase_indexer_spark.operators.evaluation import (
+        classification_report,
+    )
+    from augmented_codebase_indexer_spark.operators.langid import (
+        lang_id_ngram,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pred = lang_id_ngram(
+        d, langs=["de", "en", "es", "fr", "zh"]
+    ).select("doc_id", "lang_pred")
+    labeled = d.select("doc_id", "lang").join(pred, "doc_id")
+    return classification_report(labeled, "lang", "lang_pred")
+
+
 def q_slice_kl(spark, sf_dir):
     # pairwise KL divergence between source slices over the shared
     # smoothed vocabulary (r5): the mixing/drift diagnostic next to DSIR
@@ -4092,6 +4113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cocitation": q_graph_cocitation,
         "graph_coupling": q_graph_coupling,
         "graph_assortativity": q_graph_assortativity,
+        "lid_confusion": q_lid_confusion,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6003,6 +6025,16 @@ def oracle_sql() -> dict[str, str]:
 
     sql["graph_assortativity"] = assortativity_oracle_sql(
         _entity_graph_sql("duckdb"))
+
+    from augmented_codebase_indexer_spark.operators.evaluation import (
+        classification_report_oracle_sql,
+    )
+
+    _lid_labeled = f"""
+    SELECT d.lang AS t, p.lang_pred AS p
+    FROM documents d JOIN ({lang_id_oracle_sql(
+        ['de', 'en', 'es', 'fr', 'zh'])}) p ON d.doc_id = p.doc_id"""
+    sql["lid_confusion"] = classification_report_oracle_sql(_lid_labeled)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
