@@ -2714,6 +2714,41 @@ def _datetx_expected_sql() -> str:
     FROM documents WHERE doc_id % 3 = 0"""
 
 
+def _rule_triples_b_sql(dialect: str) -> str:
+    """Snapshot B for the drift monitor: works_at's range drifts to
+    cities on every 4th doc, lives_in vanishes, ceo_of appears."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 's' || CAST(doc_id % 30 AS {s}) AS subj, 'works_at' AS pred,
+           CASE WHEN doc_id % 4 = 0 THEN 'c' || CAST(doc_id % 5 AS {s})
+                ELSE 'o' || CAST(doc_id % 12 AS {s}) END AS obj
+    FROM documents
+    UNION ALL
+    SELECT 's' || CAST(doc_id % 30 AS {s}), 'employer',
+           'o' || CAST(doc_id % 12 AS {s})
+    FROM documents WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT 's' || CAST(doc_id % 30 AS {s}), 'ceo_of',
+           'o' || CAST(doc_id % 12 AS {s})
+    FROM documents WHERE doc_id % 10 = 0"""
+
+
+def q_schema_drift(spark, sf_dir):
+    # per-predicate range drift between snapshots (r6d): exact L1 over
+    # micro type-shares — works_at's planted city drift scores, the
+    # stable employer scores ~0, lives_in reports 'gone', ceo_of 'new'.
+    from augmented_codebase_indexer_spark.operators.schemadrift import (
+        schema_drift,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return schema_drift(
+        spark.sql(_rule_triples_sql("spark")),
+        spark.sql(_rule_triples_b_sql("spark")),
+        spark.sql(_kg_types_sql("spark")),
+    )
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -4114,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coupling": q_graph_coupling,
         "graph_assortativity": q_graph_assortativity,
         "lid_confusion": q_lid_confusion,
+        "schema_drift": q_schema_drift,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6035,6 +6071,14 @@ def oracle_sql() -> dict[str, str]:
     FROM documents d JOIN ({lang_id_oracle_sql(
         ['de', 'en', 'es', 'fr', 'zh'])}) p ON d.doc_id = p.doc_id"""
     sql["lid_confusion"] = classification_report_oracle_sql(_lid_labeled)
+
+    from augmented_codebase_indexer_spark.operators.schemadrift import (
+        schema_drift_oracle_sql,
+    )
+
+    sql["schema_drift"] = schema_drift_oracle_sql(
+        _rule_triples_sql("duckdb"), _rule_triples_b_sql("duckdb"),
+        _kg_types_sql("duckdb"))
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

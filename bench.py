@@ -803,7 +803,7 @@ def main() -> None:
         "er_name_blocking", "er_blocking_quality", "vocab_growth",
         "acronym_pairs", "kg_schema_publish", "geo_candidates",
         "date_mentions", "graph_cocitation", "graph_coupling",
-        "graph_assortativity", "lid_confusion",
+        "graph_assortativity", "lid_confusion", "schema_drift",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
