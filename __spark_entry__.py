@@ -2749,6 +2749,52 @@ def q_schema_drift(spark, sf_dir):
     )
 
 
+def _alias_edges_sql(dialect: str) -> str:
+    """Alias graph: every 'x' node links to exactly one typed hub
+    (doc%5 rides inside doc%60), 'y' chains hang off even-residue x's,
+    'z' off every 4th — so rounds 1/2/3 each assign a planted cohort —
+    plus one two-hub tie node."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT 'x' || CAST(doc_id % 60 AS {s}) AS a,
+           'h' || CAST(doc_id % 5 AS {s}) AS b FROM documents
+    UNION ALL
+    SELECT 'x' || CAST(doc_id % 60 AS {s}), 'y' || CAST(doc_id % 60 AS {s})
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'y' || CAST(doc_id % 60 AS {s}), 'z' || CAST(doc_id % 60 AS {s})
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT 'tie', 'h0' FROM documents
+    UNION ALL
+    SELECT 'tie', 'h1' FROM documents"""
+
+
+def _type_seeds_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT DISTINCT 'h' || CAST(doc_id % 5 AS {s}) AS entity,
+           CASE doc_id % 5 WHEN 0 THEN 'person' WHEN 1 THEN 'org'
+                WHEN 2 THEN 'city' WHEN 3 THEN 'person'
+                ELSE 'org' END AS type
+    FROM documents"""
+
+
+def q_type_propagation(spark, sf_dir):
+    # seeded type propagation (r6d, label spreading w/ clamping, Zhou
+    # NIPS'03): untyped alias-graph fringe adopts the neighbor majority
+    # per round, ties on type text, seeds clamped, 3-round horizon;
+    # oracle unrolls the rounds as chained MATERIALIZED CTEs.
+    from augmented_codebase_indexer_spark.operators.typeprop import (
+        propagate_types,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return propagate_types(
+        spark.sql(_alias_edges_sql("spark")),
+        spark.sql(_type_seeds_sql("spark")), rounds=3)
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -4150,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "lid_confusion": q_lid_confusion,
         "schema_drift": q_schema_drift,
+        "type_propagation": q_type_propagation,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6079,6 +6126,13 @@ def oracle_sql() -> dict[str, str]:
     sql["schema_drift"] = schema_drift_oracle_sql(
         _rule_triples_sql("duckdb"), _rule_triples_b_sql("duckdb"),
         _kg_types_sql("duckdb"))
+
+    from augmented_codebase_indexer_spark.operators.typeprop import (
+        propagate_types_oracle_sql,
+    )
+
+    sql["type_propagation"] = propagate_types_oracle_sql(
+        _alias_edges_sql("duckdb"), _type_seeds_sql("duckdb"), rounds=3)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -957,6 +957,14 @@ def main() -> None:
         "candidate grain — no cross join, no trig, no float.",
     )
 
+    queries["type_propagation (clamped label spreading)"] = (
+        _entry.queries()["type_propagation"](spark, SF),
+        "r6d: per round one adjacency join against the slim typed "
+        "frame, one map-side-combined vote agg, argmax as "
+        "groupBy-min(struct), anti-join clamp; localCheckpoint per "
+        "round keeps lineage flat (LogicalRDD leaves visible).",
+    )
+
     queries["kg_schema_publish (measure->induce->gate loop)"] = (
         _entry.queries()["kg_schema_publish"](spark, SF),
         "r6d: induction folds to pred-vocab rows, declarations ride a "
