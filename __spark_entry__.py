@@ -2795,6 +2795,75 @@ def q_type_propagation(spark, sf_dir):
         spark.sql(_type_seeds_sql("spark")), rounds=3)
 
 
+def _microdata_pages_sql(dialect: str) -> str:
+    """Planted flat microdata + OG markup (Spark executes; oracles
+    enumerate closed-form): a Person item every doc, an Organization
+    item every 5th, OG title/type pairs every doc."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    SELECT doc_id,
+           '<div itemscope itemtype="https://schema.org/Person">'
+           || '<meta itemprop="name" content="P'
+           || CAST(doc_id % 50 AS {s}) || '">'
+           || '<meta itemprop="jobTitle" content="title'
+           || CAST(doc_id % 7 AS {s}) || '"></div>'
+           || CASE WHEN doc_id % 5 = 0 THEN
+                '<div itemscope itemtype="https://schema.org/Organization">'
+                || '<meta itemprop="name" content="Org'
+                || CAST(doc_id % 12 AS {s}) || '"></div>'
+              ELSE '' END
+           || '<meta property="og:title" content="Doc '
+           || CAST(doc_id AS {s}) || '">'
+           || '<meta property="og:type" content="article">' AS html
+    FROM documents"""
+
+
+def q_microdata_items(spark, sf_dir):
+    # schema.org microdata, flat-scope tier (r6d): segment-split scope
+    # binding (exact for non-nested markup), ordinal item index;
+    # completes the three-syntax structured coverage with JSON-LD and
+    # OG. Oracle enumerates closed-form, never parses.
+    from augmented_codebase_indexer_spark.operators.microdata import (
+        microdata_items,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return microdata_items(spark.sql(_microdata_pages_sql("spark")))
+
+
+def q_og_meta(spark, sf_dir):
+    # Open Graph page metadata (r6d, ogp.me): flat property/content
+    # pairs, namespace-stripped.
+    from augmented_codebase_indexer_spark.operators.microdata import og_meta
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return og_meta(spark.sql(_microdata_pages_sql("spark")))
+
+
+def _microdata_expected_sql() -> str:
+    return """
+    SELECT doc_id, CAST(1 AS BIGINT) AS item_idx,
+           'https://schema.org/Person' AS item_type,
+           'name' AS prop, 'P' || CAST(doc_id % 50 AS VARCHAR) AS value
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'https://schema.org/Person', 'jobTitle',
+           'title' || CAST(doc_id % 7 AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 2, 'https://schema.org/Organization', 'name',
+           'Org' || CAST(doc_id % 12 AS VARCHAR)
+    FROM documents WHERE doc_id % 5 = 0"""
+
+
+def _og_expected_sql() -> str:
+    return """
+    SELECT doc_id, 'title' AS og_prop,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS content FROM documents
+    UNION ALL
+    SELECT doc_id, 'type', 'article' FROM documents"""
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -4197,6 +4266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lid_confusion": q_lid_confusion,
         "schema_drift": q_schema_drift,
         "type_propagation": q_type_propagation,
+        "microdata_items": q_microdata_items,
+        "og_meta": q_og_meta,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6133,6 +6204,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["type_propagation"] = propagate_types_oracle_sql(
         _alias_edges_sql("duckdb"), _type_seeds_sql("duckdb"), rounds=3)
+
+    sql["microdata_items"] = _microdata_expected_sql()
+    sql["og_meta"] = _og_expected_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
