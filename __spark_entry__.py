@@ -3975,6 +3975,16 @@ def q_graph_assortativity(spark, sf_dir):
     return assortativity(spark.sql(_entity_graph_sql("spark")))
 
 
+def q_graph_ktruss(spark, sf_dir):
+    # k-truss backbone (r6d, Cohen '08): edge-grain tightening of the
+    # k-core — peels wedge-uncorroborated (extraction-noise-shaped)
+    # edges the core keeps; unique fixpoint, oracle unrolled 20 rounds.
+    from augmented_codebase_indexer_spark.operators.graphalgs import k_truss
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return k_truss(spark.sql(_entity_graph_sql("spark")), k=3)
+
+
 def q_graph_cocitation(spark, sf_dir):
     # co-citation relatedness (r6d, Small JASIS'73): destination pairs
     # by Jaccard over citer sets — direction IS the signal vs the
@@ -4268,6 +4278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_propagation": q_type_propagation,
         "microdata_items": q_microdata_items,
         "og_meta": q_og_meta,
+        "graph_ktruss": q_graph_ktruss,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6207,6 +6218,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["microdata_items"] = _microdata_expected_sql()
     sql["og_meta"] = _og_expected_sql()
+
+    from augmented_codebase_indexer_spark.operators.graphalgs import (
+        k_truss_oracle_sql,
+    )
+
+    sql["graph_ktruss"] = k_truss_oracle_sql(
+        _entity_graph_sql("duckdb"), k=3)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -533,3 +533,85 @@ def assortativity_oracle_sql(edges_sql: str) -> str:
            END AS assortativity_micro
     FROM mom
     """
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 30,
+) -> DataFrame:
+    """The k-truss: the maximal subgraph where every EDGE sits in
+    ≥ k−2 triangles (Cohen, NSA TR'08) — the edge-grain tightening of
+    the k-core (every k-truss is inside the (k−1)-core but prunes
+    bridge edges the core keeps). On a web KG the truss is the
+    relation backbone: an edge whose endpoints share no corroborating
+    wedges is exactly the extraction-noise shape the core cannot see.
+
+    Iterative peeling to the UNIQUE fixpoint (confluent, like the
+    core): per round, per-edge support = common-neighbor count via the
+    wedge join, drop edges below k−2, repeat until an iteration drops
+    nothing; lineage cut per round with localCheckpoint, and a
+    non-converged loop RAISES (a partial peel would silently report a
+    superset — counted-not-silent discipline). Returns (a, b, support)
+    with the FIXPOINT support. Requires k ≥ 3.
+
+    Scale shape: each round is one wedge join (the Θ(deg²) cost rides
+    the same degree-ordered mitigation argument as triangles — truss
+    peeling at 10^11 edges is run per-community or behind a degree
+    cap) + one (a, b) aggregate + one semi-join; exchanges carry node
+    ids and counts only."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    cur = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_edges = cur.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            return cur.withColumn("support", F.lit(0).cast("long"))
+        adj = cur.select(F.col("a").alias("n"), F.col("b").alias("x")).unionAll(
+            cur.select(F.col("b").alias("n"), F.col("a").alias("x"))
+        )
+        sup = (
+            cur.join(adj.select(F.col("n").alias("a"),
+                                F.col("x").alias("xa")), "a")
+            .join(adj.select(F.col("n").alias("b"),
+                             F.col("x").alias("xa")), ["b", "xa"])
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("support"))
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint(eager=True)
+        )
+        n_next = sup.count()
+        if n_next == n_edges:  # fixpoint: supports are final
+            return sup.select("a", "b", "support")
+        cur = sup.select("a", "b").localCheckpoint(eager=True)
+        n_edges = n_next
+    raise RuntimeError(
+        f"k_truss did not converge within {max_iters} rounds")
+
+
+def k_truss_oracle_sql(edges_sql: str, k: int, rounds: int = 20) -> str:
+    """Unrolled peeling mirror (the k_core_oracle_sql precedent):
+    ``rounds`` fixed rounds; the truss is a unique fixpoint so extra
+    rounds are no-ops. MATERIALIZED is load-bearing — each round
+    references its predecessor several times."""
+    parts = [_und_ctes(edges_sql),
+             ",\n    t0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    prev = "t0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    adj{i} AS MATERIALIZED (
+      SELECT a AS n, b AS x FROM {prev}
+      UNION ALL SELECT b, a FROM {prev}),
+    sup{i} AS MATERIALIZED (
+      SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+      FROM {prev} e
+      JOIN adj{i} p ON p.n = e.a
+      JOIN adj{i} q ON q.n = e.b AND q.x = p.x
+      GROUP BY e.a, e.b
+      HAVING count(*) >= {k - 2}),
+    t{i} AS MATERIALIZED (SELECT a, b FROM sup{i})""")
+        prev = f"t{i}"
+    parts.append(f"\n    SELECT a, b, support FROM sup{rounds}\n")
+    return "".join(parts)

@@ -804,7 +804,7 @@ def main() -> None:
         "acronym_pairs", "kg_schema_publish", "geo_candidates",
         "date_mentions", "graph_cocitation", "graph_coupling",
         "graph_assortativity", "lid_confusion", "schema_drift",
-        "type_propagation", "microdata_items", "og_meta",
+        "type_propagation", "microdata_items", "og_meta", "graph_ktruss",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
