@@ -4050,6 +4050,58 @@ def _temporal_facts(spark, sf_dir):
     )
 
 
+def _conflict_facts_sql(dialect: str, source: str) -> str:
+    """Two crawl sources asserting timestamped facts: B disagrees with
+    A on born_in for every 4th subject (open-ended conflict) and
+    switches capital_of's object mid-history (bounded-overlap
+    conflict); works_at is multi-valued and stays out of the
+    functional policy."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    idiv = "DIV" if dialect == "spark" else "//"
+    r40 = f"doc_id % 40"
+    b = f"doc_id {idiv} 40"
+    born_obj = (
+        f"CASE WHEN {r40} % 4 = 0 THEN 'c' || CAST(({r40} + 1) % 7 AS {s})"
+        f" ELSE 'c' || CAST({r40} % 7 AS {s}) END"
+        if source == "b" else f"'c' || CAST({r40} % 7 AS {s})")
+    cap_obj = (
+        f"CASE WHEN {b} >= 5 THEN 'x1' ELSE 'x0' END"
+        if source == "b" else "'x0'")
+    return f"""
+    SELECT 'E' || CAST({r40} AS {s}) AS subj, 'born_in' AS pred,
+           {born_obj} AS obj,
+           CAST(1700000000 + ({b}) * 1000 AS BIGINT) AS ts
+    FROM documents
+    UNION ALL
+    SELECT 'K' || CAST(doc_id % 10 AS {s}), 'capital_of', {cap_obj},
+           CAST(1700000000 + ({b}) * 1000 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'E' || CAST({r40} AS {s}), 'works_at',
+           'o' || CAST(doc_id % 3 AS {s}),
+           CAST(1700000000 + ({b}) * 1000 AS BIGINT)
+    FROM documents"""
+
+
+def q_temporal_conflicts(spark, sf_dir):
+    # time-aware functional violations (r6d): SCD2 each source, union,
+    # detect overlapping different-object versions of functional preds
+    # — every row a cross-source disagreement with the disputed window
+    # attached (within-source versions are disjoint by construction).
+    # Oracle composes the scd2 mirror per source under the conflict
+    # join.
+    from augmented_codebase_indexer_spark.operators.temporal import (
+        scd2_intervals,
+        temporal_conflicts,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    va = scd2_intervals(spark.sql(_conflict_facts_sql("spark", "a")))
+    vb = scd2_intervals(spark.sql(_conflict_facts_sql("spark", "b")))
+    return temporal_conflicts(
+        va.unionByName(vb), ["born_in", "capital_of"])
+
+
 def q_triples_scd2(spark, sf_dir):
     # temporal KG: SCD2 validity intervals per (subj, pred) over
     # crawl-timestamped facts — gaps-and-islands, ONE entity-key shuffle
@@ -4279,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microdata_items": q_microdata_items,
         "og_meta": q_og_meta,
         "graph_ktruss": q_graph_ktruss,
+        "temporal_conflicts": q_temporal_conflicts,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6225,6 +6278,19 @@ def oracle_sql() -> dict[str, str]:
 
     sql["graph_ktruss"] = k_truss_oracle_sql(
         _entity_graph_sql("duckdb"), k=3)
+
+    from augmented_codebase_indexer_spark.operators.temporal import (
+        temporal_conflicts_oracle_sql,
+    )
+
+    _conf_versions = f"""
+    SELECT subj, pred, obj, valid_from, valid_to
+    FROM ({scd2_oracle_sql(_conflict_facts_sql('duckdb', 'a'))})
+    UNION ALL
+    SELECT subj, pred, obj, valid_from, valid_to
+    FROM ({scd2_oracle_sql(_conflict_facts_sql('duckdb', 'b'))})"""
+    sql["temporal_conflicts"] = temporal_conflicts_oracle_sql(
+        _conf_versions, ["born_in", "capital_of"])
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -402,3 +402,93 @@ def allen_relations_oracle_sql(
     FROM a JOIN b ON {on}
     WHERE s1 < e1 AND s2 < e2
     """
+
+
+_OPEN_SENTINEL = 9_223_372_036_854_775_807
+
+
+def temporal_conflicts(
+    versions: DataFrame,
+    functional_preds: Sequence[str],
+    key_cols: Sequence[str] = ("subj", "pred"),
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    val_col: str = "obj",
+) -> DataFrame:
+    """Time-aware functional-violation detection over merged SCD2
+    version tables: two versions of the same (subj, functional pred)
+    with DIFFERENT objects whose validity intervals OVERLAP are a
+    contradiction no snapshot can hide — 'born_in Paris' and 'born_in
+    Rome' can coexist in a timeline only if the intervals are disjoint
+    (which for born_in they never legitimately are).
+
+    The atemporal functional gate (`operators/kgquality.py::
+    functional_violations`) flags any multi-object subject; this is
+    the refinement a TEMPORAL KG needs: works_at legitimately takes
+    many objects ACROSS time and stays out of ``functional_preds``,
+    while a declared-functional predicate conflicts exactly when
+    intervals intersect. Within one source SCD2 intervals are disjoint
+    by construction, so every reported row is a CROSS-SOURCE
+    disagreement — the fusion tier's work queue, with the disputed
+    window attached.
+
+    Output: (subj, pred, obj_a, obj_b, overlap_from, overlap_to) with
+    obj_a < obj_b; ``overlap_to`` NULL when both versions are open-
+    ended. Half-open [from, to) semantics; NULL ``to`` = live.
+
+    Scale shape: one pred-filter (functional set is policy-sized),
+    one (subj, pred) self-join — co-partitioned on the same entity key
+    every SCD2 stage already shuffles on — and a constant-width
+    interval predicate. No window, no text."""
+    preds = list(functional_preds)
+    keys = list(key_cols)
+    v = (
+        versions.select(*keys, val_col, from_col, to_col)
+        .filter(F.col("pred").isin(preds))
+        .distinct()
+    )
+    a = v.select(
+        *keys,
+        F.col(val_col).alias("obj_a"),
+        F.col(from_col).alias("_fa"),
+        F.coalesce(F.col(to_col), F.lit(_OPEN_SENTINEL)).alias("_ta"),
+    )
+    b = v.select(
+        *keys,
+        F.col(val_col).alias("obj_b"),
+        F.col(from_col).alias("_fb"),
+        F.coalesce(F.col(to_col), F.lit(_OPEN_SENTINEL)).alias("_tb"),
+    )
+    return (
+        a.join(b, keys)
+        .filter(
+            (F.col("obj_a") < F.col("obj_b"))
+            & (F.col("_fa") < F.col("_tb"))
+            & (F.col("_fb") < F.col("_ta"))
+        )
+        .selectExpr(
+            *keys, "obj_a", "obj_b",
+            "greatest(_fa, _fb) AS overlap_from",
+            f"nullif(least(_ta, _tb), {_OPEN_SENTINEL}) AS overlap_to",
+        )
+    )
+
+
+def temporal_conflicts_oracle_sql(
+    versions_sql: str, functional_preds: Sequence[str]
+) -> str:
+    """DuckDB mirror of :func:`temporal_conflicts` over a versions
+    relation exposing (subj, pred, obj, valid_from, valid_to)."""
+    preds = ", ".join(f"'{p}'" for p in functional_preds)
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT DISTINCT subj, pred, obj, valid_from,
+             coalesce(valid_to, {_OPEN_SENTINEL}) AS vt
+      FROM ({versions_sql}) WHERE pred IN ({preds}))
+    SELECT a.subj, a.pred, a.obj AS obj_a, b.obj AS obj_b,
+           greatest(a.valid_from, b.valid_from) AS overlap_from,
+           nullif(least(a.vt, b.vt), {_OPEN_SENTINEL}) AS overlap_to
+    FROM v a JOIN v b
+      ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
+    WHERE a.valid_from < b.vt AND b.valid_from < a.vt
+    """
