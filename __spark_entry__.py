@@ -2961,6 +2961,35 @@ def _kg_schema_publish_oracle_sql() -> str:
     """
 
 
+def _path_facts_sql(dialect: str) -> str:
+    """Rule-mining facts plus an org hierarchy (o_k part_of o_{k DIV 2},
+    depth ≤ 4) so bounded closure has real chains to saturate."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""{_rule_triples_sql(dialect)}
+    UNION ALL
+    SELECT DISTINCT 'o' || CAST(doc_id % 12 AS {s}), 'part_of',
+           'o' || CAST((doc_id % 12) {idiv} 2 AS {s})
+    FROM documents WHERE doc_id % 12 >= 1"""
+
+
+_PATH_AST = ("alt",
+             ("seq", ("pred", "works_at"),
+              ("plus", ("pred", "part_of"), 4)),
+             ("pred", "lives_in"))
+
+
+def q_kg_property_paths(spark, sf_dir):
+    # SPARQL property-path algebra (r6d, W3C SPARQL 1.1 §9): ONE AST
+    # — works_at/part_of{1,4} | lives_in — compiled to DataFrame ops
+    # AND to oracle SQL by the same compiler, so arbitrary path
+    # queries stay oracle-gated without hand-written mirrors.
+    from augmented_codebase_indexer_spark.operators.paths import eval_path
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return eval_path(spark.sql(_path_facts_sql("spark")), _PATH_AST)
+
+
 def q_kg_rule_mining(spark, sf_dir):
     # AMIE-lite Horn rules (r6c): q(x,y) ⇒ p(x,y) with support, std
     # confidence AND the PCA confidence (partial completeness) — one
@@ -4332,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_meta": q_og_meta,
         "graph_ktruss": q_graph_ktruss,
         "temporal_conflicts": q_temporal_conflicts,
+        "kg_property_paths": q_kg_property_paths,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6291,6 +6321,13 @@ def oracle_sql() -> dict[str, str]:
     FROM ({scd2_oracle_sql(_conflict_facts_sql('duckdb', 'b'))})"""
     sql["temporal_conflicts"] = temporal_conflicts_oracle_sql(
         _conf_versions, ["born_in", "capital_of"])
+
+    from augmented_codebase_indexer_spark.operators.paths import (
+        eval_path_sql,
+    )
+
+    sql["kg_property_paths"] = eval_path_sql(
+        _path_facts_sql("duckdb"), _PATH_AST)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

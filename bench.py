@@ -805,7 +805,7 @@ def main() -> None:
         "date_mentions", "graph_cocitation", "graph_coupling",
         "graph_assortativity", "lid_confusion", "schema_drift",
         "type_propagation", "microdata_items", "og_meta", "graph_ktruss",
-        "temporal_conflicts",
+        "temporal_conflicts", "kg_property_paths",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
