@@ -2892,6 +2892,30 @@ def q_kg_schema_induction(spark, sf_dir):
     )
 
 
+def q_kg_schema_induction_incr(spark, sf_dir):
+    # incremental induction (r6d, the paradedup increment contract):
+    # the SAME documents processed as two arrival batches (parity
+    # split, with heavy cross-batch fact overlap by construction)
+    # through the seen-hash + algebraic-counts state machine — the
+    # oracle is the ONE-SHOT induction mirror, so the gate IS the
+    # batch-boundary-invariance theorem.
+    from augmented_codebase_indexer_spark.operators.typeinduction import (
+        induction_increment,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    types = spark.sql(_kg_types_sql("spark"))
+    d.filter("doc_id % 2 = 0").createOrReplaceTempView("documents")
+    b1 = spark.sql(_rule_triples_sql("spark"))
+    _, st, seen = induction_increment(b1, types)
+    d.filter("doc_id % 2 = 1").createOrReplaceTempView("documents")
+    b2 = spark.sql(_rule_triples_sql("spark"))
+    induced, _, _ = induction_increment(b2, types, state=st, seen=seen)
+    d.createOrReplaceTempView("documents")
+    return induced
+
+
 def q_kg_type_violations(spark, sf_dir):
     # induced-schema violations (r6d): typed ends contradicting the
     # induced majority — bot subjects and region-typed city objects.
@@ -4342,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_profile": q_kg_pred_profile,
         "kg_schema_induction": q_kg_schema_induction,
         "kg_type_violations": q_kg_type_violations,
+        "kg_schema_induction_incr": q_kg_schema_induction_incr,
         "kg_completeness": q_kg_completeness,
         "quote_attribution": q_quote_attribution,
         "er_name_blocking": q_er_name_blocking,
@@ -6213,6 +6238,10 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_pred_profile"] = predicate_profile_oracle_sql(
         _rule_triples_sql("duckdb"))
     sql["kg_schema_induction"] = induce_domain_range_oracle_sql(
+        _rule_triples_sql("duckdb"), _kg_types_sql("duckdb"))
+    # the incremental form's gate IS the one-shot mirror:
+    # batch-boundary invariance as a driver-checked theorem
+    sql["kg_schema_induction_incr"] = induce_domain_range_oracle_sql(
         _rule_triples_sql("duckdb"), _kg_types_sql("duckdb"))
     sql["kg_type_violations"] = type_violations_oracle_sql(
         _rule_triples_sql("duckdb"), _kg_types_sql("duckdb"))

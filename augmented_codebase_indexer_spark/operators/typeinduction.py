@@ -115,6 +115,98 @@ def type_violations(
     return subj_v.unionByName(obj_v)
 
 
+# separator keeps ('ab','c') and ('a','bc') hash-distinct
+FACT_SEP = "\x01"
+
+
+def _majority_from_counts(state: DataFrame, end: str, key: str) -> DataFrame:
+    """state rows (pred, end, type, cnt) for one ``end`` → the same
+    per-pred majority/support/share columns as :func:`_majority`."""
+    counts = state.filter(F.col("end") == end).select("pred", "type", "cnt")
+    totals = counts.groupBy("pred").agg(
+        F.sum("cnt").cast("long").alias(f"{key}_typed"))
+    pick = F.struct((-F.col("cnt")).alias("neg"),
+                    F.col("type").alias("t"))
+    best = counts.groupBy("pred").agg(F.min(pick).alias("b")).select(
+        "pred",
+        F.col("b.t").alias(f"{key}_type"),
+        (-F.col("b.neg")).cast("long").alias(f"{key}_support"),
+    )
+    return best.join(totals, "pred").selectExpr(
+        "pred", f"{key}_type", f"{key}_support", f"{key}_typed",
+        f"{key}_support * {MICRO} DIV {key}_typed AS {key}_share_micro",
+    )
+
+
+def induced_from_state(state: DataFrame) -> DataFrame:
+    """(pred, end, type, cnt) counts → the induce_domain_range output
+    frame; state is algebraic, so merged batch states reproduce the
+    one-shot induction EXACTLY (asserted in tests)."""
+    dom = _majority_from_counts(state, "domain", "domain")
+    rng = _majority_from_counts(state, "range", "range")
+    return dom.join(rng, "pred", "full_outer").select(
+        "pred",
+        "domain_type", "domain_support", "domain_typed",
+        "domain_share_micro",
+        "range_type", "range_support", "range_typed",
+        "range_share_micro",
+    )
+
+
+def induction_increment(
+    facts_batch: DataFrame,
+    types: DataFrame,
+    state: DataFrame | None = None,
+    seen: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental induction for crawl batches (the
+    `paradedup.paragraph_dedup_increment` contract): dedup the batch's
+    facts against ``seen`` — the persisted fact-hash relation from all
+    prior batches — fold the batch's (pred, end, type) type-evidence
+    counts into ``state``, and re-derive the induced schema from the
+    merged state. Returns (induced, new_state, new_fact_hashes).
+
+    Invariance: counts are ALGEBRAIC and the seen-hash anti-join makes
+    cross-batch duplicate facts count once, so any batch partitioning
+    of the corpus yields EXACTLY the one-shot
+    :func:`induce_domain_range` output — asserted batch-boundary
+    tests, and the entry's oracle IS the one-shot mirror.
+
+    Scale shape: the state is pred-vocab × type-vocab × 2 rows
+    (rewritten whole each batch — it is tiny); ``seen`` is the slim
+    hash relation, bucketed like the paradedup winners table; per
+    batch the cost is the batch's own type joins plus one anti-join —
+    never a rescan of history."""
+    f = facts_batch.select("subj", "pred", "obj").distinct().withColumn(
+        "h", F.md5(F.concat_ws(FACT_SEP, "subj", "pred", "obj")))
+    if seen is not None:
+        f = f.join(seen.select("h"), "h", "left_anti")
+    new_hashes = f.select("h").distinct()
+    t = types.select("entity", "type").distinct()
+    dom = (
+        f.join(t, f["subj"] == t["entity"])
+        .select("pred", F.lit("domain").alias("end"), "type")
+    )
+    rng = (
+        f.join(t, f["obj"] == t["entity"])
+        .select("pred", F.lit("range").alias("end"), "type")
+    )
+    batch_counts = (
+        dom.unionByName(rng)
+        .groupBy("pred", "end", "type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    if state is not None:
+        new_state = (
+            state.unionByName(batch_counts)
+            .groupBy("pred", "end", "type")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    else:
+        new_state = batch_counts
+    return induced_from_state(new_state), new_state, new_hashes
+
+
 def induced_declarations(
     induced: DataFrame,
     min_share_micro: int = 600_000,

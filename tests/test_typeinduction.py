@@ -116,3 +116,28 @@ def test_induced_declarations_bar(spark):
     want = {tuple(r) for r in duckdb.connect().execute(
         induced_declarations_oracle_sql(f_sql, t_sql)).fetchall()}
     assert got == want
+
+
+def test_increment_is_batch_boundary_invariant(spark):
+    from augmented_codebase_indexer_spark.operators.typeinduction import (
+        induction_increment,
+    )
+
+    f, t = _dfs(spark)
+    one_shot = sorted(tuple(r)
+                      for r in induce_domain_range(f, t).collect())
+    # split facts 2/1 with an OVERLAPPING duplicate planted in batch 2
+    b1 = spark.createDataFrame(
+        FACTS[:5], "subj string, pred string, obj string")
+    b2 = spark.createDataFrame(
+        FACTS[4:] + [FACTS[0]], "subj string, pred string, obj string")
+    ind1, st, seen = induction_increment(b1, t)
+    ind2, st2, seen2 = induction_increment(
+        b2, t, state=st, seen=seen)
+    got = sorted(tuple(r) for r in ind2.collect())
+    assert got == one_shot
+    # the overlap fact was not double counted: state equals the
+    # one-shot evidence counts
+    _, st_one, _ = induction_increment(f, t)
+    assert (sorted(tuple(r) for r in st2.collect())
+            == sorted(tuple(r) for r in st_one.collect()))
