@@ -307,6 +307,58 @@ def cmd_stats(args) -> dict:
     return out
 
 
+def cmd_schema(args) -> dict:
+    """The 9th verb: run the measure → induce → promote → check loop
+    over the warehouse's own edges/nodes and report what schema the
+    graph has EARNED — induced domain/range per predicate, which rows
+    cleared the evidence bar into declarations, and how much of the
+    graph violates them. Read-only; the nightly job
+    (`jobs/schema_qa.py`) is the materializing form."""
+    from pyspark.sql import functions as F
+
+    from .operators.kgquality import domain_range_violations
+    from .operators.typeinduction import (
+        induce_domain_range,
+        induced_declarations,
+    )
+    from .sources.catalog import Warehouse
+
+    spark = _spark("aci-schema")
+    wh = Warehouse(args.warehouse)
+    edges = wh.read(spark, "edges").select(
+        F.col("subj_id").alias("subj"), "pred",
+        F.col("obj_id").alias("obj"))
+    nodes = (
+        wh.read(spark, "nodes")
+        .select(F.col("node_id").alias("entity"),
+                F.col("entity_type").alias("type"))
+        .filter(F.col("type").isNotNull())
+        .distinct()
+    )
+    induced = induce_domain_range(edges, nodes)
+    decls = induced_declarations(
+        induced, args.min_share_micro, args.min_typed)
+    nt = nodes.select(F.col("entity").alias("node_id"),
+                      F.col("type").alias("node_type"))
+    v = domain_range_violations(edges, nt, decls)
+    by_pred = {
+        r["pred"]: r["n"]
+        for r in v.groupBy("pred").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pred").limit(10).collect()
+    }
+    return {
+        "predicates_induced": induced.count(),
+        "declarations": sorted(
+            (r["pred"], r["domain_type"], r["range_type"])
+            for r in decls.collect()
+        ),
+        "violations": v.count(),
+        "violations_by_pred": by_pred,
+        "bar": {"min_share_micro": args.min_share_micro,
+                "min_typed": args.min_typed},
+    }
+
+
 def cmd_import(args) -> dict:
     """S10 import path: load an exported graph back into warehouse
     tables. 'replace' overwrites nodes/edges; 'merge' unions with the
@@ -439,6 +491,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "— the 10^12-scale read path (estimates are "
                         "display-only; every gated value stays exact)")
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser(
+        "schema",
+        help="induce domain/range from the graph's own evidence and "
+             "report declarations + conformance")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--min-share-micro", type=int, default=600_000)
+    p.add_argument("--min-typed", type=int, default=3)
+    p.set_defaults(fn=cmd_schema)
 
     p = sub.add_parser("export", help="export nodes/edges")
     p.add_argument("--warehouse", required=True)

@@ -262,3 +262,18 @@ def test_search_snippets_flag(built):
     # without the flag the payload shape is unchanged
     plain = main(["search", "--warehouse", wh, "-k", "3", "cluster data"])
     assert all(set(r) == {"url", "score", "backend"} for r in plain["results"])
+
+
+def test_schema_verb(built):
+    wh, _ = built
+    res = main(["schema", "--warehouse", wh])
+    assert res["predicates_induced"] > 0
+    # declarations are (pred, domain, range) triples that cleared the bar
+    for pred, dom, rng in res["declarations"]:
+        assert pred and dom and rng
+    assert res["violations"] >= 0
+    assert res["bar"] == {"min_share_micro": 600000, "min_typed": 3}
+    # an impossible bar declares nothing and hence violates nothing
+    strict = main(["schema", "--warehouse", wh,
+                   "--min-share-micro", "1000001"])
+    assert strict["declarations"] == [] and strict["violations"] == 0
