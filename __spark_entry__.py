@@ -2864,6 +2864,32 @@ def _og_expected_sql() -> str:
     SELECT doc_id, 'type', 'article' FROM documents"""
 
 
+def _cusum_daily_sql(dialect: str) -> str:
+    """Two daily-count series with a deterministic wiggle; s1 carries a
+    +8 level shift from day 25 that no single day would flag."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+    WITH days AS (SELECT DISTINCT doc_id {idiv} 10 AS d FROM documents)
+    SELECT 's0' AS series, d AS day, 10 + d % 3 AS cnt FROM days
+    UNION ALL
+    SELECT 's1', d,
+           10 + d % 3 + CASE WHEN d >= 25 THEN 8 ELSE 0 END
+    FROM days"""
+
+
+def q_cusum_alarms(spark, sf_dir):
+    # Page's CUSUM (r6d): the persistent-small-shift detector next to
+    # the one-day burst screen; recursion rewritten as prefix-sum
+    # minus running-min — two partitioned windows, all BIGINT.
+    from augmented_codebase_indexer_spark.operators.changepoint import (
+        cusum_alarms,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return cusum_alarms(spark.sql(_cusum_daily_sql("spark")),
+                        h_micro=20_000_000)
+
+
 def q_kg_pred_profile(spark, sf_dir):
     # AMIE functionality/cardinality profile (r6d): counts over the
     # deduped fact table + truncating micro divisions; the measurement
@@ -4387,6 +4413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "temporal_conflicts": q_temporal_conflicts,
         "kg_property_paths": q_kg_property_paths,
+        "cusum_alarms": q_cusum_alarms,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6357,6 +6384,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kg_property_paths"] = eval_path_sql(
         _path_facts_sql("duckdb"), _PATH_AST)
+
+    from augmented_codebase_indexer_spark.operators.changepoint import (
+        cusum_alarms_oracle_sql,
+    )
+
+    sql["cusum_alarms"] = cusum_alarms_oracle_sql(
+        _cusum_daily_sql("duckdb"), h_micro=20_000_000)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
