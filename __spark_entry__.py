@@ -2877,6 +2877,60 @@ def _cusum_daily_sql(dialect: str) -> str:
     FROM days"""
 
 
+def _negation_pages_sql() -> str:
+    """Planted negated claims (closed-form oracle): one is_not_a every
+    doc, is_no every 2nd, never every 3rd, denial every 5th, plus a
+    positive copula decoy that must never match."""
+    return """
+    SELECT doc_id,
+           'Item' || CAST(doc_id % 9 AS STRING) || ' is not a widget'
+           || CAST(doc_id % 4 AS STRING) || '. '
+           || CASE WHEN doc_id % 2 = 0 THEN
+                'Brand' || CAST(doc_id % 7 AS STRING) || ' is no leader. '
+              ELSE '' END
+           || CASE WHEN doc_id % 3 = 0 THEN
+                'Vendor' || CAST(doc_id % 5 AS STRING)
+                || ' was never a partner. ' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN
+                'Exec' || CAST(doc_id % 6 AS STRING)
+                || ' denied being an insider. ' ELSE '' END
+           || 'Acme is a company.' AS text
+    FROM documents"""
+
+
+def q_negated_claims(spark, sf_dir):
+    # negation-guarded mining (r6d, NegEx tight scope): negated
+    # membership claims as a suppression/refuting-vote relation —
+    # extract the denial, never assert it. Closed-form oracle.
+    from augmented_codebase_indexer_spark.operators.negation import (
+        negated_assertions,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return negated_assertions(spark.sql(_negation_pages_sql()))
+
+
+def _negation_expected_sql() -> str:
+    return """
+    SELECT doc_id, 'Item' || CAST(doc_id % 9 AS VARCHAR) AS subj,
+           'is_a' AS pred,
+           'widget' || CAST(doc_id % 4 AS VARCHAR) AS obj,
+           'is_not_a' AS frame
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'Brand' || CAST(doc_id % 7 AS VARCHAR), 'is_a',
+           'leader', 'is_no'
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'Vendor' || CAST(doc_id % 5 AS VARCHAR), 'is_a',
+           'partner', 'never'
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'Exec' || CAST(doc_id % 6 AS VARCHAR), 'is_a',
+           'insider', 'denial'
+    FROM documents WHERE doc_id % 5 = 0"""
+
+
 def q_cusum_alarms(spark, sf_dir):
     # Page's CUSUM (r6d): the persistent-small-shift detector next to
     # the one-day burst screen; recursion rewritten as prefix-sum
@@ -4414,6 +4468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_conflicts": q_temporal_conflicts,
         "kg_property_paths": q_kg_property_paths,
         "cusum_alarms": q_cusum_alarms,
+        "negated_claims": q_negated_claims,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6391,6 +6446,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["cusum_alarms"] = cusum_alarms_oracle_sql(
         _cusum_daily_sql("duckdb"), h_micro=20_000_000)
+
+    sql["negated_claims"] = _negation_expected_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
