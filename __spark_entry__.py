@@ -2931,6 +2931,17 @@ def _negation_expected_sql() -> str:
     FROM documents WHERE doc_id % 5 = 0"""
 
 
+def q_nav_paths(spark, sf_dir):
+    # contiguous event-type trigrams per user (r6d, the AprioriAll
+    # contiguous tier): the multi-step behavior mining next to the
+    # memoryless transition matrix — real events table, min_count=3.
+    from augmented_codebase_indexer_spark.operators.navpaths import (
+        path_ngrams,
+    )
+
+    return path_ngrams(_t(spark, sf_dir, "events"), n=3, min_count=3)
+
+
 def q_cusum_alarms(spark, sf_dir):
     # Page's CUSUM (r6d): the persistent-small-shift detector next to
     # the one-day burst screen; recursion rewritten as prefix-sum
@@ -4469,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_paths": q_kg_property_paths,
         "cusum_alarms": q_cusum_alarms,
         "negated_claims": q_negated_claims,
+        "nav_paths": q_nav_paths,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6448,6 +6460,14 @@ def oracle_sql() -> dict[str, str]:
         _cusum_daily_sql("duckdb"), h_micro=20_000_000)
 
     sql["negated_claims"] = _negation_expected_sql()
+
+    from augmented_codebase_indexer_spark.operators.navpaths import (
+        path_ngrams_oracle_sql,
+    )
+
+    sql["nav_paths"] = path_ngrams_oracle_sql(
+        "SELECT event_id, ts, user_id, event_type FROM events",
+        n=3, min_count=3)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
