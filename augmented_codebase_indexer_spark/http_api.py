@@ -132,6 +132,12 @@ class AciHttpServer:
                 warehouse=self.warehouse, entity=entity,
                 depth=one("depth", 2, int), direction=direction,
             ))
+        if u.path == "/schema":
+            return 200, cli.cmd_schema(SimpleNamespace(
+                warehouse=self.warehouse,
+                min_share_micro=one("min_share_micro", 600_000, int),
+                min_typed=one("min_typed", 3, int),
+            ))
         if u.path == "/context":
             seeds = q.get("entity")
             if not seeds:
@@ -217,6 +223,28 @@ class AciHttpServer:
             "description": "Warehouse table counts and freshness "
                            "(reference: get_index_status).",
             "inputSchema": {"type": "object", "properties": {}},
+        },
+        {
+            "name": "get_schema_report",
+            "description": "Induce domain/range from the graph's own "
+                           "evidence and report the declarations that "
+                           "cleared the bar plus conformance "
+                           "violations (read-only).",
+            "inputSchema": {
+                "type": "object",
+                "properties": {
+                    "min_share_micro": {
+                        "type": "integer",
+                        "description": "majority-share evidence bar in "
+                                       "micro units (default 600000)",
+                    },
+                    "min_typed": {
+                        "type": "integer",
+                        "description": "typed-occurrence evidence bar "
+                                       "(default 3)",
+                    },
+                },
+            },
         },
     ]
 
@@ -308,6 +336,11 @@ class AciHttpServer:
                 direction=direction))
         if name == "get_index_status":
             return cli.cmd_stats(SimpleNamespace(warehouse=self.warehouse))
+        if name == "get_schema_report":
+            return cli.cmd_schema(SimpleNamespace(
+                warehouse=self.warehouse,
+                min_share_micro=int(args.get("min_share_micro", 600_000)),
+                min_typed=int(args.get("min_typed", 3))))
         raise ValueError(f"unknown tool {name!r}")
 
     # -- lifecycle ----------------------------------------------------------

@@ -131,7 +131,7 @@ def test_mcp_initialize_and_tools_list(server):
     code, body = _rpc(base, "tools/list")
     names = {t["name"] for t in body["result"]["tools"]}
     assert names == {"search_code", "get_symbol_context", "query_graph",
-                     "get_index_status"}
+                     "get_index_status", "get_schema_report"}
     # every tool advertises a JSON schema an MCP client can validate with
     assert all(t["inputSchema"]["type"] == "object"
                for t in body["result"]["tools"])
@@ -220,3 +220,19 @@ def test_mcp_error_envelopes(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_schema_route_and_mcp_parity(server):
+    base, _, _ = server
+    code, via_get = _get(base, "/schema")
+    assert code == 200
+    assert via_get["predicates_induced"] >= 0
+    assert via_get["bar"] == {"min_share_micro": 600000, "min_typed": 3}
+    _, body = _rpc(base, "tools/call",
+                   {"name": "get_schema_report", "arguments": {}})
+    assert body["result"]["isError"] is False
+    via_mcp = json.loads(body["result"]["content"][0]["text"])
+    assert via_mcp == via_get
+    # the bar parameters reach the fold through both surfaces
+    _, strict = _get(base, "/schema?min_share_micro=1000001")
+    assert strict["declarations"] == [] and strict["violations"] == 0
