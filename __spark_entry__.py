@@ -2931,6 +2931,19 @@ def _negation_expected_sql() -> str:
     FROM documents WHERE doc_id % 5 = 0"""
 
 
+def q_entity_fact_summary(spark, sf_dir):
+    # entity cards (r6d, LinkSUM rarity tier): top-3 facts per subject
+    # by predicate subject-frequency ascending; planned as
+    # WindowGroupLimit so only k rows per subject survive the exchange.
+    from augmented_codebase_indexer_spark.operators.factsummary import (
+        entity_fact_summary,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return entity_fact_summary(
+        spark.sql(_path_facts_sql("spark")), k=3)
+
+
 def q_nav_paths(spark, sf_dir):
     # contiguous event-type trigrams per user (r6d, the AprioriAll
     # contiguous tier): the multi-step behavior mining next to the
@@ -4481,6 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_alarms": q_cusum_alarms,
         "negated_claims": q_negated_claims,
         "nav_paths": q_nav_paths,
+        "entity_fact_summary": q_entity_fact_summary,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6468,6 +6482,13 @@ def oracle_sql() -> dict[str, str]:
     sql["nav_paths"] = path_ngrams_oracle_sql(
         "SELECT event_id, ts, user_id, event_type FROM events",
         n=3, min_count=3)
+
+    from augmented_codebase_indexer_spark.operators.factsummary import (
+        entity_fact_summary_oracle_sql,
+    )
+
+    sql["entity_fact_summary"] = entity_fact_summary_oracle_sql(
+        _path_facts_sql("duckdb"), k=3)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
