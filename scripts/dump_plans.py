@@ -965,6 +965,34 @@ def main() -> None:
         "round keeps lineage flat (LogicalRDD leaves visible).",
     )
 
+    queries["kg_property_paths (dual-target path algebra)"] = (
+        _entry.queries()["kg_property_paths"](spark, SF),
+        "r6d: every combinator an equi-join/union on slim (subj, obj) "
+        "pairs; predicate selection prunes at the scan; bounded plus "
+        "is k-1 co-partitioned joins.",
+    )
+
+    queries["entity_fact_summary (LinkSUM rarity top-k)"] = (
+        _entry.queries()["entity_fact_summary"](spark, SF),
+        "r6d: pred-df broadcast onto facts, subject-partitioned "
+        "top-k planned as WindowGroupLimit (rank pushdown asserted "
+        "in-session: only k rows per subject survive the exchange).",
+    )
+
+    queries["cusum_alarms (prefix-sum/running-min identity)"] = (
+        _entry.queries()["cusum_alarms"](spark, SF),
+        "r6d: one series-partitioned window pass (running sum + "
+        "running min), one map-side mu aggregate; no unpartitioned "
+        "window, no recursion.",
+    )
+
+    queries["temporal_conflicts (merged-SCD2 functional check)"] = (
+        _entry.queries()["temporal_conflicts"](spark, SF),
+        "r6d: two SCD2 chains then a (subj, pred) self-join "
+        "co-partitioned on the key SCD2 already shuffles on; "
+        "constant-width interval predicate.",
+    )
+
     queries["kg_schema_publish (measure->induce->gate loop)"] = (
         _entry.queries()["kg_schema_publish"](spark, SF),
         "r6d: induction folds to pred-vocab rows, declarations ride a "
