@@ -2944,6 +2944,114 @@ def q_entity_fact_summary(spark, sf_dir):
         spark.sql(_path_facts_sql("spark")), k=3)
 
 
+def q_host_crawl_report(spark, sf_dir):
+    # host crawl-health triage (r6d): the trap, politeness-drain and
+    # budget screens — each its own oracle-gated operator — composed
+    # into one host-grain report. h0 serves one content hash (trap);
+    # even hosts carry planted Crawl-delays whose queues exceed the
+    # 200 s window; odd hosts drain on the default delay.
+    from augmented_codebase_indexer_spark.operators.budget import (
+        crawl_budget,
+    )
+    from augmented_codebase_indexer_spark.operators.crawlreport import (
+        host_crawl_report,
+    )
+    from augmented_codebase_indexer_spark.operators.schedule import (
+        fetch_schedule,
+        host_drain,
+        parse_crawl_delays,
+    )
+    from augmented_codebase_indexer_spark.operators.traps import (
+        url_alias_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 6).cast("string"),
+                    F.lit(".example"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"))
+    fetches = d.select(
+        url.alias("url"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("trap-content"))
+        .otherwise(F.md5(F.col("doc_id").cast("string")))
+        .alias("content_hash"),
+    )
+    queue = d.select(
+        url.alias("url"), host.alias("host"),
+        (F.expr("doc_id DIV 6") + 1).cast("long").alias("slot"),
+    )
+    nl = "\n"
+    robots = (
+        d.select((F.col("doc_id") % 6).alias("h")).distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string"),
+                     F.lit(".example")).alias("domain"),
+            F.when(
+                F.col("h") % 2 == 0,
+                F.concat(F.lit(f"User-agent: *{nl}Crawl-delay: "),
+                         (F.col("h") + 2).cast("string")),
+            ).otherwise(F.lit(f"User-agent: *{nl}Disallow: /x"))
+            .alias("robots_txt"),
+        )
+    )
+    sched = fetch_schedule(
+        queue, parse_crawl_delays(robots),
+        start_epoch_ms=1_700_000_000_000, default_delay_ms=1000)
+    drain = host_drain(sched, window_ms=200_000)
+    counts = queue.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"))
+    return host_crawl_report(
+        url_alias_profile(fetches), drain,
+        crawl_budget(counts, budget=100))
+
+
+def _host_report_oracle_sql() -> str:
+    from augmented_codebase_indexer_spark.operators.budget import (
+        crawl_budget_oracle_sql,
+    )
+    from augmented_codebase_indexer_spark.operators.crawlreport import (
+        host_crawl_report_oracle_sql,
+    )
+    from augmented_codebase_indexer_spark.operators.schedule import (
+        fetch_schedule_oracle_sql,
+        host_drain_oracle_sql,
+    )
+    from augmented_codebase_indexer_spark.operators.traps import (
+        url_alias_profile_oracle_sql,
+    )
+
+    fetches = """
+    SELECT 'https://h' || CAST(doc_id % 6 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 6 = 0 THEN 'trap-content'
+                ELSE md5(CAST(doc_id AS VARCHAR)) END AS content_hash
+    FROM documents"""
+    queue = """
+    SELECT 'https://h' || CAST(doc_id % 6 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+           'h' || CAST(doc_id % 6 AS VARCHAR) || '.example' AS host,
+           doc_id // 6 + 1 AS slot
+    FROM documents"""
+    robots = """
+    SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS domain,
+           CASE WHEN h % 2 = 0
+                THEN 'User-agent: *' || chr(10) || 'Crawl-delay: '
+                     || CAST(h + 2 AS VARCHAR)
+                ELSE 'User-agent: *' || chr(10) || 'Disallow: /x'
+           END AS robots_txt
+    FROM (SELECT DISTINCT doc_id % 6 AS h FROM documents)"""
+    sched = fetch_schedule_oracle_sql(
+        queue, robots, agent="aci-bot",
+        start_epoch_ms=1_700_000_000_000, default_delay_ms=1000)
+    counts = (f"SELECT host, CAST(count(*) AS BIGINT) AS n_pages"
+              f" FROM ({queue}) GROUP BY host")
+    return host_crawl_report_oracle_sql(
+        url_alias_profile_oracle_sql(fetches),
+        host_drain_oracle_sql(sched, 200_000),
+        crawl_budget_oracle_sql(counts, budget=100),
+    )
+
+
 def q_nav_paths(spark, sf_dir):
     # contiguous event-type trigrams per user (r6d, the AprioriAll
     # contiguous tier): the multi-step behavior mining next to the
@@ -4495,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negated_claims": q_negated_claims,
         "nav_paths": q_nav_paths,
         "entity_fact_summary": q_entity_fact_summary,
+        "host_crawl_report": q_host_crawl_report,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6489,6 +6598,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["entity_fact_summary"] = entity_fact_summary_oracle_sql(
         _path_facts_sql("duckdb"), k=3)
+
+    sql["host_crawl_report"] = _host_report_oracle_sql()
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
