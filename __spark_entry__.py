@@ -2944,6 +2944,34 @@ def q_entity_fact_summary(spark, sf_dir):
         spark.sql(_path_facts_sql("spark")), k=3)
 
 
+def q_quality_calibration(spark, sf_dir):
+    # reliability-diagram fold (r6d): does the surface quality score
+    # predict exact-duplicate membership? Composes the gated
+    # quality_micro expression with the md5 dup label over the real
+    # corpus — fixed bucket edges so the gate is not a moving target.
+    from augmented_codebase_indexer_spark.operators.calibration import (
+        score_calibration,
+    )
+    from augmented_codebase_indexer_spark.operators.textstats import (
+        quality_micro_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    dup = (
+        d.select(F.md5("text").alias("h"))
+        .groupBy("h").agg(F.count("*").cast("long").alias("k"))
+    )
+    scored = (
+        d.select("text", F.md5("text").alias("h"))
+        .join(dup, "h")
+        .select(
+            quality_micro_col(F.col("text")).alias("score"),
+            (F.col("k") > 1).alias("label"),
+        )
+    )
+    return score_calibration(scored, "score", "label")
+
+
 def q_host_crawl_report(spark, sf_dir):
     # host crawl-health triage (r6d): the trap, politeness-drain and
     # budget screens — each its own oracle-gated operator — composed
@@ -4604,6 +4632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nav_paths": q_nav_paths,
         "entity_fact_summary": q_entity_fact_summary,
         "host_crawl_report": q_host_crawl_report,
+        "quality_calibration": q_quality_calibration,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6600,6 +6629,19 @@ def oracle_sql() -> dict[str, str]:
         _path_facts_sql("duckdb"), k=3)
 
     sql["host_crawl_report"] = _host_report_oracle_sql()
+
+    from augmented_codebase_indexer_spark.operators.calibration import (
+        score_calibration_oracle_sql,
+    )
+    from augmented_codebase_indexer_spark.operators.textstats import (
+        quality_micro_sql,
+    )
+
+    sql["quality_calibration"] = score_calibration_oracle_sql(f"""
+    SELECT {quality_micro_sql('t.text')} AS score, (c.k > 1) AS label
+    FROM (SELECT text, md5(text) AS h FROM documents) t
+    JOIN (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS k
+          FROM documents GROUP BY md5(text)) c ON t.h = c.h""")
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)
