@@ -2944,6 +2944,48 @@ def q_entity_fact_summary(spark, sf_dir):
         spark.sql(_path_facts_sql("spark")), k=3)
 
 
+def _kv_pages_sql() -> str:
+    """Planted colon frames (closed-form oracle): a grouped population
+    every doc, a plain-year every doc, a malformed-grouping decoy
+    whose prefix digits parse (strict-grouping semantics), and a
+    lowercase label that never matches."""
+    return """
+    SELECT doc_id,
+           'Population: ' || CAST(1 + doc_id % 900 AS STRING) || ','
+           || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')
+           || '. Founded: ' || CAST(1900 + doc_id % 120 AS STRING)
+           || '. Malformed: 12,3' || CAST(doc_id % 10 AS STRING)
+           || ' x. lowercase: 77.' AS text
+    FROM documents"""
+
+
+def q_kv_numeric_facts(spark, sf_dir):
+    # infobox-style numeric KV mining (r6d): strict comma grouping OR
+    # plain digit runs; value lands as exact BIGINT via regex-gated
+    # replace+try_cast. Closed-form oracle.
+    from augmented_codebase_indexer_spark.operators.kvfacts import (
+        kv_numeric_facts,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return kv_numeric_facts(spark.sql(_kv_pages_sql()))
+
+
+def _kv_expected_sql() -> str:
+    return """
+    SELECT doc_id, 'Population' AS key,
+           CAST(1 + doc_id % 900 AS VARCHAR) || ','
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS raw,
+           (1 + doc_id % 900) * 1000 + doc_id % 1000 AS value
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'Founded', CAST(1900 + doc_id % 120 AS VARCHAR),
+           1900 + doc_id % 120
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'Malformed', '12', 12 FROM documents"""
+
+
 def q_quality_calibration(spark, sf_dir):
     # reliability-diagram fold (r6d): does the surface quality score
     # predict exact-duplicate membership? Composes the gated
@@ -4633,6 +4675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_fact_summary": q_entity_fact_summary,
         "host_crawl_report": q_host_crawl_report,
         "quality_calibration": q_quality_calibration,
+        "kv_numeric_facts": q_kv_numeric_facts,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6636,6 +6679,8 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.textstats import (
         quality_micro_sql,
     )
+
+    sql["kv_numeric_facts"] = _kv_expected_sql()
 
     sql["quality_calibration"] = score_calibration_oracle_sql(f"""
     SELECT {quality_micro_sql('t.text')} AS score, (c.k > 1) AS label
