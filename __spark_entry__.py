@@ -2986,6 +2986,20 @@ def _kv_expected_sql() -> str:
     SELECT doc_id, 'Malformed', '12', 12 FROM documents"""
 
 
+def q_qa_sample(spark, sf_dir):
+    # deterministic review sampling (r6d): 5 hash-smallest facts per
+    # predicate — exact quota, zero RNG state, WindowGroupLimit plan;
+    # the weekly human-QA feed.
+    from augmented_codebase_indexer_spark.operators.qasample import (
+        stratified_sample,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return stratified_sample(
+        spark.sql(_rule_triples_sql("spark")).distinct(),
+        ["pred"], ["subj", "pred", "obj"], k=5)
+
+
 def q_quality_calibration(spark, sf_dir):
     # reliability-diagram fold (r6d): does the surface quality score
     # predict exact-duplicate membership? Composes the gated
@@ -4676,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_crawl_report": q_host_crawl_report,
         "quality_calibration": q_quality_calibration,
         "kv_numeric_facts": q_kv_numeric_facts,
+        "qa_sample": q_qa_sample,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6681,6 +6696,14 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["kv_numeric_facts"] = _kv_expected_sql()
+
+    from augmented_codebase_indexer_spark.operators.qasample import (
+        stratified_sample_oracle_sql,
+    )
+
+    sql["qa_sample"] = stratified_sample_oracle_sql(
+        f"SELECT DISTINCT subj, pred, obj FROM ({_rule_triples_sql('duckdb')})",
+        ["pred"], ["subj", "pred", "obj"], k=5)
 
     sql["quality_calibration"] = score_calibration_oracle_sql(f"""
     SELECT {quality_micro_sql('t.text')} AS score, (c.k > 1) AS label
