@@ -2986,6 +2986,20 @@ def _kv_expected_sql() -> str:
     SELECT doc_id, 'Malformed', '12', 12 FROM documents"""
 
 
+def q_er_canopy(spark, sf_dir):
+    # canopy blocking (r6d, McCallum KDD'00): rare-token canopies over
+    # the SAME name universe as er_name_blocking — the 'e' both-ends
+    # variants the two-end keys provably miss share their number token
+    # with the canonicals, so this tier recovers exactly that class
+    # (the union-of-key-families story, each tier measured).
+    from augmented_codebase_indexer_spark.operators.canopy import (
+        canopy_candidates,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return canopy_candidates(spark.sql(_er_names_sql("spark")), max_df=10)
+
+
 def q_qa_sample(spark, sf_dir):
     # deterministic review sampling (r6d): 5 hash-smallest facts per
     # predicate — exact quota, zero RNG state, WindowGroupLimit plan;
@@ -4691,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "kv_numeric_facts": q_kv_numeric_facts,
         "qa_sample": q_qa_sample,
+        "er_canopy": q_er_canopy,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6700,6 +6715,13 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.qasample import (
         stratified_sample_oracle_sql,
     )
+
+    from augmented_codebase_indexer_spark.operators.canopy import (
+        canopy_candidates_oracle_sql,
+    )
+
+    sql["er_canopy"] = canopy_candidates_oracle_sql(
+        _er_names_sql("duckdb"), max_df=10)
 
     sql["qa_sample"] = stratified_sample_oracle_sql(
         f"SELECT DISTINCT subj, pred, obj FROM ({_rule_triples_sql('duckdb')})",
