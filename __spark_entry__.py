@@ -3022,6 +3022,12 @@ def q_quality_calibration(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.calibration import (
         score_calibration,
     )
+
+    return score_calibration(
+        _quality_scored(spark, sf_dir), "score", "label")
+
+
+def _quality_scored(spark, sf_dir):
     from augmented_codebase_indexer_spark.operators.textstats import (
         quality_micro_col,
     )
@@ -3031,7 +3037,7 @@ def q_quality_calibration(spark, sf_dir):
         d.select(F.md5("text").alias("h"))
         .groupBy("h").agg(F.count("*").cast("long").alias("k"))
     )
-    scored = (
+    return (
         d.select("text", F.md5("text").alias("h"))
         .join(dup, "h")
         .select(
@@ -3039,7 +3045,18 @@ def q_quality_calibration(spark, sf_dir):
             (F.col("k") > 1).alias("label"),
         )
     )
-    return score_calibration(scored, "score", "label")
+
+
+def q_quality_auc(spark, sf_dir):
+    # exact tie-corrected Mann-Whitney AUC (r6d): the threshold-free
+    # "does this score separate the classes" number over the SAME
+    # scored relation the calibration curve bins — doubled midranks
+    # keep the gate BIGINT end-to-end.
+    from augmented_codebase_indexer_spark.operators.calibration import (
+        ranking_auc,
+    )
+
+    return ranking_auc(_quality_scored(spark, sf_dir), "score", "label")
 
 
 def q_host_crawl_report(spark, sf_dir):
@@ -4706,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_numeric_facts": q_kv_numeric_facts,
         "qa_sample": q_qa_sample,
         "er_canopy": q_er_canopy,
+        "quality_auc": q_quality_auc,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6727,11 +6745,18 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT DISTINCT subj, pred, obj FROM ({_rule_triples_sql('duckdb')})",
         ["pred"], ["subj", "pred", "obj"], k=5)
 
-    sql["quality_calibration"] = score_calibration_oracle_sql(f"""
+    _q_scored_sql = f"""
     SELECT {quality_micro_sql('t.text')} AS score, (c.k > 1) AS label
     FROM (SELECT text, md5(text) AS h FROM documents) t
     JOIN (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS k
-          FROM documents GROUP BY md5(text)) c ON t.h = c.h""")
+          FROM documents GROUP BY md5(text)) c ON t.h = c.h"""
+    sql["quality_calibration"] = score_calibration_oracle_sql(_q_scored_sql)
+
+    from augmented_codebase_indexer_spark.operators.calibration import (
+        ranking_auc_oracle_sql,
+    )
+
+    sql["quality_auc"] = ranking_auc_oracle_sql(_q_scored_sql)
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

@@ -40,3 +40,47 @@ def test_matches_duckdb_oracle(spark):
     got = sorted(tuple(r) for r in score_calibration(
         _df(spark), "score", "label").collect())
     assert got == want
+
+
+def test_auc_hand_values_with_ties(spark):
+    from augmented_codebase_indexer_spark.operators.calibration import (
+        ranking_auc,
+    )
+
+    # pos scores {3, 2}, neg {2, 1}: midrank AUC = 0.875
+    df = spark.createDataFrame(
+        [(3, True), (2, True), (2, False), (1, False)],
+        "score long, label boolean")
+    r = ranking_auc(df, "score", "label").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["u2"] == 7
+    assert r["auc_micro"] == 7 * MICRO // 8
+    # perfect separation and degenerate single-class input
+    perfect = spark.createDataFrame(
+        [(9, True), (1, False)], "score long, label boolean")
+    assert ranking_auc(perfect, "score", "label").collect()[0][
+        "auc_micro"] == MICRO
+    onesided = spark.createDataFrame(
+        [(9, True), (1, True)], "score long, label boolean")
+    assert ranking_auc(onesided, "score", "label").collect()[0][
+        "auc_micro"] is None
+
+
+def test_auc_matches_duckdb_oracle(spark):
+    import duckdb as _dd
+
+    from augmented_codebase_indexer_spark.operators.calibration import (
+        ranking_auc,
+        ranking_auc_oracle_sql,
+    )
+
+    rows = [(s, y) for s, y in
+            [(10, True), (10, False), (7, True), (7, True), (7, False),
+             (3, False), (3, False), (1, True)]]
+    s_sql = " UNION ALL ".join(
+        f"SELECT {s} AS score, {'true' if y else 'false'} AS label"
+        for s, y in rows)
+    df = spark.createDataFrame(rows, "score long, label boolean")
+    want = _dd.connect().execute(ranking_auc_oracle_sql(s_sql)).fetchall()[0]
+    got = tuple(ranking_auc(df, "score", "label").collect()[0])
+    assert got == tuple(want)
