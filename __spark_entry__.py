@@ -3000,6 +3000,26 @@ def q_er_canopy(spark, sf_dir):
     return canopy_candidates(spark.sql(_er_names_sql("spark")), max_df=10)
 
 
+def q_score_drift_ks(spark, sf_dir):
+    # two-sample KS (r6d): quality-score distribution of the corpus vs
+    # a deterministically degraded build (junk tokens appended) — the
+    # scorer-regression monitor; exact micro on the pooled
+    # distinct-score grid.
+    from augmented_codebase_indexer_spark.operators.changepoint import (
+        ks_drift,
+    )
+    from augmented_codebase_indexer_spark.operators.textstats import (
+        quality_micro_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(quality_micro_col(F.col("text")).alias("score"))
+    b = d.select(quality_micro_col(
+        F.concat(F.col("text"), F.lit(" zz zz zz zz zz zz"))
+    ).alias("score"))
+    return ks_drift(a, b)
+
+
 def q_qa_sample(spark, sf_dir):
     # deterministic review sampling (r6d): 5 hash-smallest facts per
     # predicate — exact quota, zero RNG state, WindowGroupLimit plan;
@@ -4724,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_sample": q_qa_sample,
         "er_canopy": q_er_canopy,
         "quality_auc": q_quality_auc,
+        "score_drift_ks": q_score_drift_ks,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6757,6 +6778,16 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["quality_auc"] = ranking_auc_oracle_sql(_q_scored_sql)
+
+    from augmented_codebase_indexer_spark.operators.changepoint import (
+        ks_drift_oracle_sql,
+    )
+
+    sql["score_drift_ks"] = ks_drift_oracle_sql(
+        f"SELECT {quality_micro_sql('text')} AS score FROM documents",
+        f"SELECT {quality_micro_sql('text')} AS score"
+        " FROM (SELECT text || ' zz zz zz zz zz zz' AS text"
+        " FROM documents)")
 
     # DuckDB's native ASOF JOIN — an independent as-of implementation (our
     # Spark operator is union + carry-forward window)

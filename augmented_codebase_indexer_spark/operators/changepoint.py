@@ -114,3 +114,85 @@ def cusum_alarms_oracle_sql(
            _p - least(CAST(0 AS BIGINT), _m) >= {h_micro} AS alarm
     FROM m
     """
+
+
+def ks_drift(
+    a: DataFrame, b: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between score
+    distributions, exact in micro units — ONE row:
+    (n_a, n_b, ks_micro, at_score).
+
+    The distribution-level drift monitor next to CUSUM (which watches
+    a LEVEL over time) and the schema L1 (which watches categorical
+    shares): KS = max_s |F_a(s) − F_b(s)| catches shape changes in a
+    continuous score — a quality scorer whose new build compresses the
+    tails moves KS long before any mean moves. Computed exactly on the
+    pooled distinct-score grid: cumulative counts per side, difference
+    as |cum_a·1e6 DIV n_a − cum_b·1e6 DIV n_b| (truncating division on
+    both sides — identical in both engines; each term sits within 1
+    micro of the exact CDF value, so ks_micro is within 2 micro of the
+    real KS and bit-identical across engines). ``at_score`` reports
+    the argmax (smallest such score under ties — deterministic).
+
+    Scale shape: one (score, side) aggregate (map-side combined), a
+    window at pooled distinct-score grain (micro-quantized scores →
+    ≤ 2e6+2 rows, bounded by construction), one global max fold."""
+    MICRO = 1_000_000
+    sa = a.selectExpr(f"CAST({score_col} AS BIGINT) AS s",
+                      "CAST(1 AS INT) AS _a")
+    sb = b.selectExpr(f"CAST({score_col} AS BIGINT) AS s",
+                      "CAST(0 AS INT) AS _a")
+    g = (
+        sa.unionByName(sb)
+        .groupBy("s")
+        .agg(F.sum("_a").cast("long").alias("ca"),
+             (F.count("*") - F.sum("_a")).cast("long").alias("cb"))
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "s",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    tot = cum.agg(F.max("cum_a").alias("n_a"),
+                  F.max("cum_b").alias("n_b"))
+    d = cum.crossJoin(tot).selectExpr(  # 1-row broadcast
+        "n_a", "n_b", "s",
+        f"abs(cum_a * {MICRO} DIV n_a - cum_b * {MICRO} DIV n_b) AS d",
+    )
+    pick = F.struct((-F.col("d")).alias("nd"), F.col("s").alias("s"))
+    return (
+        d.groupBy("n_a", "n_b")
+        .agg(F.min(pick).alias("m"))
+        .selectExpr("n_a", "n_b", "-m.nd AS ks_micro", "m.s AS at_score")
+    )
+
+
+def ks_drift_oracle_sql(a_sql: str, b_sql: str) -> str:
+    """DuckDB mirror of :func:`ks_drift` (inputs expose ``score``)."""
+    MICRO = 1_000_000
+    return f"""
+    WITH g AS (
+      SELECT s, CAST(sum(_a) AS BIGINT) AS ca,
+             CAST(count(*) - sum(_a) AS BIGINT) AS cb
+      FROM (
+        SELECT CAST(score AS BIGINT) AS s, 1 AS _a FROM ({a_sql})
+        UNION ALL
+        SELECT CAST(score AS BIGINT), 0 FROM ({b_sql}))
+      GROUP BY s),
+    cum AS (
+      SELECT s,
+             CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER w AS BIGINT) AS cum_b
+      FROM g WINDOW w AS (ORDER BY s ROWS UNBOUNDED PRECEDING)),
+    tot AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b FROM cum),
+    d AS (
+      SELECT tot.n_a, tot.n_b, cum.s,
+             abs(cum.cum_a * {MICRO} // tot.n_a
+                 - cum.cum_b * {MICRO} // tot.n_b) AS d
+      FROM cum, tot)
+    SELECT n_a, n_b, d AS ks_micro, s AS at_score
+    FROM d ORDER BY d DESC, s ASC LIMIT 1
+    """

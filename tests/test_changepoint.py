@@ -56,3 +56,37 @@ def test_matches_duckdb_oracle(spark):
         got = sorted(tuple(r) for r in cusum_alarms(
             _df(spark), **kwargs).collect())
         assert got == want
+
+
+def test_ks_hand_values(spark):
+    from augmented_codebase_indexer_spark.operators.changepoint import (
+        ks_drift,
+    )
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: max |F_a - F_b| = 1/2 at s=2
+    a = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "score long")
+    b = spark.createDataFrame([(v,) for v in (3, 4, 5, 6)], "score long")
+    r = ks_drift(a, b).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["ks_micro"] == MICRO // 2 and r["at_score"] == 2
+    # identical distributions -> 0
+    same = ks_drift(a, a).collect()[0]
+    assert same["ks_micro"] == 0
+
+
+def test_ks_matches_duckdb_oracle(spark):
+    from augmented_codebase_indexer_spark.operators.changepoint import (
+        ks_drift,
+        ks_drift_oracle_sql,
+    )
+
+    A = [1, 2, 2, 3, 7, 7, 9]
+    B = [2, 3, 3, 8, 9, 9]
+    a_sql = " UNION ALL ".join(f"SELECT {v} AS score" for v in A)
+    b_sql = " UNION ALL ".join(f"SELECT {v} AS score" for v in B)
+    want = duckdb.connect().execute(
+        ks_drift_oracle_sql(a_sql, b_sql)).fetchall()[0]
+    a = spark.createDataFrame([(v,) for v in A], "score long")
+    b = spark.createDataFrame([(v,) for v in B], "score long")
+    got = tuple(ks_drift(a, b).collect()[0])
+    assert got == tuple(want)
