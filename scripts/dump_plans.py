@@ -965,6 +965,27 @@ def main() -> None:
         "round keeps lineage flat (LogicalRDD leaves visible).",
     )
 
+    queries["er_canopy (DF-gated rare-token blocking)"] = (
+        _entry.queries()["er_canopy"](spark, SF),
+        "r6d: tokenize + distinct, df count gate, one token-keyed "
+        "self-join bounded by max_df^2 per token, pair aggregate — "
+        "the reordered-name recall tier next to the two-end keys.",
+    )
+
+    queries["quality_auc (doubled-midrank Mann-Whitney)"] = (
+        _entry.queries()["quality_auc"](spark, SF),
+        "r6d: one (score) map-side agg; the cumulative window runs "
+        "at distinct-score grain (bounded ~1e6 by micro "
+        "quantization), then a single global fold.",
+    )
+
+    queries["host_crawl_report (3-screen composition)"] = (
+        _entry.queries()["host_crawl_report"](spark, SF),
+        "r6d: trap/drain/budget screens each fold data-sized inputs "
+        "to host grain inside their own operators; the report is two "
+        "full-outer joins over host-cardinality rows.",
+    )
+
     queries["kg_property_paths (dual-target path algebra)"] = (
         _entry.queries()["kg_property_paths"](spark, SF),
         "r6d: every combinator an equi-join/union on slim (subj, obj) "
