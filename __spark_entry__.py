@@ -3020,6 +3020,20 @@ def q_score_drift_ks(spark, sf_dir):
     return ks_drift(a, b)
 
 
+def q_source_concentration(spark, sf_dir):
+    # corpus concentration (r6d): Gini + inverse-Simpson effective
+    # sources + top share over per-source character mass — the
+    # "how dominated is the corpus" health table, exact integers.
+    from augmented_codebase_indexer_spark.operators.concentration import (
+        concentration,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("w"))
+    return concentration(w, key_col="source", weight_col="w")
+
+
 def q_qa_sample(spark, sf_dir):
     # deterministic review sampling (r6d): 5 hash-smallest facts per
     # predicate — exact quota, zero RNG state, WindowGroupLimit plan;
@@ -4745,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_canopy": q_er_canopy,
         "quality_auc": q_quality_auc,
         "score_drift_ks": q_score_drift_ks,
+        "source_concentration": q_source_concentration,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6782,6 +6797,14 @@ def oracle_sql() -> dict[str, str]:
     from augmented_codebase_indexer_spark.operators.changepoint import (
         ks_drift_oracle_sql,
     )
+
+    from augmented_codebase_indexer_spark.operators.concentration import (
+        concentration_oracle_sql,
+    )
+
+    sql["source_concentration"] = concentration_oracle_sql(
+        "SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS w"
+        " FROM documents GROUP BY source")
 
     sql["score_drift_ks"] = ks_drift_oracle_sql(
         f"SELECT {quality_micro_sql('text')} AS score FROM documents",
