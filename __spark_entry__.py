@@ -2986,6 +2986,24 @@ def _kv_expected_sql() -> str:
     SELECT doc_id, 'Malformed', '12', 12 FROM documents"""
 
 
+def q_er_mutual_best(spark, sf_dir):
+    # reciprocal-best decision tier (r6d): blocking -> Levenshtein
+    # verification -> mutual-best selection, the full ER chain in one
+    # gate; hub look-alikes (the cross-number near-names) lose their
+    # non-reciprocated edges, exact duplicates win at distance 0.
+    from augmented_codebase_indexer_spark.operators.mutualbest import (
+        mutual_best_matches,
+    )
+    from augmented_codebase_indexer_spark.operators.nameblock import (
+        block_candidates,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    cands = block_candidates(
+        spark.sql(_er_names_sql("spark")), max_dist=2, block_cap=500)
+    return mutual_best_matches(cands)
+
+
 def q_er_canopy(spark, sf_dir):
     # canopy blocking (r6d, McCallum KDD'00): rare-token canopies over
     # the SAME name universe as er_name_blocking — the 'e' both-ends
@@ -4760,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_auc": q_quality_auc,
         "score_drift_ks": q_score_drift_ks,
         "source_concentration": q_source_concentration,
+        "er_mutual_best": q_er_mutual_best,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6776,6 +6795,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["er_canopy"] = canopy_candidates_oracle_sql(
         _er_names_sql("duckdb"), max_df=10)
+
+    from augmented_codebase_indexer_spark.operators.mutualbest import (
+        mutual_best_matches_oracle_sql,
+    )
+
+    sql["er_mutual_best"] = mutual_best_matches_oracle_sql(
+        block_candidates_oracle_sql(
+            _er_names_sql("duckdb"), max_dist=2, block_cap=500))
 
     sql["qa_sample"] = stratified_sample_oracle_sql(
         f"SELECT DISTINCT subj, pred, obj FROM ({_rule_triples_sql('duckdb')})",
