@@ -3038,6 +3038,18 @@ def q_score_drift_ks(spark, sf_dir):
     return ks_drift(a, b)
 
 
+def q_slice_keywords(spark, sf_dir):
+    # Fightin' Words log-odds (r6d): WHICH tokens distinguish src0
+    # from src1 where slice_kl says only how far apart they are;
+    # libm-free intlog chains over the shared vocab, sign = a-flavored.
+    from augmented_codebase_indexer_spark.operators.corpusstats import (
+        slice_log_odds,
+    )
+
+    return slice_log_odds(
+        _t(spark, sf_dir, "documents"), "src0", "src1")
+
+
 def q_source_concentration(spark, sf_dir):
     # corpus concentration (r6d): Gini + inverse-Simpson effective
     # sources + top share over per-source character mass — the
@@ -4779,6 +4791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_drift_ks": q_score_drift_ks,
         "source_concentration": q_source_concentration,
         "er_mutual_best": q_er_mutual_best,
+        "slice_keywords": q_slice_keywords,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6803,6 +6816,12 @@ def oracle_sql() -> dict[str, str]:
     sql["er_mutual_best"] = mutual_best_matches_oracle_sql(
         block_candidates_oracle_sql(
             _er_names_sql("duckdb"), max_dist=2, block_cap=500))
+
+    from augmented_codebase_indexer_spark.operators.corpusstats import (
+        slice_log_odds_oracle_sql,
+    )
+
+    sql["slice_keywords"] = slice_log_odds_oracle_sql("src0", "src1")
 
     sql["qa_sample"] = stratified_sample_oracle_sql(
         f"SELECT DISTINCT subj, pred, obj FROM ({_rule_triples_sql('duckdb')})",

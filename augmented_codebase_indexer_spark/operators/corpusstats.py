@@ -204,3 +204,108 @@ def zipf_oracle_sql(table: str = "documents", top_n: int = 100) -> str:
                  * 1000000) // total AS BIGINT) AS cum_micro
     FROM top CROSS JOIN tot
     """
+
+
+def slice_log_odds(
+    docs: DataFrame,
+    src_a: str,
+    src_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Prior-smoothed log-odds keyword comparison between two slices
+    (the "Fightin' Words" point estimate, Monroe, Colaresi & Quinn,
+    Political Analysis 2008, eq. 15 with a flat Dirichlet prior):
+    WHICH tokens distinguish slice a from slice b, where the scalar
+    KL says only HOW FAR apart they are. Per union-vocab token w,
+
+        delta(w) = ln[(y_a+1)/(n_a + V − y_a − 1)]
+                 − ln[(y_b+1)/(n_b + V − y_b − 1)]
+
+    in exact micro-nats via the libm-free intlog (two chains over the
+    V-row vocab frame, the lm_vocab discipline) — positive means
+    a-flavored. The 2008 paper's variance normalization needs a sqrt
+    and is display-layer work; the gated estimate is the prior-
+    smoothed point value, exact.
+
+    Returns (tok, cnt_a, cnt_b, delta_micro). Scale shape: token text
+    dies at the (source, tok) count aggregate; everything after runs
+    at vocabulary grain."""
+    toks = (
+        docs.filter(F.col(source_col).isin([src_a, src_b]))
+        .select(F.col(source_col).alias("source"),
+                F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c"))
+    vocab = counts.select("tok").distinct()
+    v1 = F.broadcast(vocab.agg(F.count("*").cast("long").alias("V")))
+
+    def side(src: str, label: str) -> DataFrame:
+        cs = counts.filter(F.col("source") == src).select("tok", "c")
+        n = F.broadcast(
+            cs.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                   .alias("n")).crossJoin(v1))
+        dense = (
+            vocab.join(cs, "tok", "left")
+            .crossJoin(n)
+            .select(
+                "tok",
+                F.coalesce("c", F.lit(0)).cast("long")
+                .alias(f"cnt_{label}"),
+                (F.coalesce("c", F.lit(0)) + 1).cast("long").alias("num"),
+                (F.col("n") + F.col("V") - F.coalesce("c", F.lit(0)) - 1)
+                .cast("long").alias("den"),
+            )
+        )
+        return with_ln_micro(
+            dense, "num", "den", f"lo_{label}", prefix=f"_fw{label}"
+        ).select("tok", f"cnt_{label}", f"lo_{label}")
+
+    return (
+        side(src_a, "a").join(side(src_b, "b"), "tok")
+        .selectExpr("tok", "cnt_a", "cnt_b",
+                    "lo_a - lo_b AS delta_micro")
+    )
+
+
+def slice_log_odds_oracle_sql(
+    src_a: str, src_b: str, table: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`slice_log_odds`."""
+    base = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT source, t AS tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS t
+        FROM {table} WHERE source IN ('{src_a}', '{src_b}'))
+      WHERE t <> ''),
+    counts AS MATERIALIZED (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok),
+    vocab AS MATERIALIZED (SELECT DISTINCT tok FROM counts),
+    v1 AS (SELECT CAST(count(*) AS BIGINT) AS V FROM vocab)"""
+
+    def side(src: str, label: str) -> str:
+        dense = f"""
+      SELECT vocab.tok,
+             CAST(coalesce(cs.c, 0) AS BIGINT) AS cnt_{label},
+             CAST(coalesce(cs.c, 0) + 1 AS BIGINT) AS num,
+             CAST(n.n + v1.V - coalesce(cs.c, 0) - 1 AS BIGINT) AS den
+      FROM vocab
+      LEFT JOIN (SELECT tok, c FROM counts WHERE source = '{src}') cs
+        ON vocab.tok = cs.tok
+      CROSS JOIN (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+                  FROM counts WHERE source = '{src}') n
+      CROSS JOIN v1"""
+        return duckdb_ln_micro_sql(
+            dense, "num", "den", f"lo_{label}",
+            f"tok, cnt_{label}", prefix=f"_fw{label}")
+
+    return f"""{base},
+    sa AS MATERIALIZED ({side(src_a, 'a')}),
+    sb AS MATERIALIZED ({side(src_b, 'b')})
+    SELECT sa.tok, sa.cnt_a, sb.cnt_b,
+           sa.lo_a - sb.lo_b AS delta_micro
+    FROM sa JOIN sb ON sa.tok = sb.tok
+    """
