@@ -4406,6 +4406,101 @@ def q_graph_adamic_adar(spark, sf_dir):
     return adamic_adar(spark.sql(_entity_graph_sql("spark")), min_common=2)
 
 
+def q_graph_robustness(spark, sf_dir):
+    # attack tolerance (r6d, Albert-Jeong-Barabási Nature'00): remove
+    # the top-10 hubs (degree desc, id tie-break — the DECISION is
+    # deterministic), re-run CC over the survivors, report the giant
+    # component's exact micro share. Isolated survivors count as
+    # size-1 components in the denominator, not silently dropped.
+    from augmented_codebase_indexer_spark.operators.components import (
+        connected_components,
+    )
+    from augmented_codebase_indexer_spark.operators.graphalgs import (
+        _degrees,
+        undirected_edges,
+    )
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    und = undirected_edges(spark.sql(_entity_graph_sql("spark")))
+    deg = _degrees(und)
+    hubs = (
+        deg.orderBy(F.desc("deg"), F.asc("node")).limit(10)
+        .select("node")
+    )
+    nodes = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id"))).distinct()
+    )
+    survivors = nodes.join(
+        hubs.select(F.col("node").alias("id")), "id", "left_anti")
+    kept = (
+        und.join(hubs.select(F.col("node").alias("a")), "a", "left_anti")
+        .join(hubs.select(F.col("node").alias("b")), "b", "left_anti")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = connected_components(survivors, kept)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("size"))
+    n_all = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    n_sur = survivors.agg(
+        F.count("*").cast("long").alias("n_survivors"))
+    mx = sizes.agg(F.max("size").cast("long").alias("max_component"))
+    return (
+        n_all.crossJoin(n_sur).crossJoin(mx)  # 1-row frames
+        .selectExpr(
+            "n_nodes", "CAST(10 AS BIGINT) AS n_removed", "n_survivors",
+            "max_component",
+            "max_component * 1000000 DIV n_survivors"
+            " AS giant_share_micro",
+        )
+    )
+
+
+def _graph_robustness_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE raw AS (
+      SELECT src, dst FROM ({_entity_graph_sql("duckdb")})
+      WHERE src <> dst),
+    und AS (SELECT DISTINCT least(src, dst) AS a,
+                   greatest(src, dst) AS b FROM raw),
+    -- DISTINCT over UNION ALL, never bare UNION: inside a WITH
+    -- RECURSIVE clause DuckDB parses a CTE's top-level UNION as the
+    -- recursive union operator and skips the dedup (measured: 151
+    -- nodes became 1182)
+    nodes AS (SELECT DISTINCT id FROM (
+      SELECT a AS id FROM und UNION ALL SELECT b FROM und)),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY node),
+    hubs AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 10),
+    survivors AS (
+      SELECT id FROM nodes WHERE id NOT IN (SELECT node FROM hubs)),
+    kept AS MATERIALIZED (
+      SELECT a, b FROM und
+      WHERE a NOT IN (SELECT node FROM hubs)
+        AND b NOT IN (SELECT node FROM hubs)),
+    edges AS (SELECT DISTINCT src, dst FROM (
+      SELECT a AS src, b AS dst FROM kept
+      UNION ALL SELECT b, a FROM kept)),
+    cc AS (
+      SELECT id, id AS label FROM survivors
+      UNION
+      SELECT e.dst AS id, c.label FROM cc c JOIN edges e
+        ON e.src = c.id),
+    comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+              FROM comp GROUP BY component)
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST(10 AS BIGINT) AS n_removed,
+           CAST((SELECT count(*) FROM survivors) AS BIGINT)
+             AS n_survivors,
+           CAST(max(size) AS BIGINT) AS max_component,
+           CAST(max(size) AS BIGINT) * 1000000
+             // (SELECT count(*) FROM survivors) AS giant_share_micro
+    FROM sizes
+    """
+
+
 def q_graph_assortativity(spark, sf_dir):
     # degree assortativity (r6d, Newman 2002): one-number structure
     # screen — raw BIGINT moment sums reported next to the micro ratio
@@ -4792,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_concentration": q_source_concentration,
         "er_mutual_best": q_er_mutual_best,
         "slice_keywords": q_slice_keywords,
+        "graph_robustness": q_graph_robustness,
         # --- (b) last driver row r3 (30 entries, oldest first) ---
         "pagerank": q_pagerank,
         "traverse": q_traverse,
@@ -6822,6 +6918,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["slice_keywords"] = slice_log_odds_oracle_sql("src0", "src1")
+
+    sql["graph_robustness"] = _graph_robustness_oracle_sql()
 
     sql["qa_sample"] = stratified_sample_oracle_sql(
         f"SELECT DISTINCT subj, pred, obj FROM ({_rule_triples_sql('duckdb')})",

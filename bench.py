@@ -811,6 +811,7 @@ def main() -> None:
         "quality_calibration", "kv_numeric_facts", "qa_sample",
         "er_canopy", "quality_auc", "score_drift_ks",
         "source_concentration", "er_mutual_best", "slice_keywords",
+        "graph_robustness",
         "ann_lsh", "artifact_search", "boilerplate_prune",
         "chunking_sentence", "contam_report", "cube_stats", "data_split",
         "dedup_embedding", "dedup_embedding_lsh", "dedup_exact",
