@@ -4412,48 +4412,12 @@ def q_graph_robustness(spark, sf_dir):
     # deterministic), re-run CC over the survivors, report the giant
     # component's exact micro share. Isolated survivors count as
     # size-1 components in the denominator, not silently dropped.
-    from augmented_codebase_indexer_spark.operators.components import (
-        connected_components,
-    )
     from augmented_codebase_indexer_spark.operators.graphalgs import (
-        _degrees,
-        undirected_edges,
+        attack_tolerance,
     )
 
     _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    und = undirected_edges(spark.sql(_entity_graph_sql("spark")))
-    deg = _degrees(und)
-    hubs = (
-        deg.orderBy(F.desc("deg"), F.asc("node")).limit(10)
-        .select("node")
-    )
-    nodes = (
-        und.select(F.col("a").alias("id"))
-        .unionByName(und.select(F.col("b").alias("id"))).distinct()
-    )
-    survivors = nodes.join(
-        hubs.select(F.col("node").alias("id")), "id", "left_anti")
-    kept = (
-        und.join(hubs.select(F.col("node").alias("a")), "a", "left_anti")
-        .join(hubs.select(F.col("node").alias("b")), "b", "left_anti")
-        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
-    comp = connected_components(survivors, kept)
-    sizes = comp.groupBy("component").agg(
-        F.count("*").cast("long").alias("size"))
-    n_all = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
-    n_sur = survivors.agg(
-        F.count("*").cast("long").alias("n_survivors"))
-    mx = sizes.agg(F.max("size").cast("long").alias("max_component"))
-    return (
-        n_all.crossJoin(n_sur).crossJoin(mx)  # 1-row frames
-        .selectExpr(
-            "n_nodes", "CAST(10 AS BIGINT) AS n_removed", "n_survivors",
-            "max_component",
-            "max_component * 1000000 DIV n_survivors"
-            " AS giant_share_micro",
-        )
-    )
+    return attack_tolerance(spark.sql(_entity_graph_sql("spark")), k=10)
 
 
 def _graph_robustness_oracle_sql() -> str:

@@ -615,3 +615,54 @@ def k_truss_oracle_sql(edges_sql: str, k: int, rounds: int = 20) -> str:
         prev = f"t{i}"
     parts.append(f"\n    SELECT a, b, support FROM sup{rounds}\n")
     return "".join(parts)
+
+
+def attack_tolerance(edges: DataFrame, k: int = 10) -> DataFrame:
+    """Hub-removal percolation (Albert, Jeong & Barabási, Nature 406
+    (2000): scale-free graphs survive random failure but fragment
+    under targeted hub ATTACK): remove the k highest-degree nodes
+    (degree desc, id text tie-break — the selection is deterministic,
+    so the gate covers the decision), re-run connected components over
+    the survivors, and report the giant component's exact micro share.
+    ONE row: (n_nodes, n_removed, n_survivors, max_component,
+    giant_share_micro). Isolated survivors count as size-1 components
+    in the denominator — never silently dropped. A share near 1e6
+    means the graph's connectivity does not live on its hubs; a
+    collapse is the mirror-farm / hub-spam signature.
+
+    Scale shape: one degree aggregate + a k-row broadcast limit, two
+    anti-joins, then the min-label CC machinery (O(diameter) rounds,
+    lazy checkpoint blocks)."""
+    from .components import connected_components
+
+    und = undirected_edges(edges)
+    deg = _degrees(und)
+    hubs = deg.orderBy(F.desc("deg"), F.asc("node")).limit(k).select("node")
+    nodes = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id"))).distinct()
+    )
+    survivors = nodes.join(
+        hubs.select(F.col("node").alias("id")), "id", "left_anti")
+    kept = (
+        und.join(hubs.select(F.col("node").alias("a")), "a", "left_anti")
+        .join(hubs.select(F.col("node").alias("b")), "b", "left_anti")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    sizes = (
+        connected_components(survivors, kept)
+        .groupBy("component")
+        .agg(F.count("*").cast("long").alias("size"))
+    )
+    n_all = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    n_sur = survivors.agg(F.count("*").cast("long").alias("n_survivors"))
+    mx = sizes.agg(F.max("size").cast("long").alias("max_component"))
+    return (
+        n_all.crossJoin(n_sur).crossJoin(mx)  # 1-row frames
+        .selectExpr(
+            "n_nodes", f"CAST({k} AS BIGINT) AS n_removed",
+            "n_survivors", "max_component",
+            "max_component * 1000000 DIV n_survivors"
+            " AS giant_share_micro",
+        )
+    )
