@@ -33,12 +33,88 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
-def cosine_col(a, b):
+# Unrolling above this width would bloat the generated code for little gain;
+# the HOF fallback still computes the identical value.
+_MAX_UNROLL_DIM = 256
+
+
+# The corpus/embedder vector width (hash_embedding's default and the corpus
+# generator's constant). Parameterised for other deployments via ACI_EMBED_DIM.
+# Correctness never depends on it: every unrolled expression carries a per-row
+# size(v)==dim guard with the higher-order-function fallback, so a vector of
+# any other width still computes the identical value — just without codegen.
+import os as _os
+
+EMBED_DIM = int(_os.environ.get("ACI_EMBED_DIM", "64"))
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Unroll width for this frame's vectors — the configured EMBED_DIM.
+
+    Deliberately NOT a runtime scan: a `first()` probe job per operator call
+    measurably dominated the small ANN queries (ann_topk 0.67 s -> 1.4 s),
+    and the per-row size guard already makes a wrong width harmless."""
+    if 0 < EMBED_DIM <= _MAX_UNROLL_DIM:
+        return EMBED_DIM
+    return None
+
+
+def _dot_fixed(a, b, dim: int):
+    """Unrolled dot product, bit-identical to ``_dot`` over pre-cast double
+    arrays of exactly ``dim`` elements: the accumulator starts at 0.0 and
+    products are added strictly left-to-right — the same IEEE-754 operation
+    sequence as ``aggregate``'s left fold — but the whole chain is plain
+    codegen arithmetic instead of interpreted lambda evaluation."""
+    acc = F.lit(0.0).cast("double")
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+    return acc
+
+
+def _cosine_fixed(a, b, na, nb, dim: int):
+    """cosine given per-row precomputed norms (``_norm_col``). Evaluating
+    sqrt(dot(a,a)) once per ROW instead of once per PAIR yields the exact
+    same double (IEEE ops are deterministic), so the pair expression
+    dot/(na*nb) is bit-identical to the original dot/(norm(a)*norm(b))."""
+    fast = _dot_fixed(a, b, dim) / (na * nb)
+    slow = _dot(F.transform(a, lambda x: x.cast("double")),
+                F.transform(b, lambda x: x.cast("double"))) / (na * nb)
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), fast).otherwise(slow)
+
+
+def _fence(col):
+    """Optimizer fence: keeps an expensive projection where it is written.
+
+    ``when(spark_partition_id() >= 0, col)`` is always-true, so the VALUE is
+    `col` unchanged — but the expression is flagged non-deterministic, which
+    stops `PushPredicateThroughJoin` from folding a dependent filter into a
+    BroadcastNestedLoopJoin condition. (A ``rand(0) >= -1`` guard gets
+    constant-folded away by the optimizer; partition id does not.) Measured
+    on the 2M-pair exact dedup join: cosine evaluated in the join condition
+    runs at ~25 µs/pair (no whole-stage codegen) vs ~1 µs/pair in the fenced
+    Project above it."""
+    return F.when(F.spark_partition_id() >= 0, col)
+
+
+def _norm_col(v, dim: int | None):
+    """Per-row vector norm with the same fold order as ``_norm``."""
+    if dim is None:
+        return _norm(F.transform(v, lambda x: x.cast("double")))
+    fast = F.sqrt(_dot_fixed(v, v, dim))
+    slow = _norm(F.transform(v, lambda x: x.cast("double")))
+    return F.when(F.size(v) == dim, fast).otherwise(slow)
+
+
+def cosine_col(a, b, dim: int | None = None):
     # compute in float64 regardless of storage type (float32 arrays would
     # otherwise diverge from a double-precision oracle in the 6th decimal)
     a64 = F.transform(a, lambda x: x.cast("double"))
     b64 = F.transform(b, lambda x: x.cast("double"))
-    return _dot(a64, b64) / (_norm(a64) * _norm(b64))
+    slow = _dot(a64, b64) / (_norm(a64) * _norm(b64))
+    if dim is None:
+        return slow
+    fast = _dot_fixed(a, b, dim) / (F.sqrt(_dot_fixed(a, a, dim)) * F.sqrt(_dot_fixed(b, b, dim)))
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), fast).otherwise(slow)
 
 
 def brute_force_topk(
@@ -50,14 +126,24 @@ def brute_force_topk(
 ) -> DataFrame:
     """For each query id: top-k nearest corpus vectors by cosine (excluding
     self). Deterministic tie-break on neighbor id."""
+    # per-ROW norms (bit-identical to the per-pair evaluation — same fold) cut
+    # the pair expression from three HOF dot products to one; the candidate
+    # count here is |queries|*n, small enough that the unrolled-codegen tier's
+    # fixed planning cost would dominate (measured: 0.6 s HOF vs 1.3 s
+    # unrolled on 10k pairs), so the HOF dot stays.
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm_col(F.col(vec_col), None).alias("__nq"),
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+                          _norm_col(F.col(vec_col), None).alias("__nc"))
+    cos = _dot(F.transform(F.col("qvec"), lambda x: x.cast("double")),
+               F.transform(F.col("cvec"), lambda x: x.cast("double"))) / (
+        F.col("__nq") * F.col("__nc"))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn("cosine", F.round(cos, 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -105,17 +191,23 @@ def lsh_bucket_topk(
     (fixed signature definition) → SQL-mirrorable despite recall < 1."""
     sig = embeddings.withColumn("sig", sign_signature(vec_col, bits))
     banded = sig.withColumn("band_key", F.explode(_band_keys(F.col("sig"), bits, bands)))
+    # per-row norms instead of per-pair (see brute_force_topk note)
     q = banded.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "band_key"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "band_key",
+        _norm_col(F.col(vec_col), None).alias("__nq"),
     )
-    c = banded.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "band_key")
+    c = banded.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+                      "band_key", _norm_col(F.col(vec_col), None).alias("__nc"))
     cand = (
         F.broadcast(q)
         .join(c, "band_key")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", F.round(cosine_col(F.col("qvec"), F.col("cvec")), 6))
+    cos = _dot(F.transform(F.col("qvec"), lambda x: x.cast("double")),
+               F.transform(F.col("cvec"), lambda x: x.cast("double"))) / (
+        F.col("__nq") * F.col("__nc"))
+    scored = cand.withColumn("cosine", F.round(cos, 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -149,6 +241,7 @@ def ivf_topk(
     leaves the cluster, and assignment is one narrow pass per iteration.
     Recall < 1 by design; gated in pytest against the brute tier."""
     corpus = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dim = _probe_dim(embeddings, vec_col)
 
     # seeded deterministic init: smallest-hash corpus vectors
     seeds = (
@@ -168,7 +261,7 @@ def ivf_topk(
 
     def _assign(df):
         scored = df.crossJoin(_centroid_df()).withColumn(
-            "sim", cosine_col(F.col("vec"), F.col("cvec"))
+            "sim", cosine_col(F.col("vec"), F.col("cvec"), dim)
         )
         w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
         return (
@@ -199,7 +292,7 @@ def ivf_topk(
     )
     # probe lists: each query's n_probe nearest centroids
     qprobe = q.crossJoin(_centroid_df()).withColumn(
-        "sim", cosine_col(F.col("qvec"), F.col("cvec"))
+        "sim", cosine_col(F.col("qvec"), F.col("cvec"), dim)
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
     probes = (
@@ -214,7 +307,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", F.round(cosine_col(F.col("qvec"), F.col("cvec2")), 6))
+    scored = cand.withColumn("cosine", F.round(cosine_col(F.col("qvec"), F.col("cvec2"), dim), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -230,12 +323,25 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup tier). Exact
-    O(n²) within — at scale use ``embedding_near_duplicates_lsh``."""
-    a = embeddings.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
+    O(n²) within — at scale use ``embedding_near_duplicates_lsh``.
+
+    r7: the per-pair cosine is evaluated via the unrolled codegen dot product
+    with per-ROW precomputed norms (``_cosine_fixed`` — bit-identical fold
+    order), replacing three interpreted higher-order-function dot products
+    per pair; at sf0.1 this took the 2000²/2-pair join from 61 s to ~2 s."""
+    dim = _probe_dim(embeddings, vec_col)
+    a = embeddings.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"),
+                          _norm_col(F.col(vec_col), dim).alias("__na"))
+    b = embeddings.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"),
+                          _norm_col(F.col(vec_col), dim).alias("__nb"))
+    cos = (
+        _cosine_fixed(F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb"), dim)
+        if dim is not None
+        else cosine_col(F.col("va"), F.col("vb"))
+    )
     return (
         a.join(b, F.col("ida") < F.col("idb"))
-        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(_fence(cos), 6))
         .filter(F.col("cosine") >= threshold)
         .select("ida", "idb", "cosine")
     )
@@ -274,6 +380,7 @@ def embedding_near_duplicates_lsh(
     if bands is None:
         bands = auto_bands(threshold, bits=bits, rows_per_band=2)
     rows_per_band = 2
+    dim = _probe_dim(embeddings, vec_col)
     sig = embeddings.withColumn("sig", sign_signature(vec_col, bits))
     banded = sig.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
@@ -295,7 +402,7 @@ def embedding_near_duplicates_lsh(
         .dropDuplicates(["ida", "idb"])
     )
     return (
-        pairs.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cosine", F.round(_fence(cosine_col(F.col("va"), F.col("vb"), dim)), 6))
         .filter(F.col("cosine") >= threshold)
         .select("ida", "idb", "cosine")
     )

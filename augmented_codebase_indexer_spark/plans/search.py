@@ -57,7 +57,7 @@ def vector_candidates(docs: DataFrame, query: str, k: int, id_col: str = "doc_id
     qvec = F.array(*[F.lit(float(x)) for x in hash_embedding(query, 64)])
     scored = docs.select(
         F.col(id_col).alias("item_id"),
-        F.round(cosine_col(hash_embed_udf(F.col(text_col)), qvec), 6).alias("score"),
+        F.round(cosine_col(hash_embed_udf(F.col(text_col)), qvec, 64), 6).alias("score"),
     ).withColumn("backend", F.lit("vector"))
     return scored.orderBy(F.desc("score"), F.asc("item_id")).limit(k * 5)
 
@@ -139,7 +139,7 @@ def chunked_vector_candidates(
     scored = chunks.select(
         F.col("doc_id").alias("item_id"),
         "chunk_id",
-        F.round(cosine_col(hash_embed_udf(F.col("chunk_text")), qvec), 6).alias("score"),
+        F.round(cosine_col(hash_embed_udf(F.col("chunk_text")), qvec, 64), 6).alias("score"),
     )
     best = scored.groupBy("item_id").agg(F.max("score").alias("score"))
     return (
