@@ -203,20 +203,33 @@ def ln_micro_steps(
     return steps
 
 
+# Steps per selectExpr batch in with_ln_micro. Within one batch the steps
+# resolve as LATERAL column aliases (Spark >= 3.4 implicit lateral alias
+# resolution rewrites them into nested Projects — the same chained-Project
+# structure as before, so each alias still evaluates once per row and the
+# values are identical). Lateral resolution burns roughly one analyzer
+# iteration per level, so the batch must stay well under the 100-iteration
+# Resolution cap: 22 uses ~22 iterations and leaves 4x headroom (the full
+# ~44-step chain in ONE batch also resolves today, but with no margin).
+# r7 measurement (1k-row frame, warm JVM): one-select-per-step build 0.96 s
+# + exec 1.33 s vs batch=22 build 0.20 s + exec 0.53 s — the per-chain
+# fixed cost was the dominant wall on every intlog-swept bench entry.
+_LN_BATCH = 22
+
+
 def with_ln_micro(
     df: DataFrame, n_expr: str, d_expr: str, out: str, prefix: str = "_il"
 ) -> DataFrame:
     """Spark: add BIGINT column ``out = ln_micro(n_expr/d_expr)``.
 
-    One Project per step (97 chained selects), NOT one lateral-alias
-    select: lateral resolution burns an analyzer iteration per level and
-    trips the 100-iteration cap, and flat inlining would square the tree
-    at every self-referencing step anyway.  CollapseProject keeps the
-    chain un-inlined (each alias is non-cheap and referenced 2-3×), so
-    codegen evaluates every step exactly once per row."""
+    Batched lateral-alias selects (see ``_LN_BATCH``); never ONE flat
+    lateral select of all ~44 steps (no analyzer-cap margin) and never a
+    44-deep nested-transform let expression (analyzer hangs) nor one
+    nested-subquery SQL (trips the 100-iteration Resolution cap outright)."""
     steps = ln_micro_steps(n_expr, d_expr, out, "spark", prefix)
-    for alias, expr in steps:
-        df = df.selectExpr("*", f"{expr} AS {alias}")
+    for i in range(0, len(steps), _LN_BATCH):
+        chunk = steps[i:i + _LN_BATCH]
+        df = df.selectExpr("*", *[f"{expr} AS {alias}" for alias, expr in chunk])
     return df.drop(*[a for a, _ in steps if a != out])
 
 

@@ -49,13 +49,23 @@ def bigram_llr(
     bigram stream first, so pruning never biases the statistics)."""
     toks = f"filter(split(lower({text_col}), ' '), t -> t <> '')"
     # guard: sequence(1, 0) in Spark yields [1, 0] (descending), so
-    # singleton/empty docs must short-circuit to an empty pair array
+    # singleton/empty docs must short-circuit to an empty index array.
+    # r7: explode a plain INT sequence and index the token array in the
+    # codegen projection above — the former struct-array transform built
+    # ~10M interpreted struct allocations per corpus pass (measured 8.1 s
+    # at sf0.1 for the pair stream alone); same i-range over the same
+    # toks, so the (w1, w2) multiset is identical.
     pairs = docs.selectExpr(f"{toks} AS toks").selectExpr(
-        "CASE WHEN size(toks) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(toks) - 1), "
-        "i -> struct(toks[i-1] AS w1, toks[i] AS w2)) END AS bgs"
-    ).select(F.explode("bgs").alias("bg")).select("bg.w1", "bg.w2")
+        "toks",
+        "explode(CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE sequence(1, size(toks) - 1) END) AS i",
+    ).selectExpr("toks[i-1] AS w1", "toks[i] AS w2")
     k = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("k11"))
+    # r7: the margins r, c, n and the cells join all re-derive from k; a
+    # localCheckpoint of the (vocabulary-sized — 931 rows at sf0.1) bigram
+    # table collapses what were FOUR full corpus passes into one. Values
+    # unchanged; recomputed fresh inside every run.
+    k = k.localCheckpoint(eager=True)
     r = k.groupBy("w1").agg(F.sum("k11").cast("long").alias("r1"))
     c = k.groupBy("w2").agg(F.sum("k11").cast("long").alias("c1"))
     n = k.agg(F.sum("k11").cast("long").alias("n_pairs"))
