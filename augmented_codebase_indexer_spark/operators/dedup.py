@@ -34,11 +34,14 @@ from pyspark.sql import functions as F
 from ..functions.sqlhash import (
     MINHASH_BANDS,
     NUM_PERM,
+    SIMHASH_BITS,
     SIMHASH_CHUNKS,
+    h60_expr,
     minhash_band_key_expr,
     minhash_sig_expr,
     simhash60_expr,
 )
+from .guards import register_pin
 
 
 def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -345,7 +348,14 @@ def minhash_near_duplicate_candidates(
 
     ``dropped_buckets`` (band_key, bucket_size) lists buckets skipped by the
     ``max_bucket_size`` cap — returned, not silently discarded, so callers
-    can count/log the coverage gap."""
+    can count/log the coverage gap.
+
+    r7: the signature relation is pinned first — it fans out to the bucket
+    count, both sides of the band self-join, and (via callers) the winners
+    join, and unpinned each consumer re-shingled and re-hashed the full
+    corpus text (md5 per 3-gram); pinned, the text is hashed exactly once
+    and every downstream pass reads (id, 16-long sig) rows."""
+    signed = register_pin(signed.localCheckpoint(eager=True))
     banded = signed.select(
         "id",
         "sig",
@@ -486,6 +496,39 @@ def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return df.select(F.col(id_col).alias("id"), sim.alias("sim"))
 
 
+def simhash_agg_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (id, sim) for docs with ≥1 token — the same 60-bit SimHash as
+    ``with_simhash`` computed in aggregate form: explode tokens, hash each
+    once, then 60 integer CASE-sums in one map-side-combinable hash
+    aggregate, and re-pack the majority bits in a flat 60-term projection.
+
+    r7: the nested-array form (``simhash60_expr``) allocates a fresh
+    60-long vote array per TOKEN inside interpreted higher-order lambdas
+    (``aggregate``/``zip_with`` do not whole-stage-codegen); this form runs
+    entirely in codegen and shuffles one 61-column row per doc (docs are
+    partition-local, so the partial aggregate completes map-side). Vote
+    sums are integers and the majority test is votes > 0, so the two forms
+    are bit-identical (pytest: test_simhash_agg_form)."""
+    toks = f"filter(split(lower({text_col}), ' '), t -> t != '')"
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(toks)).alias("t")
+    ).select("id", F.expr(h60_expr("t", "spark")).alias("h"))
+    votes = ex.groupBy("id").agg(*[
+        F.sum(F.expr(f"CASE WHEN (h div {1 << i}) % 2 = 1 THEN 1 ELSE -1 END"))
+        .alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ])
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("sim"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     max_hamming: int = 6,
@@ -496,8 +539,15 @@ def simhash_near_duplicates(
     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal; for larger
     max_hamming the banding is a recall heuristic), join on chunk equality,
     verify with exact popcount — all JVM-side bit ops, signature-only
-    shuffle (id + one long per row)."""
-    sh = with_simhash(df, id_col, text_col).filter(F.col("sim").isNotNull())
+    shuffle (id + one long per row).
+
+    r7: fingerprints come from the codegen aggregate form and are pinned
+    before the chunk self-join — previously both join sides re-derived the
+    interpreted per-token vote arrays from raw text (the bench's 16 s
+    cell); now the text is hashed exactly once."""
+    sh = register_pin(
+        simhash_agg_table(df, id_col, text_col).localCheckpoint(eager=True)
+    )
     chunks = sh.select(
         "id", "sim",
         F.explode(

@@ -26,15 +26,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .guards import register_pin
+
 _SCALE = 1_000_000
+
+# Score/raw frames are (node, long) rows; below this node count they are
+# broadcast into the half-step joins, above it the planner falls back to
+# shuffled joins from real sizes. Same cap-and-degrade discipline as
+# guards.guarded_broadcast, but the count is taken ONCE on the pinned node
+# set instead of per half-step.
+BROADCAST_MAX_NODES = 1_000_000
 
 
 def hits_scores(
-    edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "dst"
+    edges: DataFrame, rounds: int = 3, src: str = "src", dst: str = "dst",
+    broadcast_max_nodes: int = BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """→ (node, hub_micro, auth_micro) after ``rounds`` full
     (authority, hub) updates over the DISTINCT directed edge set
-    (self-loops dropped); both scores max-normalized to [0, 1e6]."""
+    (self-loops dropped); both scores max-normalized to [0, 1e6].
+
+    r7 shape: the distinct edge set and node set are localCheckpoint-pinned
+    once (previously every one of the 2·rounds half-steps re-derived both
+    from scratch — 6 redundant distinct exchanges at rounds=3), each
+    half-step's raw propagation is pinned before the max/renormalize fan-out
+    (it is consumed twice), and the slim (node, score) relations are
+    broadcast into the edge join below ``broadcast_max_nodes`` so a
+    half-step shuffles nothing but the map-side-combined sums. All-integer
+    arithmetic, so the restructure is exactly result-preserving."""
     if not 1 <= rounds <= 16:
         raise ValueError("hits_scores: rounds must be in [1, 16]")
     e = (
@@ -42,25 +61,36 @@ def hits_scores(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    nodes = (
+    e = register_pin(e.localCheckpoint(eager=True))
+    nodes = register_pin(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    small = nodes.count() <= broadcast_max_nodes
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     hub = nodes.select("node", F.lit(_SCALE).cast("long").alias("s"))
 
     def _half(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
         # propagate scores across edges key_in → key_out, renormalize
         raw = (
-            e.join(scores.withColumnRenamed("node", key_in), key_in)
+            e.join(_b(scores.withColumnRenamed("node", key_in)), key_in)
             .groupBy(F.col(key_out).alias("node"))
             .agg(F.sum("s").cast("long").alias("raw"))
         )
+        # raw feeds BOTH the max aggregate and the renormalize join — pin it
+        # so the propagation (and the whole upstream half-step chain) is not
+        # recomputed per consumer
+        raw = register_pin(raw.localCheckpoint(eager=True))
         mx = raw.agg(
             F.greatest(F.max("raw"), F.lit(1)).cast("long").alias("mx")
         )
         return (
-            nodes.join(raw, "node", "left")
+            nodes.join(_b(raw), "node", "left")
             .crossJoin(F.broadcast(mx))
             .selectExpr(
                 "node",
@@ -74,7 +104,7 @@ def hits_scores(
         hub = _half(auth, "dst", "src")
     return (
         hub.withColumnRenamed("s", "hub_micro")
-        .join(auth.withColumnRenamed("s", "auth_micro"), "node")
+        .join(_b(auth.withColumnRenamed("s", "auth_micro")), "node")
         .select("node", "hub_micro", "auth_micro")
     )
 

@@ -49,6 +49,13 @@ CHECK_EVERY = 5
 # path; the distributed tier is what the reference has no answer to.)
 LOCAL_THRESHOLD = 100_000
 
+# Below this node count the slim (node_id, rank)/(node_id, contrib) frames
+# are broadcast into the per-iteration joins (a rank row is ~60 bytes, so
+# the cap bounds the broadcast at tens of MB); above it the joins fall back
+# to the planner's shuffled choice. Same cap-and-degrade discipline as
+# guards.guarded_broadcast, with the count taken once per pagerank call.
+BROADCAST_MAX_NODES = 1_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -113,6 +120,16 @@ def pagerank(
     ranks = register_pin(nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True))
     base = (1.0 - damping) / n
 
+    # r7: below the node cap, broadcast the slim rank/contrib relations into
+    # the per-iteration joins — unhinted, every iteration sort-merge-joined
+    # e_deg against ranks (re-shuffling the PINNED edge table each time) and
+    # nodes against contribs; broadcast, an iteration's only exchange is the
+    # map-side-combined contribution sum (guide §3.1/§2.4)
+    small = n <= BROADCAST_MAX_NODES
+
+    def _b(df):
+        return F.broadcast(df) if small else df
+
     i = 0
     while i < max_iters:
         block = min(check_every, max_iters - i)
@@ -121,7 +138,7 @@ def pagerank(
         # build `block` iterations lazily — zero driver actions inside
         for _ in range(block):
             contribs = (
-                e_deg.join(ranks.withColumnRenamed("node_id", "src"), "src")
+                e_deg.join(_b(ranks.withColumnRenamed("node_id", "src")), "src")
                 .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("node_id")
                 .agg(F.sum("c").alias("contrib"))
@@ -134,7 +151,7 @@ def pagerank(
             # Σ contribs = rank mass of non-dangling nodes; total mass is 1
             tot = contribs.agg(F.sum("contrib").alias("__t"))
             ranks = (
-                nodes.join(contribs, "node_id", "left")
+                nodes.join(_b(contribs), "node_id", "left")
                 .crossJoin(F.broadcast(tot))
                 .select(
                     "node_id",
@@ -151,7 +168,7 @@ def pagerank(
         ranks = register_pin(ranks.localCheckpoint(eager=True))  # action 1: materialize block
         delta = (
             ranks.withColumnRenamed("rank", "r2")
-            .join(prev, "node_id")
+            .join(_b(prev), "node_id")
             .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))))
             .collect()[0][0]
         )  # action 2: block L1 delta
@@ -282,6 +299,13 @@ def personalized_pagerank(
         .localCheckpoint(eager=True)
     )
 
+    # r7: same scale-gated broadcast of the slim per-iteration relations as
+    # the global pagerank loop (see comment there)
+    small = n <= BROADCAST_MAX_NODES
+
+    def _b(df):
+        return F.broadcast(df) if small else df
+
     i = 0
     while i < max_iters:
         block = min(check_every, max_iters - i)
@@ -289,7 +313,7 @@ def personalized_pagerank(
         to_unpersist = []
         for _ in range(block):
             contribs = (
-                e_deg.join(ranks.withColumnRenamed("node_id", "src"), "src")
+                e_deg.join(_b(ranks.withColumnRenamed("node_id", "src")), "src")
                 .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("node_id")
                 .agg(F.sum("c").alias("contrib"))
@@ -298,7 +322,7 @@ def personalized_pagerank(
             to_unpersist.append(contribs)
             tot = contribs.agg(F.sum("contrib").alias("__t"))
             ranks = (
-                nodes.join(contribs, "node_id", "left")
+                nodes.join(_b(contribs), "node_id", "left")
                 .join(reset, "node_id", "left")
                 .crossJoin(F.broadcast(tot))
                 .select(
@@ -317,7 +341,7 @@ def personalized_pagerank(
         ranks = register_pin(ranks.localCheckpoint(eager=True))
         delta = (
             ranks.withColumnRenamed("rank", "r2")
-            .join(prev, "node_id")
+            .join(_b(prev), "node_id")
             .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))))
             .collect()[0][0]
         )
