@@ -97,12 +97,77 @@ def er_matches(
     max_block_size: int = 1000,
 ) -> DataFrame:
     """Candidate pairs passing the match rule: lev ≤ max_dist OR
-    containment. (id_a < id_b, lev, contained) — exact integers/bools."""
-    pairs = er_candidate_pairs(
-        entities, id_col, name_col, block_prefix, max_block_size
+    containment. (id_a < id_b, lev, contained) — exact integers/bools.
+
+    r7: the match rule depends only on the NAMES, so it is decided at the
+    distinct-(block, name) grain and expanded to id pairs afterwards —
+    levenshtein runs once per name pair instead of once per id pair (the
+    id-grain self-join evaluated it ~50M times at bench scale for 17k
+    surviving rows). Duplicate-heavy entity tables are exactly the regime
+    this operator exists for; with all-unique names the name grain equals
+    the id grain and nothing is lost. Same pair set, same values
+    (pytest: test_er.py; oracle unchanged)."""
+    base = (
+        entities.select(
+            F.col(id_col).alias("ent_id"),
+            F.col(name_col).alias("name"),
+            _norm(F.col(name_col)).alias("norm"),
+        )
+        .filter(F.col("norm") != "")
+        .withColumn("block", F.substring("norm", 1, block_prefix))
+        .distinct()
     )
-    return pairs.filter(
-        (F.col("lev") <= max_dist) | F.col("contained")
+    sizes = base.groupBy("block").agg(F.count("*").alias("_bn"))
+    kept = base.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= max_block_size).select("block")),
+        "block",
+    )
+    from .guards import register_pin
+
+    kept = register_pin(kept.persist())
+    names = kept.select("block", "name", "norm").distinct()
+    npairs = (
+        names.selectExpr("block", "name AS n_a", "norm AS norm_a")
+        .join(
+            names.selectExpr("block", "name AS n_b", "norm AS norm_b"), "block"
+        )
+        .filter(F.col("n_a") <= F.col("n_b"))  # unordered name pairs, once
+        .select(
+            "block", "n_a", "n_b",
+            F.levenshtein("norm_a", "norm_b").cast("long").alias("lev"),
+            (
+                F.col("norm_a").contains(F.col("norm_b"))
+                | F.col("norm_b").contains(F.col("norm_a"))
+            ).alias("contained"),
+        )
+        .filter((F.col("lev") <= max_dist) | F.col("contained"))
+    )
+    ex = (
+        npairs
+        .join(
+            kept.select(
+                "block", F.col("name").alias("n_a"), F.col("ent_id").alias("ia")
+            ),
+            ["block", "n_a"],
+        )
+        .join(
+            kept.select(
+                "block", F.col("name").alias("n_b"), F.col("ent_id").alias("ib")
+            ),
+            ["block", "n_b"],
+        )
+        .filter(F.col("ia") != F.col("ib"))
+        # a same-name pair materializes both orientations — keep one
+        .filter((F.col("n_a") != F.col("n_b")) | (F.col("ia") < F.col("ib")))
+    )
+    swap = F.col("ia") < F.col("ib")
+    return ex.select(
+        F.least("ia", "ib").alias("id_a"),
+        F.greatest("ia", "ib").alias("id_b"),
+        F.when(swap, F.col("n_a")).otherwise(F.col("n_b")).alias("name_a"),
+        F.when(swap, F.col("n_b")).otherwise(F.col("n_a")).alias("name_b"),
+        "lev",
+        "contained",
     )
 
 

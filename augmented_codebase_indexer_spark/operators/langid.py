@@ -60,9 +60,29 @@ def _grams_sql(text_col: str, n: int) -> str:
 
 
 def gram_frame(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
-    """→ (doc_id, gram): one row per char n-gram occurrence."""
-    return docs.select(
-        "doc_id", F.explode(F.expr(_grams_expr(text_col, n))).alias("gram")
+    """→ (doc_id, gram): one row per char n-gram occurrence.
+
+    r7: explode integer POSITIONS and slice the gram in a codegen
+    projection, instead of materializing the per-doc array of gram
+    strings through an interpreted ``transform`` lambda (that array
+    build was the measured wall of both LID passes — 4.3 s of the 4.7 s
+    lang_id cell at sf0.1). Same (doc_id, gram) multiset: positions
+    1..len−n+1 with character-based ``substring``, docs shorter than
+    ``n`` emit nothing."""
+    return (
+        docs.select("doc_id", text_col)
+        .filter(F.length(text_col) >= n)
+        .select(
+            "doc_id",
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1))
+            ).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"substring({text_col}, __i, {n})").alias("gram"),
+        )
     )
 
 
@@ -87,10 +107,20 @@ def train_char_lm(
     (count desc, gram asc — planned as sort+limit, not an unpartitioned
     window); pruned grams fall back to OOV on BOTH engines.
     """
-    grams = labeled.select(
-        F.col(label_col).alias("lang"),
-        F.explode(F.expr(_grams_expr(text_col, n))).alias("gram"),
-    ).filter(F.col("lang").isin(*langs))
+    # r7: position-explode + codegen slice (see gram_frame) for the
+    # training pass too — the label filter runs before the explode
+    grams = (
+        labeled.select(F.col(label_col).alias("lang"), F.col(text_col))
+        .filter(F.col("lang").isin(*langs) & (F.length(text_col) >= n))
+        .select(
+            "lang",
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1))
+            ).alias("__i"),
+        )
+        .select("lang", F.expr(f"substring({text_col}, __i, {n})").alias("gram"))
+    )
     counts = register_pin(
         grams.groupBy("lang", "gram").agg(F.count("*").cast("long").alias("c")).persist()
     )

@@ -123,8 +123,14 @@ def pagerank(
     # r7: below the node cap, broadcast the slim rank/contrib relations into
     # the per-iteration joins — unhinted, every iteration sort-merge-joined
     # e_deg against ranks (re-shuffling the PINNED edge table each time) and
-    # nodes against contribs; broadcast, an iteration's only exchange is the
-    # map-side-combined contribution sum (guide §3.1/§2.4)
+    # nodes against contribs (guide §3.1/§2.4). Broadcasting only pays when
+    # each build side is ALREADY materialized (building a broadcast from a
+    # lazily-chained iteration plan nests broadcast sub-jobs and measured
+    # SLOWER than the shuffled block), so the small tier checkpoints each
+    # iteration eagerly: one iteration = two 1-2-task jobs whose only
+    # exchange is the map-side-combined contribution sum. The large tier
+    # keeps the r6 blocked-lazy shuffled form unchanged. The stopping rule
+    # (block L1 delta every check_every) is identical in both tiers.
     small = n <= BROADCAST_MAX_NODES
 
     def _b(df):
@@ -135,18 +141,22 @@ def pagerank(
         block = min(check_every, max_iters - i)
         prev = ranks
         to_unpersist = []
-        # build `block` iterations lazily — zero driver actions inside
+        # small tier: eager per-iteration pins; large tier: lazy block,
+        # zero driver actions inside
         for _ in range(block):
             contribs = (
                 e_deg.join(_b(ranks.withColumnRenamed("node_id", "src")), "src")
                 .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("node_id")
                 .agg(F.sum("c").alias("contrib"))
-                # contribs feeds BOTH the dangling aggregate and the rank
-                # join — cache so the shuffle isn't recomputed per consumer
-                # (tiny: one row per node with in-edges)
-                .cache()
             )
+            # contribs feeds BOTH the dangling aggregate and the rank join —
+            # pin (small) or cache (large) so it isn't recomputed per consumer
+            # (tiny: one row per node with in-edges)
+            if small:
+                contribs = register_pin(contribs.localCheckpoint(eager=True))
+            else:
+                contribs = contribs.cache()
             to_unpersist.append(contribs)
             # Σ contribs = rank mass of non-dangling nodes; total mass is 1
             tot = contribs.agg(F.sum("contrib").alias("__t"))
@@ -165,7 +175,10 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-        ranks = register_pin(ranks.localCheckpoint(eager=True))  # action 1: materialize block
+            if small:
+                ranks = register_pin(ranks.localCheckpoint(eager=True))
+        if not small:
+            ranks = register_pin(ranks.localCheckpoint(eager=True))  # action 1: materialize block
         delta = (
             ranks.withColumnRenamed("rank", "r2")
             .join(_b(prev), "node_id")

@@ -49,20 +49,35 @@ def _tokens(text_col: str) -> Column:
 
 def _match_positions(phrase: str, text_col: str) -> Column:
     """array<int> of 1-based start positions of ``phrase`` in the
-    tokenized text — the shared core of the frame- and predicate-form."""
+    tokenized text — the shared core of the frame- and predicate-form.
+
+    r7: the position test compares terms in place with ``element_at``
+    instead of allocating a k-slice array per candidate position and
+    comparing arrays, and the token array is bound ONCE via the
+    single-element ``transform`` idiom so the split/filter is not
+    re-evaluated per reference inside the lambda. Identical positions:
+    ``slice(toks, p, k) == terms`` ⟺ ``∀i element_at(toks, p+i) ==
+    terms[i]`` for the in-bounds p the sequence generates."""
     terms = _phrase_terms(phrase)
     k = len(terms)
     toks = _tokens(text_col)
-    lit_terms = F.array(*[F.lit(t) for t in terms])
-    # candidate start positions 1..n-k+1; sequence() descends when
-    # stop < start, so short docs take the empty-array branch
-    return F.when(
-        F.size(toks) >= k,
-        F.filter(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-            lambda p: F.slice(toks, p, k) == lit_terms,
-        ),
-    ).otherwise(F.array().cast("array<integer>"))
+
+    def _positions(t: Column) -> Column:
+        def _at(p: Column) -> Column:
+            cond = None
+            for i, term in enumerate(terms):
+                c = F.element_at(t, p + F.lit(i)) == F.lit(term)
+                cond = c if cond is None else cond & c
+            return cond
+
+        # candidate start positions 1..n-k+1; sequence() descends when
+        # stop < start, so short docs take the empty-array branch
+        return F.when(
+            F.size(t) >= k,
+            F.filter(F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)), _at),
+        ).otherwise(F.array().cast("array<integer>"))
+
+    return F.transform(F.array(toks), _positions).getItem(0)
 
 
 def phrase_predicate(phrase: str, text_col: str = "text") -> Column:
