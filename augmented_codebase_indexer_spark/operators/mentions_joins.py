@@ -200,15 +200,10 @@ def _matched_spans(extracted: DataFrame, gazetteer: DataFrame) -> DataFrame:
     ft_bc = (extracted.sparkSession.sparkContext.broadcast(ft)
              if ft is not None else None)
     cands = mention_candidate_stage(extracted, _max_alias_tokens(gazetteer), ft_bc)
-    # r7: the candidate stage is this tier's dominant cost (a Python
-    # mapInPandas over every document) and it fans out to BOTH branches
-    # below — unpinned, the gazetteer-hit branch and the NER branch each
-    # re-ran the full Python pass (two MapInPandas executions per query);
-    # pinned, the text is tokenized exactly once and both branches read
-    # slim (url, offsets, surface) rows
-    from .guards import register_pin
-
-    cands = register_pin(cands.localCheckpoint(eager=True))
+    # r7 note: pinning `cands` here (localCheckpoint before the two-branch
+    # fan-out) was tried and REVERTED — materializing the full candidate
+    # set cost more than the second pipelined Python pass it saved
+    # (measured 9.0 s -> 10.9 s at sf0.1); the branches stay lazy.
     gaz_surf = gazetteer.select(F.col("alias").alias("surface")).distinct()
     hits = (
         cands.filter(F.col("kind") == "cand")

@@ -306,14 +306,23 @@ def personalized_pagerank(
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     e_deg = register_pin(e.join(out_deg, "src").select("src", "dst", "deg").localCheckpoint(eager=True))
 
-    ranks = register_pin(
+    # r7: the reset vector is STATIC — fold it into the pinned node table
+    # once, so an iteration joins one relation fewer (unfolded, every
+    # iteration rebuilt the reset broadcast: 30 extra broadcast builds)
+    nodes_r = register_pin(
         nodes.join(reset, "node_id", "left")
-        .select("node_id", F.coalesce("reset", F.lit(0.0)).alias("rank"))
+        .select("node_id", F.coalesce("reset", F.lit(0.0)).alias("reset"))
         .localCheckpoint(eager=True)
     )
 
-    # r7: same scale-gated broadcast of the slim per-iteration relations as
-    # the global pagerank loop (see comment there)
+    ranks = register_pin(
+        nodes_r.select("node_id", F.col("reset").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+
+    # r7: same tiering as the global pagerank loop (see comment there) —
+    # small graphs broadcast the slim per-iteration relations and pin each
+    # iteration eagerly; large graphs keep the blocked-lazy shuffled form
     small = n <= BROADCAST_MAX_NODES
 
     def _b(df):
@@ -330,13 +339,15 @@ def personalized_pagerank(
                 .select(F.col("dst").alias("node_id"), (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("node_id")
                 .agg(F.sum("c").alias("contrib"))
-                .cache()
             )
+            if small:
+                contribs = register_pin(contribs.localCheckpoint(eager=True))
+            else:
+                contribs = contribs.cache()
             to_unpersist.append(contribs)
             tot = contribs.agg(F.sum("contrib").alias("__t"))
             ranks = (
-                nodes.join(_b(contribs), "node_id", "left")
-                .join(reset, "node_id", "left")
+                nodes_r.join(_b(contribs), "node_id", "left")
                 .crossJoin(F.broadcast(tot))
                 .select(
                     "node_id",
@@ -347,11 +358,14 @@ def personalized_pagerank(
                             + F.lit(damping)
                             * (F.lit(1.0) - F.coalesce(F.col("__t"), F.lit(0.0)))
                         )
-                        * F.coalesce(F.col("reset"), F.lit(0.0))
+                        * F.col("reset")
                     ).alias("rank"),
                 )
             )
-        ranks = register_pin(ranks.localCheckpoint(eager=True))
+            if small:
+                ranks = register_pin(ranks.localCheckpoint(eager=True))
+        if not small:
+            ranks = register_pin(ranks.localCheckpoint(eager=True))
         delta = (
             ranks.withColumnRenamed("rank", "r2")
             .join(_b(prev), "node_id")
