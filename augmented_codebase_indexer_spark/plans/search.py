@@ -53,11 +53,17 @@ def pattern_candidates(docs: DataFrame, query: str, id_col: str = "doc_id",
 def vector_candidates(docs: DataFrame, query: str, k: int, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Cosine of hash-embeddings (the hermetic embedder C11) — over-fetch
-    ×5 then cut (recall_multiplier, ``search_service.py:63-76``)."""
+    ×5 then cut (recall_multiplier, ``search_service.py:63-76``).
+
+    r7: the read path keeps the HOF cosine tier — routing it through the
+    unrolled dim=64 form re-references the UDF-produced embedding column
+    ~190 times in the expression tree and measured hybrid_search at
+    4.7 s vs 2.5 s with the HOF form (the unrolled tier pays off on the
+    dedup pair joins where the inputs are plain stored columns)."""
     qvec = F.array(*[F.lit(float(x)) for x in hash_embedding(query, 64)])
     scored = docs.select(
         F.col(id_col).alias("item_id"),
-        F.round(cosine_col(hash_embed_udf(F.col(text_col)), qvec, 64), 6).alias("score"),
+        F.round(cosine_col(hash_embed_udf(F.col(text_col)), qvec), 6).alias("score"),
     ).withColumn("backend", F.lit("vector"))
     return scored.orderBy(F.desc("score"), F.asc("item_id")).limit(k * 5)
 
@@ -139,7 +145,7 @@ def chunked_vector_candidates(
     scored = chunks.select(
         F.col("doc_id").alias("item_id"),
         "chunk_id",
-        F.round(cosine_col(hash_embed_udf(F.col("chunk_text")), qvec, 64), 6).alias("score"),
+        F.round(cosine_col(hash_embed_udf(F.col("chunk_text")), qvec), 6).alias("score"),
     )
     best = scored.groupBy("item_id").agg(F.max("score").alias("score"))
     return (
