@@ -196,14 +196,17 @@ def _matched_spans(extracted: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """Candidate spans with gazetteer hits marked: the ONE distributed join
     of this tier. Only slim (url, offsets, surface) rows meet the alias
     table; NER spans bypass the join."""
+    # r7 note: two attempts to dedupe the branch fan-out below were tried
+    # and REVERTED after measuring slower at sf0.1: (a) localCheckpoint of
+    # the candidate set (9.0 s -> 10.9 s — materializing the full span set
+    # costs more than the second pipelined Python pass it saves) and
+    # (b) persist() of the slim extracted input (9.8 s -> 11.4 s — the
+    # InMemoryRelation barrier beats the saved extraction pass). The lazy
+    # pipelined branches win on both counts; leave them.
     ft = _collect_first_tokens(gazetteer, FIRST_TOKEN_BROADCAST_MAX)
     ft_bc = (extracted.sparkSession.sparkContext.broadcast(ft)
              if ft is not None else None)
     cands = mention_candidate_stage(extracted, _max_alias_tokens(gazetteer), ft_bc)
-    # r7 note: pinning `cands` here (localCheckpoint before the two-branch
-    # fan-out) was tried and REVERTED — materializing the full candidate
-    # set cost more than the second pipelined Python pass it saved
-    # (measured 9.0 s -> 10.9 s at sf0.1); the branches stay lazy.
     gaz_surf = gazetteer.select(F.col("alias").alias("surface")).distinct()
     hits = (
         cands.filter(F.col("kind") == "cand")
