@@ -373,17 +373,30 @@ def embedding_near_duplicates_lsh(
 ) -> DataFrame:
     """Scale path for tier-5 dedup: sign-LSH signature split into ``bands``
     bands of 2 bits; candidate pairs share ≥1 band (near-identical vectors
-    share most sign bits); exact cosine verify. The candidate join shuffles
-    only (band_key, id, vec) and each band bucket is small — the O(n²)
-    never materializes. Precision = 1 (exact verify); recall ≥ 0.98 at the
-    threshold via ``auto_bands`` (recall < 1 by design below it)."""
+    share most sign bits); exact cosine verify. The candidate join and the
+    pair dedup shuffle only (band_key, id) / (ida, idb) — vectors re-attach
+    to the DEDUPED pair set (r7) — and each band bucket is small, so the
+    O(n²) never materializes. Precision = 1 (exact verify); recall ≥ 0.98
+    at the threshold via ``auto_bands`` (recall < 1 by design below it)."""
     if bands is None:
         bands = auto_bands(threshold, bits=bits, rows_per_band=2)
     rows_per_band = 2
     dim = _probe_dim(embeddings, vec_col)
-    sig = embeddings.withColumn("sig", sign_signature(vec_col, bits))
+    # r7: the band self-join and the dedup exchange carry only (band_key,
+    # id) / (ida, idb) — the vectors re-attach to the DEDUPED candidate set
+    # via two joins against the pinned (id, vec) relation (guide §8: decide
+    # with small rows, move payloads once). Unslimmed, every duplicated
+    # band copy of a candidate pair dragged two full vectors through the
+    # distinct exchange. Same candidate set, same cosines.
+    from .guards import register_pin
+
+    vecs = register_pin(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .localCheckpoint(eager=True)
+    )
+    sig = vecs.select("id", sign_signature("vec", bits).alias("sig"))
     banded = sig.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        "id",
         F.explode(F.array(*[
             F.concat(
                 F.lit(f"{b}:"),
@@ -397,9 +410,13 @@ def embedding_near_duplicates_lsh(
         banded.alias("a")
         .join(banded.alias("b"),
               (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"),
-                F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"))
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
         .dropDuplicates(["ida", "idb"])
+    )
+    pairs = (
+        pairs
+        .join(vecs.select(F.col("id").alias("ida"), F.col("vec").alias("va")), "ida")
+        .join(vecs.select(F.col("id").alias("idb"), F.col("vec").alias("vb")), "idb")
     )
     return (
         pairs.withColumn("cosine", F.round(_fence(cosine_col(F.col("va"), F.col("vb"), dim)), 6))
