@@ -356,9 +356,12 @@ def minhash_near_duplicate_candidates(
     corpus text (md5 per 3-gram); pinned, the text is hashed exactly once
     and every downstream pass reads (id, 16-long sig) rows."""
     signed = register_pin(signed.localCheckpoint(eager=True))
+    # r7: the band self-join and the candidate dedup move only
+    # (band_key, id) — the 16-long signatures re-attach to the DEDUPED pair
+    # set from the pinned relation (same slim-exchange shape as the
+    # embedding LSH tier; guide §8)
     banded = signed.select(
         "id",
-        "sig",
         F.explode(
             F.array(*[
                 F.expr(minhash_band_key_expr("sig", b, "spark"))
@@ -384,13 +387,10 @@ def minhash_near_duplicate_candidates(
             banded.alias("r"),
             (F.col("l.band_key") == F.col("r.band_key")) & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("ida"),
-            F.col("r.id").alias("idb"),
-            F.col("l.sig").alias("siga"),
-            F.col("r.sig").alias("sigb"),
-        )
+        .select(F.col("l.id").alias("ida"), F.col("r.id").alias("idb"))
         .dropDuplicates(["ida", "idb"])
+        .join(signed.select(F.col("id").alias("ida"), F.col("sig").alias("siga")), "ida")
+        .join(signed.select(F.col("id").alias("idb"), F.col("sig").alias("sigb")), "idb")
     )
     est = F.expr(
         "aggregate(zip_with(siga, sigb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
