@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.intlog import duckdb_ln_micro_sql, with_ln_micro
+from .guards import register_pin
 
 # 2·ln threshold: χ²(1) critical value 10.83 (p < 0.001), micro units
 SIG_MICRO = 10_830_000
@@ -76,6 +77,12 @@ def bigram_llr(
     )
     for cell, num, den in _CELLS:
         cells = with_ln_micro(cells, num, den, f"ln_{cell}", prefix=f"_l{cell}")
+        # r7: cut the plan after EVERY tower — the four ~44-step intlog
+        # chains composed into one tree cost ~7 s of driver-side Catalyst
+        # work at 931 rows (the pair pass itself is 3.9 s); checkpointing
+        # the vocabulary-sized frame between chains keeps each analyzed
+        # tree one tower deep. Values unchanged.
+        cells = register_pin(cells.localCheckpoint(eager=True))
     out = cells.selectExpr(
         "w1", "w2", "k11", "r1", "c1", "n_pairs",
         f"2 * ({_LLR_TERMS}) AS llr_micro",

@@ -80,8 +80,15 @@ def vocab_growth(
         F.sum("new_types").over(w).cast("long").alias("vocab_cum"),
         "new_types",
     )
+    # r7: cut the plan between the two intlog towers (collocations-style —
+    # composed towers cost superlinear Catalyst time; the frame is
+    # checkpoint-cardinality, a handful of rows)
+    from .guards import register_pin
+
     cum = with_ln_micro(cum, "vocab_cum", "1", "ln_v", prefix="_gv")
+    cum = register_pin(cum.localCheckpoint(eager=True))
     cum = with_ln_micro(cum, "tokens_cum", "1", "ln_n", prefix="_gn")
+    cum = register_pin(cum.localCheckpoint(eager=True))
     lw = Window.orderBy("checkpoint")
     lagd = cum.select(
         "*",
