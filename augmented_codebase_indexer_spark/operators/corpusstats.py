@@ -92,6 +92,12 @@ def slice_kl_divergence(
         ),
         "cp1", "D", "lp_micro",
     )
+    # r7: dense (the intlog tower AND its upstream corpus token pass)
+    # feeds BOTH sides of the slice self-join below — pin the
+    # (slices × vocabulary)-sized frame so the pass and the tower run once
+    from .guards import register_pin
+
+    dense = register_pin(dense.localCheckpoint(eager=True))
     a = dense.select(
         F.col("source").alias("src_a"), "tok",
         F.col("cp1").alias("cp1_a"), F.col("D").alias("d_a"),
@@ -259,6 +265,9 @@ def slice_log_odds(
                 .cast("long").alias("den"),
             )
         )
+        # r7 note: eager-pinning each side was tried and REVERTED — it
+        # serializes the two sides, which the planner otherwise computes as
+        # concurrent branches of one job (2.2 s -> 2.9 s at sf0.1)
         return with_ln_micro(
             dense, "num", "den", f"lo_{label}", prefix=f"_fw{label}"
         ).select("tok", f"cnt_{label}", f"lo_{label}")
