@@ -63,3 +63,23 @@ def test_duckdb_parity(spark):
         er_matches_oracle_sql(ents_sql)).fetchall()))
     got = sorted(map(tuple, er_matches(_df(spark)).collect()))
     assert got == want
+
+
+def test_same_name_ids_pair_once_with_min_id_orientation(spark):
+    # r7 name-grain rewrite: identical NAME strings on distinct ids must
+    # pair exactly once, oriented (id_a < id_b), with name_a = the smaller
+    # id's name — the (n_a == n_b) branch of the expansion — and the full
+    # rows must still match the id-grain DuckDB oracle.
+    ents = [(10, "Dup Co"), (20, "Dup Co"), (30, "Dup Co"), (40, "dupco X")]
+    df = spark.createDataFrame(ents, "ent_id long, name string")
+    rows = er_matches(df).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert {(10, 20), (10, 30), (20, 30)} <= got
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    ents_sql = " UNION ALL ".join(
+        f"SELECT {i} AS ent_id, '{n}' AS name" for i, n in ents
+    )
+    import duckdb as _dk
+    want = sorted(map(tuple, _dk.connect().execute(
+        er_matches_oracle_sql(ents_sql)).fetchall()))
+    assert sorted(map(tuple, rows)) == want
